@@ -1,0 +1,263 @@
+"""Mutate-family filters: mutate, typeconv, convert, add_field,
+remove_field, drop, hash, ratelimit — all native column expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gogstash_spark import logevent
+from gogstash_spark.functions.conds import cond_to_sql
+from gogstash_spark.operators import Context, Stage, apply_common, register
+
+
+@register("mutate")
+def compile_mutate(cfg: dict, ctx: Context) -> Stage:
+    """Per-field ops: uppercase/lowercase/split/replace/merge/rename
+    (reference filter/mutate/filtermutate.go:68-119).
+    """
+    ops: list[dict] = []
+    for f in cfg.get("uppercase") or []:
+        ops.append({"op": "uppercase", "field": f})
+    for f in cfg.get("lowercase") or []:
+        ops.append({"op": "lowercase", "field": f})
+    if cfg.get("split"):
+        ops.append({"op": "split", **cfg["split"]})
+    if cfg.get("replace"):
+        ops.append({"op": "replace", **cfg["replace"]})
+    if cfg.get("merge"):
+        ops.append({"op": "merge", **cfg["merge"]})
+    if cfg.get("rename"):
+        ops.append({"op": "rename", **cfg["rename"]})
+
+    def apply(df: DataFrame) -> DataFrame:
+        for o in ops:
+            op = o["op"]
+            if op == "uppercase":
+                df = df.withColumn(o["field"], F.upper(F.col(o["field"])))
+            elif op == "lowercase":
+                df = df.withColumn(o["field"], F.lower(F.col(o["field"])))
+            elif op == "split":
+                # literal separator (the reference splits on a literal)
+                df = df.withColumn(
+                    o["field"],
+                    F.split(F.col(o["field"]), o["sep"], -1) if o.get("regex")
+                    else F.split(F.col(o["field"]), _rx_escape(o["sep"]), -1),
+                )
+            elif op == "replace":
+                # literal old -> new, new supports %{} templates
+                new = logevent.format_expr(df, str(o["new"]))
+                df = df.withColumn(
+                    o["field"],
+                    F.regexp_replace(
+                        F.col(o["field"]).cast("string"),
+                        _rx_escape(str(o["old"])),
+                        new,
+                    ),
+                )
+            elif op == "merge":
+                # merge value into a string-array field
+                # (reference filter/mutate/filtermutate.go:95-119)
+                tgt, val = o["field"], str(o["value"])
+                base = (
+                    F.when(F.col(tgt).isNull(), F.array())
+                    .otherwise(F.col(tgt))
+                    if tgt in df.columns
+                    else F.array()
+                )
+                df = df.withColumn(
+                    tgt, F.array_union(base.cast("array<string>"), F.array(logevent.format_expr(df, val)))
+                )
+            elif op == "rename":
+                df = df.withColumnRenamed(o["from"], o["to"])
+        return apply_common(df, cfg, None)
+
+    return apply
+
+
+def _rx_escape(s: str) -> str:
+    import re
+
+    return re.escape(s)
+
+
+@register("sql")
+def compile_sql(cfg: dict, ctx: Context) -> Stage:
+    """Declarative escape hatch: {target_column: sql_expression}.
+
+    The reference's extension point is registering a new Go filter
+    (config/filter.go:63-72); ours is a native SQL expression per
+    column — still fully inside Catalyst/codegen.
+    """
+    exprs: dict[str, str] = cfg.get("expr") or {}
+
+    def apply(df: DataFrame) -> DataFrame:
+        for target, sql in exprs.items():
+            df = df.withColumn(target, F.expr(sql))
+        return apply_common(df, cfg, None)
+
+    return apply
+
+
+@register("typeconv")
+def compile_typeconv(cfg: dict, ctx: Context) -> Stage:
+    """Cast fields to string/int64/float64 with string-parse fallbacks;
+    int-via-float fallback per reference filter/typeconv/filtertypeconv.go:84-114.
+    """
+    fields = cfg.get("fields") or []
+    typ = cfg.get("conv_type", "string")
+
+    def conv(col: Column) -> Column:
+        if typ in ("int64", "int", "long"):
+            return F.coalesce(
+                F.try_cast(col, "long"),
+                F.try_cast(col, "double").cast("long"),
+            )
+        if typ in ("float64", "float", "double"):
+            return F.try_cast(col, "double")
+        return col.cast("string")
+
+    def apply(df: DataFrame) -> DataFrame:
+        for f in fields:
+            if f in df.columns:
+                df = df.withColumn(f, conv(F.col(f)))
+        return apply_common(df, cfg, None)
+
+    return apply
+
+
+@register("convert")
+def compile_convert(cfg: dict, ctx: Context) -> Stage:
+    """to_int / to_float with optional multiply factor
+    (reference filter/convert/filterconvert.go:63-85).
+    """
+    fields = cfg.get("fields") or []
+    mode = cfg.get("mode", "to_float")
+    factor = cfg.get("factor", 1)
+
+    def apply(df: DataFrame) -> DataFrame:
+        for f in fields:
+            col = F.try_cast(F.col(f), "double") * F.lit(factor)
+            if mode == "to_int":
+                col = col.cast("long")
+            df = df.withColumn(f, col)
+        return apply_common(df, cfg, None)
+
+    return apply
+
+
+@register("add_field")
+def compile_add_field(cfg: dict, ctx: Context) -> Stage:
+    """Set key to a %{}-formatted value, optional no-overwrite guard
+    (reference filter/addfield/filteraddfield.go:47-56).
+    """
+    key = cfg["key"]
+    value = str(cfg["value"])
+    overwrite = cfg.get("overwrite", True)
+
+    def apply(df: DataFrame) -> DataFrame:
+        val = logevent.format_expr(df, value)
+        if not overwrite and key in df.columns:
+            val = F.when(
+                F.col(key).isNull() | (F.col(key).cast("string") == ""), val
+            ).otherwise(F.col(key))
+        return apply_common(df.withColumn(key, val), cfg, None)
+
+    return apply
+
+
+@register("remove_field")
+def compile_remove_field(cfg: dict, ctx: Context) -> Stage:
+    """Remove listed fields; blank message optional
+    (reference filter/removefield/filterremovefield.go:56-71).
+    """
+    fields = cfg.get("fields") or []
+    blank_message = cfg.get("blank_message", False)
+
+    def apply(df: DataFrame) -> DataFrame:
+        df = df.drop(*[f for f in fields if f in df.columns])
+        if blank_message:
+            df = df.withColumn(logevent.TEXT, F.lit(""))
+        return apply_common(df, cfg, None)
+
+    return apply
+
+
+@register("drop")
+def compile_drop(cfg: dict, ctx: Context) -> Stage:
+    """Tombstone events (reference filter/drop/filterdrop.go:43-46;
+    Drop short-circuits the chain, config/filter.go:132-137).
+
+    In a DataFrame plan a dropped row simply never materializes:
+    `condition` limits the drop (the reference nests drop under cond
+    for the same effect); no condition drops everything.
+    """
+    condition = cfg.get("condition")
+
+    def apply(df: DataFrame) -> DataFrame:
+        if condition:
+            return df.filter("NOT (%s)" % cond_to_sql(condition))
+        return df.limit(0)
+
+    return apply
+
+
+_HASH_ALGOS = {"md5", "sha1", "sha256", "crc32", "xxhash64"}
+
+
+@register("hash")
+def compile_hash(cfg: dict, ctx: Context) -> Stage:
+    """Concat source fields, hash, format hex/base64/bigint
+    (reference filter/hash/filterhash.go:72-162; the non-cryptographic
+    family maps to Spark's native crc32/xxhash64).
+    """
+    sources = cfg.get("source") or [logevent.TEXT]
+    algo = cfg.get("algo", "sha1")
+    fmt = cfg.get("format", "hex")
+    target = cfg.get("target", "hash")
+    if algo not in _HASH_ALGOS:
+        raise ValueError("unsupported hash algo %r" % algo)
+
+    def apply(df: DataFrame) -> DataFrame:
+        joined = F.concat_ws("", *[F.col(s).cast("string") for s in sources])
+        if algo == "md5":
+            h = F.md5(joined)
+        elif algo == "sha1":
+            h = F.sha1(joined)
+        elif algo == "sha256":
+            h = F.sha2(joined, 256)
+        elif algo == "crc32":
+            h = F.crc32(joined).cast("string")
+        else:
+            h = F.xxhash64(joined).cast("string")
+        if fmt == "base64" and algo in ("md5", "sha1", "sha256"):
+            h = F.base64(F.unhex(h))
+        elif fmt == "bigint" and algo in ("md5", "sha1", "sha256"):
+            # low 60 bits of the digest as a positive bigint
+            h = F.conv(F.substring(h, -15, 15), 16, 10).cast("long")
+        return apply_common(df.withColumn(target, h), cfg, None)
+
+    return apply
+
+
+@register("ratelimit")
+def compile_ratelimit(cfg: dict, ctx: Context) -> Stage:
+    """Batch analog of the token-bucket throttle
+    (reference filter/ratelimit/filterratelimit.go:53-88): deterministic
+    keyed sampling — keep `keep_num`/`keep_den` of rows by a multiplicative
+    hash of `key`, so the sample is stable across engines and retries.
+    In streaming the real knob is maxFilesPerTrigger/maxOffsetsPerTrigger.
+    """
+    key = cfg.get("key", "turn_idx")
+    keep_num = int(cfg.get("keep_num", 1))
+    keep_den = int(cfg.get("keep_den", 10))
+
+    def apply(df: DataFrame) -> DataFrame:
+        bucket = F.pmod(
+            F.pmod(F.col(key).cast("long") * F.lit(2654435761), F.lit(2**31 - 1)),
+            F.lit(keep_den),
+        )
+        return df.filter(bucket < F.lit(keep_num))
+
+    return apply

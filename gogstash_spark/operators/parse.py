@@ -1,0 +1,449 @@
+"""Parse-family filters: grok, gonx, json, kv, url_param, useragent, date.
+
+Each compiler returns a DataFrame->DataFrame stage built from native
+column expressions where possible; the multi-pattern grok path uses ONE
+vectorized Arrow/pandas UDF per batch (Series.str.extract on a
+precompiled regex — no per-row Python).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gogstash_spark import logevent
+from gogstash_spark.functions.datefmt import to_spark_pattern
+from gogstash_spark.functions.grok import CompiledGrok, compile_grok
+from gogstash_spark.operators import Context, Stage, apply_common, register
+
+GROK_ERROR_TAG = "gogstash_filter_grok_error"  # reference filter/grok/filtergrok.go:17
+GONX_ERROR_TAG = "gogstash_filter_gonx_error"
+JSON_ERROR_TAG = "gogstash_filter_json_error"
+DATE_ERROR_TAG = "gogstash_filter_date_error"
+
+
+def _typed(col: Column, typ: str | None) -> Column:
+    if typ in ("int", "long", "int64"):
+        return col.cast("long")
+    if typ in ("float", "double", "float64"):
+        return col.cast("double")
+    return col
+
+
+def _grok_native(df: DataFrame, source: str, compiled: list[CompiledGrok]) -> tuple[DataFrame, Column]:
+    """Single/few-pattern fast path: everything inside codegen.
+
+    first-match-wins via a matched-index column; per-field
+    regexp_extract guarded by the index.
+    """
+    src = F.col(source)
+    midx = F.lit(None).cast("int")
+    # build reversed so earlier patterns win in the final coalesce chain
+    matched_exprs = [src.rlike(cg.positional()) for cg in compiled]
+    midx = F.coalesce(
+        *[F.when(matched_exprs[i], F.lit(i)) for i in range(len(compiled))],
+        F.lit(-1),
+    )
+    df = df.withColumn("__grok_idx", midx)
+    all_fields: dict[str, list[tuple[int, CompiledGrok]]] = {}
+    for i, cg in enumerate(compiled):
+        for name in cg.captures:
+            all_fields.setdefault(name, []).append((i, cg))
+    new_cols: dict[str, Column] = {}
+    for name, sources in all_fields.items():
+        expr = F.coalesce(
+            *[
+                F.when(
+                    F.col("__grok_idx") == i,
+                    F.regexp_extract(src, cg.positional(), cg.group_index(name)),
+                )
+                for i, cg in sources
+            ]
+        )
+        typ = next((cg.types.get(name) for _, cg in sources if name in cg.types), None)
+        new_cols[name] = _typed(expr, typ)
+    df = df.withColumns(new_cols)
+    applied = F.col("__grok_idx") >= 0
+    return df, applied
+
+
+def _grok_pandas(df: DataFrame, source: str, compiled: list[CompiledGrok]) -> tuple[DataFrame, Column]:
+    """Multi-pattern path: one Arrow-batched pandas UDF doing ordered
+    Series.str.extract (first hit wins), returning a struct of strings.
+    """
+    field_names: list[str] = []
+    for cg in compiled:
+        for c in cg.captures:
+            if c not in field_names:
+                field_names.append(c)
+    out_schema = T.StructType(
+        [T.StructField("__midx", T.IntegerType())]
+        + [T.StructField(n, T.StringType()) for n in field_names]
+    )
+    regexes = [cg.named("python") for cg in compiled]
+
+    @F.pandas_udf(out_schema)
+    def grok_extract(s: pd.Series) -> pd.DataFrame:
+        res = pd.DataFrame(index=s.index, columns=["__midx", *field_names], dtype=object)
+        res["__midx"] = -1
+        remaining = s.index
+        for i, rx in enumerate(regexes):
+            if len(remaining) == 0:
+                break
+            crx = re.compile(rx)
+            ext = s.loc[remaining].str.extract(crx)
+            hit = ext.notna().any(axis=1)
+            hit_ix = remaining[hit.to_numpy()]
+            if len(hit_ix):
+                res.loc[hit_ix, "__midx"] = i
+                for c in ext.columns:
+                    res.loc[hit_ix, c] = ext.loc[hit_ix, c]
+            remaining = remaining[~hit.to_numpy()]
+        res["__midx"] = res["__midx"].astype("int32")
+        return res
+
+    df = df.withColumn("__grok", grok_extract(F.col(source)))
+    new_cols: dict[str, Column] = {}
+    for name in field_names:
+        typ = next((cg.types.get(name) for cg in compiled if name in cg.types), None)
+        new_cols[name] = _typed(F.col("__grok")[name], typ)
+    new_cols["__grok_idx"] = F.col("__grok")["__midx"]
+    df = df.withColumns(new_cols).drop("__grok")
+    return df, F.col("__grok_idx") >= 0
+
+
+@register("grok")
+def compile_grok_filter(cfg: dict, ctx: Context) -> Stage:
+    """Ordered grok patterns, first-match-wins; error tag on total miss
+    (reference filter/grok/filtergrok.go:86-117).
+    """
+    source = cfg.get("source", logevent.TEXT)
+    patterns = cfg.get("match") or ["%{COMMONAPACHELOG}"]
+    extra = cfg.get("patterns") or {}
+    compiled = [compile_grok(p, extra) for p in patterns]
+    use_pandas = cfg.get("use_pandas", len(compiled) > 2)
+    error_tag = cfg.get("error_tag", GROK_ERROR_TAG)
+
+    def apply(df: DataFrame) -> DataFrame:
+        if use_pandas:
+            df, applied = _grok_pandas(df, source, compiled)
+        else:
+            df, applied = _grok_native(df, source, compiled)
+        df = df.withColumn(
+            logevent.TAGS,
+            F.when(
+                ~applied,
+                F.array_union(logevent.tags_col(df), F.array(F.lit(error_tag))),
+            ).otherwise(logevent.tags_col(df)),
+        )
+        df = apply_common(df, cfg, applied)
+        return df.drop("__grok_idx")
+
+    return apply
+
+
+def gonx_format_to_regex(fmt: str) -> CompiledGrok:
+    """nginx log_format string -> regex (reference
+    filter/gonx/filtergonx.go:63-75 compiles `$var` refs the same way).
+    Each `$var` matches lazily up to the next literal; dialect-neutral.
+    """
+    token = re.compile(r"\$(\w+)")
+    captures: list[str] = []
+    out: list[str] = []
+    pos = 0
+    for m in token.finditer(fmt):
+        out.append(re.escape(fmt[pos : m.start()]))
+        captures.append(m.group(1))
+        nxt = fmt[m.end() : m.end() + 1]
+        if nxt == '"':
+            body = '[^"]*'
+        elif nxt == "]":
+            body = r"[^\]]*"
+        elif nxt == " ":
+            body = r"\S*"
+        else:
+            body = ".*?"
+        out.append("(?:__CAP%d__%s))" % (len(captures) - 1, "(?:" + body))
+        pos = m.end()
+    out.append(re.escape(fmt[pos:]))
+    return CompiledGrok(source=fmt, regex="".join(out), captures=captures, types={})
+
+
+@register("gonx")
+def compile_gonx(cfg: dict, ctx: Context) -> Stage:
+    """nginx access-log parse by log_format (reference
+    filter/gonx/filtergonx.go:80-96); default combined-ish format.
+    """
+    source = cfg.get("source", logevent.TEXT)
+    fmt = cfg.get(
+        "format",
+        '$remote_addr - $remote_user [$time_local] "$request" $status $body_bytes_sent',
+    )
+    cg = gonx_format_to_regex(fmt)
+    error_tag = cfg.get("error_tag", GONX_ERROR_TAG)
+
+    def apply(df: DataFrame) -> DataFrame:
+        src = F.col(source)
+        applied = src.rlike(cg.positional())
+        df = df.withColumns(
+            {
+                name: F.when(
+                    applied, F.regexp_extract(src, cg.positional(), cg.group_index(name))
+                )
+                for name in cg.captures
+            }
+        )
+        df = df.withColumn(
+            logevent.TAGS,
+            F.when(
+                ~applied, F.array_union(logevent.tags_col(df), F.array(F.lit(error_tag)))
+            ).otherwise(logevent.tags_col(df)),
+        )
+        return apply_common(df, cfg, applied)
+
+    return apply
+
+
+@register("json")
+def compile_json(cfg: dict, ctx: Context) -> Stage:
+    """Parse source as JSON and merge keys into the event root or under
+    `appendkey` (reference filter/json/filterjson.go:60-95).
+
+    With `schema` (DDL string) the parse is fully native + columnar;
+    without, falls back to map<string,string>.
+    """
+    source = cfg.get("source", logevent.TEXT)
+    schema = cfg.get("schema")
+    appendkey = cfg.get("appendkey")
+    error_tag = cfg.get("error_tag", JSON_ERROR_TAG)
+    tag_on_failure = cfg.get("tag_on_failure", True)
+
+    def apply(df: DataFrame) -> DataFrame:
+        # guard: from_json is permissive (all-null struct) on garbage, so
+        # require the row to look like a JSON object at all
+        looks_json = F.col(source).rlike(r"^\s*\{.*\}\s*$")
+        if schema:
+            parsed = F.from_json(F.col(source), schema)
+        else:
+            parsed = F.from_json(F.col(source), "map<string,string>")
+        df = df.withColumn("__json", F.when(looks_json, parsed))
+        applied = F.col("__json").isNotNull()
+        if appendkey:
+            df = df.withColumn(appendkey, F.col("__json"))
+        elif schema:
+            inner = df.select(F.col("__json.*")).columns
+            for c in inner:
+                df = df.withColumn(c, F.col("__json")[c])
+        else:
+            df = df.withColumn("__jsonmap", F.col("__json"))
+        if tag_on_failure:
+            df = df.withColumn(
+                logevent.TAGS,
+                F.when(
+                    ~applied, F.array_union(logevent.tags_col(df), F.array(F.lit(error_tag)))
+                ).otherwise(logevent.tags_col(df)),
+            )
+        df = apply_common(df, cfg, applied)
+        return df.drop("__json")
+
+    return apply
+
+
+@register("kv")
+def compile_kv(cfg: dict, ctx: Context) -> Stage:
+    """Split `k=v k2="v 2"` pairs, quote-aware, fully native
+    (reference filter/kv/filterkv.go:49-139).
+
+    regexp_extract_all pulls the pairs; map_from_arrays builds the map;
+    `fields` lifts chosen keys to typed top-level columns.
+    """
+    source = cfg.get("source", logevent.TEXT)
+    target = cfg.get("target")  # map column name; None -> only lifted fields
+    # fields: {target_col: "type"} (key == target) or
+    #         {target_col: {"key": map_key, "type": "long"}}
+    fields: dict[str, dict] = {}
+    for name, v in (cfg.get("fields") or {}).items():
+        fields[name] = v if isinstance(v, dict) else {"key": name, "type": v}
+    pair_rx = r'(\w+)=("[^"]*"|\S+)'
+
+    def apply(df: DataFrame) -> DataFrame:
+        src = F.col(source)
+        pairs = F.regexp_extract_all(src, F.lit(pair_rx), F.lit(0))
+        keys = F.transform(pairs, lambda p: F.regexp_extract(p, r"^(\w+)=", 1))
+        vals = F.transform(
+            pairs,
+            lambda p: F.regexp_replace(
+                F.regexp_extract(p, r"^\w+=(.*)$", 1), r'^"(.*)"$', r"$1"
+            ),
+        )
+        kvmap = F.map_from_arrays(keys, vals)
+        df = df.withColumn("__kv", kvmap)
+        applied = F.size(F.map_keys(F.col("__kv"))) > 0
+        if target:
+            df = df.withColumn(target, F.col("__kv"))
+        df = df.withColumns(
+            {
+                name: _typed(F.col("__kv")[spec.get("key", name)], spec.get("type"))
+                for name, spec in fields.items()
+            }
+        )
+        df = apply_common(df, cfg, applied)
+        return df.drop("__kv")
+
+    return apply
+
+
+@register("url_param")
+def compile_url_param(cfg: dict, ctx: Context) -> Stage:
+    """Parse URL query params (reference filter/urlparam/filterurlparam.go:92-143).
+
+    include_keys -> one native parse_url per key; url_decode optional;
+    `prefix` prefixes the new columns.
+    """
+    source = cfg.get("source", "request")
+    include_keys = cfg.get("include_keys") or []
+    prefix = cfg.get("prefix", "")
+    decode = cfg.get("url_decode", False)
+
+    def apply(df: DataFrame) -> DataFrame:
+        # parse_url needs an absolute URL; relative paths get a stub base
+        url = F.when(
+            F.col(source).rlike("^https?://"), F.col(source)
+        ).otherwise(F.concat(F.lit("http://h"), F.col(source)))
+        df = df.withColumn("__url", url)
+        applied = F.col(source).contains("?")
+        new_cols = {}
+        for key in include_keys:
+            val = F.parse_url(F.col("__url"), F.lit("QUERY"), F.lit(key))
+            if decode:
+                val = F.url_decode(val)
+            new_cols[prefix + key] = val
+        df = df.withColumns(new_cols)
+        df = apply_common(df, cfg, applied)
+        return df.drop("__url")
+
+    return apply
+
+
+# uap-core-style ruleset, first-match-wins (reference filter/useragent
+# parses with uap-go regexes.yaml; we ship a small public-knowledge set)
+UA_RULES: list[tuple[str, str, str]] = [
+    # (regex with one version group, family, os hint regex)
+    (r"Firefox/(\d+[\d.]*)", "Firefox", ""),
+    (r"Chrome/(\d+[\d.]*)", "Chrome", ""),
+    (r"Version/(\d+[\d.]*).*Safari", "Safari", ""),
+    (r"Safari/(\d+[\d.]*)", "Safari", ""),
+    (r"curl/(\d+[\d.]*)", "curl", ""),
+    (r"python-requests/(\d+[\d.]*)", "Python Requests", ""),
+]
+UA_OS_RULES: list[tuple[str, str]] = [
+    (r"Windows NT", "Windows"),
+    (r"Macintosh|Mac OS X", "Mac OS X"),
+    (r"Linux", "Linux"),
+]
+
+
+@register("useragent")
+def compile_useragent(cfg: dict, ctx: Context) -> Stage:
+    """UA parse via dedup-parse-join: distinct UA values are parsed once
+    and broadcast-joined back — the set-based analog of the reference's
+    per-process LRU cache (reference filter/useragent/filteruseragent.go:81-157).
+    """
+    source = cfg.get("source", "agent")
+    target = cfg.get("target", "ua")
+
+    def parse_cols(col: Column) -> list[Column]:
+        fam = F.coalesce(
+            *[F.when(col.rlike(rx), F.lit(name)) for rx, name, _ in UA_RULES],
+            F.lit("Other"),
+        )
+        ver = F.coalesce(
+            *[F.when(col.rlike(rx), F.regexp_extract(col, rx, 1)) for rx, _, _ in UA_RULES],
+            F.lit(""),
+        )
+        osf = F.coalesce(
+            *[F.when(col.rlike(rx), F.lit(name)) for rx, name in UA_OS_RULES],
+            F.lit("Other"),
+        )
+        return [fam.alias("__ua_family"), ver.alias("__ua_version"), osf.alias("__ua_os")]
+
+    def apply(df: DataFrame) -> DataFrame:
+        strip = F.regexp_replace(F.coalesce(F.col(source), F.lit("")), r'^"|"$', "")
+        df = df.withColumn("__ua_src", strip)
+        distinct = df.select(F.col("__ua_src").alias("__ua_key")).distinct()
+        parsed = distinct.select(
+            F.col("__ua_key"), *parse_cols(F.col("__ua_key"))
+        )
+        joined = df.join(F.broadcast(parsed), df["__ua_src"] == parsed["__ua_key"], "left")
+        out = (
+            joined.withColumn(
+                target,
+                F.struct(
+                    F.col("__ua_family").alias("family"),
+                    F.col("__ua_version").alias("version"),
+                    F.col("__ua_os").alias("os"),
+                ),
+            )
+            .drop("__ua_src", "__ua_key", "__ua_family", "__ua_version", "__ua_os")
+        )
+        return apply_common(out, cfg, None)
+
+    return apply
+
+
+@register("date")
+def compile_date(cfg: dict, ctx: Context) -> Stage:
+    """Parse a source field into a timestamp, trying formats in order;
+    UNIX / UNIXNANO epoch forms included
+    (reference filter/date/filterdate.go:75-196).
+    """
+    source = cfg.get("source", "time_local")
+    formats = cfg.get("format") or cfg.get("formats") or []
+    joda = bool(cfg.get("joda", False))
+    target = cfg.get("target", logevent.TS)
+    error_tag = cfg.get("error_tag", DATE_ERROR_TAG)
+    tag_on_failure = cfg.get("tag_on_failure", True)
+
+    def apply(df: DataFrame) -> DataFrame:
+        src = F.col(source).cast("string")
+        attempts: list[Column] = []
+        for fmt in formats:
+            if fmt == "UNIX":
+                # seconds since epoch, fractional + exponent notation ok
+                attempts.append(
+                    F.timestamp_micros(
+                        (F.try_cast(src, "double") * F.lit(1_000_000)).cast("long")
+                    )
+                )
+            elif fmt == "UNIXNANO":
+                attempts.append(
+                    F.timestamp_micros(
+                        (F.try_cast(src, "double") / F.lit(1_000)).cast("long")
+                    )
+                )
+            else:
+                attempts.append(F.try_to_timestamp(src, F.lit(to_spark_pattern(fmt, joda))))
+        parsed = F.coalesce(*attempts) if attempts else F.try_to_timestamp(src)
+        df = df.withColumn("__date", parsed)
+        applied = F.col("__date").isNotNull()
+        df = df.withColumn(
+            target,
+            F.when(applied, F.col("__date")).otherwise(
+                F.col(target) if target in df.columns else F.lit(None).cast("timestamp")
+            ),
+        )
+        if tag_on_failure:
+            df = df.withColumn(
+                logevent.TAGS,
+                F.when(
+                    ~applied, F.array_union(logevent.tags_col(df), F.array(F.lit(error_tag)))
+                ).otherwise(logevent.tags_col(df)),
+            )
+        df = apply_common(df, cfg, applied)
+        return df.drop("__date")
+
+    return apply

@@ -1,0 +1,71 @@
+"""Spec -> executable plan.
+
+Routing compiles the reference's nested cond-output tree
+(reference output/cond/outputcond.go:75-115: predicate -> nested output
+list, else -> else_output, arbitrarily nestable) into a flat list of
+(sink_name, predicate_sql) pairs, then ONE `routes: array<string>`
+column — so the route decision is a native expression evaluated once
+per row inside codegen, and each sink write is a pushdown-able filter
+on it.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gogstash_spark.functions.conds import cond_to_sql
+from gogstash_spark.operators import Context, Stage, compile_chain
+from gogstash_spark.plans.spec import PipelineSpec
+
+ROUTES = "routes"
+
+
+@dataclass
+class Route:
+    sink: str
+    pred_sql: str  # full path predicate (ANDed down the cond tree)
+
+
+@dataclass
+class CompiledPipeline:
+    spec: PipelineSpec
+    transform: Stage
+    routes: list[Route] = field(default_factory=list)
+
+    def with_routes(self, df: DataFrame) -> DataFrame:
+        """Materialize the routes array column."""
+        if not self.routes:
+            return df.withColumn(ROUTES, F.array().cast("array<string>"))
+        entries = [
+            F.when(F.expr("coalesce(%s, false)" % r.pred_sql), F.lit(r.sink))
+            for r in self.routes
+        ]
+        return df.withColumn(ROUTES, F.array_compact(F.array(*entries)))
+
+    def run(self, df: DataFrame) -> DataFrame:
+        return self.with_routes(self.transform(df))
+
+
+def flatten_outputs(outputs: list[dict], parent_pred: str = "true") -> list[Route]:
+    routes: list[Route] = []
+    for out in outputs:
+        typ = out.get("type", "table")
+        own = cond_to_sql(out["condition"]) if out.get("condition") else "true"
+        pred = own if parent_pred == "true" else "(%s) AND (%s)" % (parent_pred, own)
+        if typ == "cond":
+            routes.extend(flatten_outputs(out.get("output") or [], pred))
+            if out.get("else_output"):
+                neg = "(%s) AND (NOT coalesce(%s, false))" % (parent_pred, own)
+                routes.extend(flatten_outputs(out["else_output"], neg))
+        else:
+            routes.append(Route(sink=out["name"], pred_sql=pred))
+    return routes
+
+
+def compile_pipeline(spec: PipelineSpec, ctx: Context) -> CompiledPipeline:
+    transform = compile_chain(spec.filter, ctx)
+    routes = flatten_outputs(spec.output)
+    return CompiledPipeline(spec=spec, transform=transform, routes=routes)

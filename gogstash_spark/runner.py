@@ -1,0 +1,191 @@
+"""End-to-end batch runner: read -> filter -> route -> fan-out sinks -> aggregates.
+
+Scale design (the part gogstash never faced — one box, one stream):
+
+- ONE scan feeds every sink: the filtered/routed frame is persisted
+  (MEMORY_AND_DISK) before fan-out so K sinks don't re-run the parse.
+- Hot conv_ids are salted: repartition on (conv_id, salt) where
+  salt = xxhash64(conv_id, turn_idx) % n_salts, so a conversation with
+  30% of all turns spreads over n_salts partitions instead of one.
+- Route predicates are native SQL expressions -> each sink write is a
+  filter Catalyst can push; sinks sharing a schema could alternatively
+  use one partitionBy("route") write (write_mode="partitioned").
+- Resume: a JSON snapshot ledger (the sincedb analog, reference
+  input/file/sincedb.go:21-91) records committed sinks per run-id;
+  a resumed run skips completed sinks. Writes go to a temp dir and are
+  atomically renamed on commit, so a killed write never half-commits.
+- Metrics: per-stage row counts via `DataFrame.observe` (native
+  aggregates piggybacked on the write action — no extra pass) as the
+  accumulator-style lineage required by the north rule.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from gogstash_spark.operators import Context
+from gogstash_spark.plans.compile import ROUTES, CompiledPipeline, compile_pipeline
+from gogstash_spark.plans.spec import PipelineSpec
+
+DEFAULT_SALTS = 16
+
+
+@dataclass
+class RunResult:
+    sink_rows: dict[str, int] = field(default_factory=dict)
+    agg_rows: dict[str, int] = field(default_factory=dict)
+    metrics: dict[str, dict] = field(default_factory=dict)
+    skipped_sinks: list[str] = field(default_factory=list)
+    wall_sec: float = 0.0
+
+
+class SnapshotLedger:
+    """sincedb-analog commit ledger: {sink: {rows, committed_at}}."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.state: dict = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                self.state = json.load(f)
+
+    def committed(self, sink: str) -> bool:
+        return sink in self.state.get("sinks", {})
+
+    def commit(self, sink: str, rows: int, extra: dict | None = None) -> None:
+        self.state.setdefault("sinks", {})[sink] = {
+            "rows": rows,
+            "committed_at": time.time(),
+            **(extra or {}),
+        }
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.state, f, indent=2)
+        os.replace(tmp, self.path)
+
+
+def salted_repartition(
+    df: DataFrame, n_partitions: int, conv_col: str = "conv_id", n_salts: int = DEFAULT_SALTS
+) -> DataFrame:
+    """Spread hot conversations: partition on (conv_id, salt)."""
+    salt = F.pmod(F.xxhash64(F.col(conv_col), F.col("turn_idx")), F.lit(n_salts))
+    return df.withColumn("__salt", salt).repartition(
+        n_partitions, F.col(conv_col), F.col("__salt")
+    ).drop("__salt")
+
+
+def run_pipeline(
+    spark: SparkSession,
+    spec: PipelineSpec | dict,
+    input_df: DataFrame | None = None,
+    out_dir: str = "/tmp/gogstash_spark_out",
+    base_dir: str = ".",
+    n_partitions: int | None = None,
+    resume: bool = True,
+    fail_after_sink: str | None = None,  # test hook for resume tests
+) -> RunResult:
+    if isinstance(spec, dict):
+        spec = PipelineSpec.from_dict(spec)
+    ctx = Context(spark=spark, base_dir=base_dir)
+    plan: CompiledPipeline = compile_pipeline(spec, ctx)
+
+    t0 = time.time()
+    if input_df is None:
+        inp = spec.input or {}
+        path = inp.get("path")
+        if not path:
+            raise ValueError("spec.input.path required when input_df not given")
+        input_df = spark.read.parquet(path)
+
+    if n_partitions is None:
+        n_partitions = spark.sparkContext.defaultParallelism
+
+    os.makedirs(out_dir, exist_ok=True)
+    ledger = SnapshotLedger(os.path.join(out_dir, "_ledger.json"))
+
+    obs = Observation("pipeline")
+    routed = plan.run(input_df)
+    routed = routed.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_total"),
+        F.sum(F.size(ROUTES)).alias("rows_routed"),
+    )
+    routed = salted_repartition(routed, n_partitions)
+    # Materialize ONCE and truncate lineage: K sink writes + aggregates
+    # then analyze a tiny LogicalRDD plan instead of re-analyzing the
+    # whole parse/enrich tree per action (plan analysis dominated the
+    # wall clock otherwise). At cluster scale this is the same
+    # "compute the routed frame once, fan out K cheap filters" shape.
+    routed = routed.localCheckpoint(eager=True)
+
+    result = RunResult()
+    try:
+        for route in plan.routes:
+            sink = route.sink
+            sink_dir = os.path.join(out_dir, sink)
+            if resume and ledger.committed(sink) and os.path.exists(sink_dir):
+                result.skipped_sinks.append(sink)
+                result.sink_rows[sink] = ledger.state["sinks"][sink]["rows"]
+                continue
+            sink_df = routed.filter(F.array_contains(F.col(ROUTES), sink)).drop(ROUTES)
+            sink_obs = Observation("sink_%s" % sink)
+            sink_df = sink_df.observe(sink_obs, F.count(F.lit(1)).alias("rows"))
+            tmp_dir = sink_dir + ".__tmp__"
+            if os.path.exists(tmp_dir):
+                shutil.rmtree(tmp_dir)
+            sink_df.write.mode("overwrite").parquet(tmp_dir)
+            if os.path.exists(sink_dir):
+                shutil.rmtree(sink_dir)
+            os.replace(tmp_dir, sink_dir)
+            rows = int(sink_obs.get.get("rows") or 0)
+            result.sink_rows[sink] = rows
+            ledger.commit(sink, rows)
+            result.metrics[sink] = dict(sink_obs.get)
+            if fail_after_sink == sink:
+                raise RuntimeError("injected failure after sink %s" % sink)
+
+        # per-sink aggregates (report/statsd semantics,
+        # reference output/report/outputreport.go:80-92)
+        for agg in spec.aggregate or [{"name": "counts", "group_by": ["tool"], "time_bucket": "hour"}]:
+            name = agg["name"]
+            if resume and ledger.committed("agg_%s" % name):
+                continue
+            keys = [F.col(k) for k in agg.get("group_by", [])]
+            if agg.get("time_bucket"):
+                keys.append(
+                    F.date_trunc(agg["time_bucket"], F.col("ts")).alias("time_bucket")
+                )
+            agg_df = (
+                routed.select(F.explode(ROUTES).alias("sink"), "*")
+                .groupBy(F.col("sink"), *keys)
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            agg_obs = Observation("agg_%s" % name)
+            agg_df = agg_df.observe(agg_obs, F.count(F.lit(1)).alias("rows"))
+            agg_dir = os.path.join(out_dir, "agg_%s" % name)
+            tmp_dir = agg_dir + ".__tmp__"
+            agg_df.write.mode("overwrite").parquet(tmp_dir)
+            if os.path.exists(agg_dir):
+                shutil.rmtree(agg_dir)
+            os.replace(tmp_dir, agg_dir)
+            n = int(agg_obs.get.get("rows") or 0)
+            result.agg_rows[name] = n
+            ledger.commit("agg_%s" % name, n)
+        try:
+            result.metrics["pipeline"] = dict(obs.get)
+        except Exception:
+            pass  # observation only materializes if the observed node ran
+    finally:
+        try:
+            routed.unpersist()
+        except Exception:
+            pass
+    result.wall_sec = time.time() - t0
+    return result
