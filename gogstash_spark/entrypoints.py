@@ -1,0 +1,584 @@
+"""Driver-contract queries: one per implemented operator (SURVEY.md §2),
+each paired with a DuckDB-executable oracle SQL over the SAME parquet
+files, so routed-row sets and values can be compared bit-for-bit.
+
+The transcripts input is generated deterministically per sf
+(sources/transcripts.py, seed 42); both Spark and the oracle read the
+same files, so equality is exact, not statistical.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gogstash_spark.functions.grok import compile_grok
+from gogstash_spark.operators import Context, compile_filter
+from gogstash_spark.pipelines import EXTRA_PATTERNS, GROK_MATCHES, JSON_SCHEMA, standard_spec
+from gogstash_spark.plans.compile import compile_pipeline
+from gogstash_spark.sources.transcripts import ensure_transcripts
+
+ORACLE_SF_DIR = "/root/repo/data/sf0.01"  # driver compares at sf=0.01
+
+# compiled once; shared by Spark stages and oracle SQL
+RX_ACCESS = compile_grok(GROK_MATCHES[0], EXTRA_PATTERNS)
+RX_KV = compile_grok(GROK_MATCHES[1], EXTRA_PATTERNS)
+RX_JSON = compile_grok(GROK_MATCHES[2], EXTRA_PATTERNS)
+
+
+def _sql_quote_rx(rx: str) -> str:
+    return rx.replace("'", "''")
+
+
+def _caps_sql(cg) -> str:
+    """DuckDB list literal of capture names (named-struct regexp_extract —
+    the positional variant caps group index at 9)."""
+    return "[%s]" % ", ".join("'%s'" % c for c in cg.captures)
+
+
+def _tx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    data_dir = ensure_transcripts(sf_dir)
+    return spark.read.parquet(os.path.join(data_dir, "transcripts"))
+
+
+def _ctx(spark: SparkSession, sf_dir: str) -> Context:
+    return Context(spark=spark, base_dir=ensure_transcripts(sf_dir))
+
+
+def _stage(spark: SparkSession, sf_dir: str, cfg: dict):
+    return compile_filter(cfg, _ctx(spark, sf_dir))
+
+
+TX_CTE = (
+    "WITH t AS (SELECT * FROM read_parquet('%s/transcripts/*.parquet'))" % ORACLE_SF_DIR
+)
+
+# ---------------------------------------------------------------------------
+# pipeline operator queries
+# ---------------------------------------------------------------------------
+
+
+def q_grok_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grok multi-pattern first-match-wins via the vectorized pandas-UDF
+    path (reference filter/grok/filtergrok.go:86-117)."""
+    df = _tx(spark, sf_dir)
+    stage = _stage(
+        spark, sf_dir,
+        {"type": "grok", "match": GROK_MATCHES, "patterns": EXTRA_PATTERNS, "use_pandas": True},
+    )
+    out = stage(df)
+    return out.filter(F.col("response").isNotNull()).select(
+        "conv_id", "turn_idx", "clientip", "verb", "request",
+        F.col("response").alias("status"), "bytes",
+    )
+
+
+def o_grok_parse() -> str:
+    rx = _sql_quote_rx(RX_ACCESS.named("python"))
+    return f"""{TX_CTE}, m AS (
+  SELECT conv_id, turn_idx, regexp_extract(text, '{rx}', {_caps_sql(RX_ACCESS)}) AS gr
+  FROM t WHERE regexp_matches(text, '{rx}')
+)
+SELECT conv_id, turn_idx,
+       gr.clientip AS clientip, gr.verb AS verb, gr.request AS request,
+       CAST(gr.response AS BIGINT) AS status,
+       CAST(gr.bytes AS BIGINT) AS bytes
+FROM m"""
+
+
+def q_kv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quote-aware k=v split, fully native (reference filter/kv/filterkv.go:49-139)."""
+    df = _tx(spark, sf_dir).filter(F.col("text").rlike("^level="))
+    stage = _stage(
+        spark, sf_dir,
+        {
+            "type": "kv",
+            "source": "text",
+            "fields": {
+                "kv_level": {"key": "level", "type": "string"},
+                "latency_ms": {"key": "latency_ms", "type": "long"},
+                "kv_path": {"key": "path", "type": "string"},
+                "kv_status": {"key": "status", "type": "long"},
+            },
+        },
+    )
+    return stage(df).select(
+        "conv_id", "turn_idx", "kv_level", "latency_ms", "kv_path", "kv_status"
+    )
+
+
+def o_kv_parse() -> str:
+    return f"""{TX_CTE}
+SELECT conv_id, turn_idx,
+       regexp_extract(text, 'level=("[^"]*"|\\S+)', 1) AS kv_level,
+       CAST(regexp_extract(text, 'latency_ms=("[^"]*"|\\S+)', 1) AS BIGINT) AS latency_ms,
+       regexp_replace(regexp_extract(text, 'path=("[^"]*"|\\S+)', 1), '^"(.*)"$', '\\1') AS kv_path,
+       CAST(regexp_extract(text, 'status=("[^"]*"|\\S+)', 1) AS BIGINT) AS kv_status
+FROM t WHERE regexp_matches(text, '^level=')"""
+
+
+def q_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schema-first from_json (reference filter/json/filterjson.go:60-95)."""
+    df = _tx(spark, sf_dir).filter(F.col("text").rlike("^\\{"))
+    stage = _stage(
+        spark, sf_dir,
+        {"type": "json", "source": "text", "schema": JSON_SCHEMA, "appendkey": "jsonf"},
+    )
+    out = stage(df)
+    return out.select(
+        "conv_id", "turn_idx",
+        F.col("jsonf.level").alias("level"),
+        F.col("jsonf.msg").alias("msg"),
+        F.col("jsonf.code").alias("code"),
+    )
+
+
+def o_json_parse() -> str:
+    return f"""{TX_CTE}
+SELECT conv_id, turn_idx,
+       text::JSON->>'level' AS level,
+       text::JSON->>'msg' AS msg,
+       CAST(text::JSON->>'code' AS BIGINT) AS code
+FROM t WHERE regexp_matches(text, '^\\{{')"""
+
+
+def q_date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multi-format date parse with Go layouts
+    (reference filter/date/filterdate.go:75-196)."""
+    df = _tx(spark, sf_dir)
+    grok = _stage(
+        spark, sf_dir,
+        {"type": "grok", "match": GROK_MATCHES, "patterns": EXTRA_PATTERNS, "use_pandas": True},
+    )
+    stage = _stage(
+        spark, sf_dir,
+        {
+            "type": "date",
+            "source": "timestamp",
+            "format": ["02/Jan/2006:15:04:05 -0700"],
+            "target": "log_ts",
+            "tag_on_failure": False,
+        },
+    )
+    out = stage(grok(df))
+    return out.filter(F.col("log_ts").isNotNull()).select(
+        "conv_id", "turn_idx", "log_ts"
+    )
+
+
+def o_date_parse() -> str:
+    rx = _sql_quote_rx(RX_ACCESS.named("python"))
+    return f"""{TX_CTE}, m AS (
+  SELECT conv_id, turn_idx, regexp_extract(text, '{rx}', {_caps_sql(RX_ACCESS)}) AS gr
+  FROM t WHERE regexp_matches(text, '{rx}')
+)
+SELECT conv_id, turn_idx,
+       strptime(gr.timestamp, '%d/%b/%Y:%H:%M:%S %z')::TIMESTAMP AS log_ts
+FROM m"""
+
+
+def q_mutate_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """uppercase / replace / merge / split
+    (reference filter/mutate/filtermutate.go:68-119)."""
+    df = _tx(spark, sf_dir)
+    add = _stage(spark, sf_dir, {"type": "add_field", "key": "src", "value": "%{role}/%{tool}"})
+    up = _stage(spark, sf_dir, {"type": "mutate", "uppercase": ["role_up"]})
+    rep = _stage(
+        spark, sf_dir,
+        {"type": "mutate", "replace": {"field": "src", "old": "/none", "new": "/-"}},
+    )
+    sp = _stage(spark, sf_dir, {"type": "mutate", "split": {"field": "src_parts", "sep": "/"}})
+    out = df.withColumn("role_up", F.col("role"))
+    out = add(out)
+    out = out.withColumn("src_parts", F.col("src"))
+    out = sp(rep(up(out)))
+    return out.select("conv_id", "turn_idx", "role_up", "src", "src_parts")
+
+
+def o_mutate_ops() -> str:
+    return f"""{TX_CTE}
+SELECT conv_id, turn_idx,
+       upper(role) AS role_up,
+       replace(role || '/' || tool, '/none', '/-') AS src,
+       string_split(role || '/' || tool, '/') AS src_parts
+FROM t"""
+
+
+def q_typeconv_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int-via-float fallback casts
+    (reference filter/typeconv/filtertypeconv.go:71-151)."""
+    df = _tx(spark, sf_dir).filter(F.col("text").rlike("^level="))
+    kv = _stage(
+        spark, sf_dir,
+        {"type": "kv", "source": "text",
+         "fields": {"lat_s": {"key": "latency_ms", "type": "string"}}},
+    )
+    out = kv(df).withColumn("lat_f", F.col("lat_s"))
+    tc_int = _stage(spark, sf_dir, {"type": "typeconv", "fields": ["lat_s"], "conv_type": "int64"})
+    tc_f = _stage(spark, sf_dir, {"type": "typeconv", "fields": ["lat_f"], "conv_type": "float64"})
+    return tc_f(tc_int(out)).select(
+        "conv_id", "turn_idx",
+        F.col("lat_s").alias("lat_int"), F.col("lat_f").alias("lat_double"),
+    )
+
+
+def o_typeconv_cast() -> str:
+    return f"""{TX_CTE}
+SELECT conv_id, turn_idx,
+       CAST(regexp_extract(text, 'latency_ms=(\\S+)', 1) AS BIGINT) AS lat_int,
+       CAST(regexp_extract(text, 'latency_ms=(\\S+)', 1) AS DOUBLE) AS lat_double
+FROM t WHERE regexp_matches(text, '^level=')"""
+
+
+def q_convert_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_float with multiply factor (reference filter/convert/filterconvert.go:63-85)."""
+    df = _tx(spark, sf_dir).filter(F.col("text").rlike("^level="))
+    kv = _stage(
+        spark, sf_dir,
+        {"type": "kv", "source": "text",
+         "fields": {"latency_s": {"key": "latency_ms", "type": "string"}}},
+    )
+    conv = _stage(
+        spark, sf_dir,
+        {"type": "convert", "fields": ["latency_s"], "mode": "to_float", "factor": 0.001},
+    )
+    return conv(kv(df)).select("conv_id", "turn_idx", "latency_s")
+
+
+def o_convert_factor() -> str:
+    return f"""{TX_CTE}
+SELECT conv_id, turn_idx,
+       CAST(regexp_extract(text, 'latency_ms=(\\S+)', 1) AS DOUBLE) * 0.001 AS latency_s
+FROM t WHERE regexp_matches(text, '^level=')"""
+
+
+def q_add_field_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """%{} template interpolation incl. event-time rendering
+    (reference filter/addfield/filteraddfield.go:47-56,
+    config/logevent/logevent.go:205-273)."""
+    df = _tx(spark, sf_dir)
+    add = _stage(
+        spark, sf_dir,
+        {"type": "add_field", "key": "partition_key", "value": "%{role}-%{+@2006.01.02}"},
+    )
+    return add(df).select("conv_id", "turn_idx", "partition_key")
+
+
+def o_add_field_template() -> str:
+    return f"""{TX_CTE}
+SELECT conv_id, turn_idx,
+       role || '-' || strftime(ts, '%Y.%m.%d') AS partition_key
+FROM t"""
+
+
+def q_drop_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """conditional drop (reference filter/drop/filterdrop.go:43-46)."""
+    df = _tx(spark, sf_dir)
+    drop = _stage(
+        spark, sf_dir,
+        {"type": "drop", "condition": "role == 'system' || strlen(text) < 20"},
+    )
+    return drop(df).select("conv_id", "turn_idx", "role")
+
+
+def o_drop_filter() -> str:
+    return f"""{TX_CTE}
+SELECT conv_id, turn_idx, role
+FROM t WHERE NOT (role = 'system' OR length(text) < 20)"""
+
+
+def q_hash_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """field-concat hashing (reference filter/hash/filterhash.go:72-162)."""
+    df = _tx(spark, sf_dir)
+    h1 = _stage(
+        spark, sf_dir,
+        {"type": "hash", "source": ["conv_id", "turn_idx"], "algo": "sha256", "target": "h_sha256"},
+    )
+    h2 = _stage(
+        spark, sf_dir,
+        {"type": "hash", "source": ["text"], "algo": "md5", "target": "h_md5"},
+    )
+    return h2(h1(df)).select("conv_id", "turn_idx", "h_sha256", "h_md5")
+
+
+def o_hash_fields() -> str:
+    return f"""{TX_CTE}
+SELECT conv_id, turn_idx,
+       sha256(conv_id || CAST(turn_idx AS VARCHAR)) AS h_sha256,
+       md5(text) AS h_md5
+FROM t"""
+
+
+def q_ratelimit_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """deterministic keyed sampling, the batch analog of the token
+    bucket (reference filter/ratelimit/filterratelimit.go:53-88)."""
+    df = _tx(spark, sf_dir)
+    rl = _stage(
+        spark, sf_dir,
+        {"type": "ratelimit", "key": "turn_idx", "keep_num": 1, "keep_den": 10},
+    )
+    return rl(df).select("conv_id", "turn_idx")
+
+
+def o_ratelimit_sample() -> str:
+    return f"""{TX_CTE}
+SELECT conv_id, turn_idx
+FROM t WHERE ((CAST(turn_idx AS BIGINT) * 2654435761) % 2147483647) % 10 < 1"""
+
+
+def q_url_param(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """query-string param extraction
+    (reference filter/urlparam/filterurlparam.go:92-143)."""
+    df = _tx(spark, sf_dir)
+    grok = _stage(
+        spark, sf_dir,
+        {"type": "grok", "match": ["%{COMBINEDAPACHELOG}"], "use_pandas": False},
+    )
+    up = _stage(
+        spark, sf_dir,
+        {"type": "url_param", "source": "request", "include_keys": ["q", "page"], "prefix": "qp_"},
+    )
+    out = up(grok(df))
+    return out.filter(F.col("request").contains("?")).select(
+        "conv_id", "turn_idx", "request", "qp_q", "qp_page"
+    )
+
+
+def o_url_param() -> str:
+    rx = _sql_quote_rx(RX_ACCESS.named("python"))
+    return f"""{TX_CTE}, m AS (
+  SELECT conv_id, turn_idx, regexp_extract(text, '{rx}', {_caps_sql(RX_ACCESS)}) AS gr
+  FROM t WHERE regexp_matches(text, '{rx}')
+), r AS (
+  SELECT conv_id, turn_idx, gr.request AS request FROM m
+)
+SELECT conv_id, turn_idx, request,
+       NULLIF(regexp_extract(request, '[?&]q=([^&]*)', 1), '') AS qp_q,
+       NULLIF(regexp_extract(request, '[?&]page=([^&]*)', 1), '') AS qp_page
+FROM r WHERE request LIKE '%?%'"""
+
+
+def q_useragent_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UA parse via dedup-parse-broadcast-join
+    (reference filter/useragent/filteruseragent.go:116-157)."""
+    df = _tx(spark, sf_dir)
+    grok = _stage(
+        spark, sf_dir,
+        {"type": "grok", "match": ["%{COMBINEDAPACHELOG}"], "use_pandas": False},
+    )
+    ua = _stage(spark, sf_dir, {"type": "useragent", "source": "agent", "target": "ua"})
+    out = ua(grok(df))
+    return out.filter(F.col("response").isNotNull()).select(
+        "conv_id", "turn_idx",
+        F.col("ua.family").alias("ua_family"),
+        F.col("ua.os").alias("ua_os"),
+    )
+
+
+def o_useragent_parse() -> str:
+    rx = _sql_quote_rx(RX_ACCESS.named("python"))
+    return f"""{TX_CTE}, m AS (
+  SELECT conv_id, turn_idx, regexp_extract(text, '{rx}', {_caps_sql(RX_ACCESS)}) AS gr
+  FROM t WHERE regexp_matches(text, '{rx}')
+), r AS (
+  SELECT conv_id, turn_idx, regexp_replace(gr.agent, '^"|"$', '', 'g') AS agent FROM m
+)
+SELECT conv_id, turn_idx,
+  CASE WHEN regexp_matches(agent, 'Firefox/(\\d+[\\d.]*)') THEN 'Firefox'
+       WHEN regexp_matches(agent, 'Chrome/(\\d+[\\d.]*)') THEN 'Chrome'
+       WHEN regexp_matches(agent, 'Version/(\\d+[\\d.]*).*Safari') THEN 'Safari'
+       WHEN regexp_matches(agent, 'Safari/(\\d+[\\d.]*)') THEN 'Safari'
+       WHEN regexp_matches(agent, 'curl/(\\d+[\\d.]*)') THEN 'curl'
+       WHEN regexp_matches(agent, 'python-requests/(\\d+[\\d.]*)') THEN 'Python Requests'
+       ELSE 'Other' END AS ua_family,
+  CASE WHEN regexp_matches(agent, 'Windows NT') THEN 'Windows'
+       WHEN regexp_matches(agent, 'Macintosh|Mac OS X') THEN 'Mac OS X'
+       WHEN regexp_matches(agent, 'Linux') THEN 'Linux'
+       ELSE 'Other' END AS ua_os
+FROM r"""
+
+
+def q_lookup_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """broadcast hash-join enrich on role + tool, incl. the key:value
+    line-file format (reference filter/lookuptable/lookup.go:89-142)."""
+    df = _tx(spark, sf_dir)
+    data_dir = ensure_transcripts(sf_dir)
+    roles = _stage(
+        spark, sf_dir,
+        {"type": "lookuptable", "source": "role",
+         "path": os.path.join(data_dir, "role_lookup.parquet"), "lookup_key": "role"},
+    )
+    tools = _stage(
+        spark, sf_dir,
+        {"type": "lookuptable", "source": "tool",
+         "path": os.path.join(data_dir, "tool_family.txt"),
+         "lookup_key": "key", "lookup_value": "tool_family",
+         "select": {"tool_family": "tool_family"}},
+    )
+    return tools(roles(df)).select(
+        "conv_id", "turn_idx", "role_class", "priority", "tool_family"
+    )
+
+
+def o_lookup_enrich() -> str:
+    return f"""{TX_CTE},
+rl AS (SELECT * FROM read_parquet('{ORACLE_SF_DIR}/role_lookup.parquet')),
+tf AS (
+  SELECT regexp_extract(line, '^([^:]*):', 1) AS tool,
+         regexp_extract(line, '^[^:]*:(.*)$', 1) AS tool_family
+  FROM read_csv('{ORACLE_SF_DIR}/tool_family.txt',
+                columns={{'line': 'VARCHAR'}}, delim=NULL, header=false)
+  WHERE length(regexp_extract(line, '^([^:]*):', 1)) > 0
+)
+SELECT t.conv_id, t.turn_idx, rl.role_class, rl.priority, tf.tool_family
+FROM t LEFT JOIN rl ON t.role = rl.role LEFT JOIN tf ON t.tool = tf.tool"""
+
+
+def q_cond_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """full conditional routing fan-out: (conv_id, turn_idx, sink) pairs
+    (reference output/cond/outputcond.go:75-115)."""
+    data_dir = ensure_transcripts(sf_dir)
+    spec = standard_spec(data_dir)
+    plan = compile_pipeline(spec, Context(spark=spark, base_dir=data_dir))
+    df = spark.read.parquet(os.path.join(data_dir, "transcripts"))
+    routed = plan.run(df)
+    return routed.select(
+        "conv_id", "turn_idx", F.explode("routes").alias("sink")
+    )
+
+
+def _oracle_routed_cte() -> str:
+    """CTE computing the unified fields + route predicates in DuckDB."""
+    rx_a = _sql_quote_rx(RX_ACCESS.positional())
+    rx_k = _sql_quote_rx(RX_KV.positional())
+    rx_j = _sql_quote_rx(RX_JSON.positional())
+    ga = RX_ACCESS.group_index
+    gk = RX_KV.group_index
+    return f"""WITH t AS (SELECT * FROM read_parquet('{ORACLE_SF_DIR}/transcripts/*.parquet')),
+p AS (
+  SELECT conv_id, turn_idx, role, tool, ts,
+    regexp_matches(text, '{rx_a}') AS is_access,
+    (NOT regexp_matches(text, '{rx_a}')) AND regexp_matches(text, '{rx_k}') AS is_kv,
+    (NOT regexp_matches(text, '{rx_a}')) AND (NOT regexp_matches(text, '{rx_k}'))
+        AND regexp_matches(text, '{rx_j}') AS is_json,
+    CAST(NULLIF(regexp_extract(text, '{rx_a}', {ga("response")}), '') AS BIGINT) AS response,
+    NULLIF(regexp_extract(text, '{rx_k}', {gk("kv_level")}), '') AS kv_level_raw,
+    CAST(NULLIF(regexp_extract(text, '{rx_k}', {gk("kv_status")}), '') AS BIGINT) AS kv_status_raw,
+    text::JSON->>'level' AS j_level,
+    CAST(text::JSON->>'code' AS BIGINT) AS j_code
+  FROM t
+),
+u AS (
+  SELECT conv_id, turn_idx, role, tool, ts,
+    (NOT is_access) AND (NOT is_kv) AND (NOT is_json) AS is_dead,
+    coalesce(CASE WHEN is_access THEN response END,
+             CASE WHEN is_kv THEN kv_status_raw END,
+             CASE WHEN is_json THEN j_code END) AS status_u,
+    coalesce(CASE WHEN is_kv THEN kv_level_raw END,
+             CASE WHEN is_json THEN j_level END) AS level_u
+  FROM p
+),
+routes AS (
+  SELECT conv_id, turn_idx, role, tool, ts, 'sink_errors' AS sink FROM u
+    WHERE coalesce(status_u >= 500 OR level_u = 'error', false)
+  UNION ALL
+  SELECT conv_id, turn_idx, role, tool, ts, 'sink_tool_calls' FROM u
+    WHERE role = 'tool' AND tool <> 'none'
+  UNION ALL
+  SELECT conv_id, turn_idx, role, tool, ts, 'sink_user_turns' FROM u WHERE role = 'user'
+  UNION ALL
+  SELECT conv_id, turn_idx, role, tool, ts, 'sink_deadletter' FROM u WHERE is_dead
+  UNION ALL
+  SELECT conv_id, turn_idx, role, tool, ts, 'sink_rest' FROM u
+    WHERE NOT (coalesce(status_u >= 500 OR level_u = 'error', false)
+               OR (role = 'tool' AND tool <> 'none') OR role = 'user' OR is_dead)
+)"""
+
+
+def o_cond_route() -> str:
+    return _oracle_routed_cte() + "\nSELECT conv_id, turn_idx, sink FROM routes"
+
+
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """the flagship: parse -> enrich -> route -> per-sink aggregate
+    counts by (sink, tool, hour bucket)
+    (aggregate semantics: reference output/report/outputreport.go:80-92,
+    output/statsd/outputstatsd.go:267-331)."""
+    data_dir = ensure_transcripts(sf_dir)
+    spec = standard_spec(data_dir)
+    plan = compile_pipeline(spec, Context(spark=spark, base_dir=data_dir))
+    df = spark.read.parquet(os.path.join(data_dir, "transcripts"))
+    routed = plan.run(df)
+    return (
+        routed.select(F.explode("routes").alias("sink"), "tool", "ts")
+        .groupBy("sink", "tool", F.date_trunc("hour", F.col("ts")).alias("time_bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def o_pipeline_e2e() -> str:
+    return (
+        _oracle_routed_cte()
+        + """
+SELECT sink, tool, date_trunc('hour', ts) AS time_bucket, count(*) AS n
+FROM routes GROUP BY 1, 2, 3"""
+    )
+
+
+def q_agg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-interval counters (reference output/report/outputreport.go:56-92)."""
+    df = _tx(spark, sf_dir)
+    return (
+        df.groupBy("role", "tool", F.date_trunc("hour", F.col("ts")).alias("time_bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def o_agg_report() -> str:
+    return f"""{TX_CTE}
+SELECT role, tool, date_trunc('hour', ts) AS time_bucket, count(*) AS n
+FROM t GROUP BY 1, 2, 3"""
+
+
+PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "grok_parse": q_grok_parse,
+    "kv_parse": q_kv_parse,
+    "json_parse": q_json_parse,
+    "date_parse": q_date_parse,
+    "mutate_ops": q_mutate_ops,
+    "typeconv_cast": q_typeconv_cast,
+    "convert_factor": q_convert_factor,
+    "add_field_template": q_add_field_template,
+    "drop_filter": q_drop_filter,
+    "hash_fields": q_hash_fields,
+    "ratelimit_sample": q_ratelimit_sample,
+    "url_param": q_url_param,
+    "useragent_parse": q_useragent_parse,
+    "lookup_enrich": q_lookup_enrich,
+    "cond_route": q_cond_route,
+    "pipeline_e2e": q_pipeline_e2e,
+    "agg_report": q_agg_report,
+}
+
+PIPELINE_ORACLES: dict[str, str | Callable[[], str]] = {
+    "grok_parse": o_grok_parse,
+    "kv_parse": o_kv_parse,
+    "json_parse": o_json_parse,
+    "date_parse": o_date_parse,
+    "mutate_ops": o_mutate_ops,
+    "typeconv_cast": o_typeconv_cast,
+    "convert_factor": o_convert_factor,
+    "add_field_template": o_add_field_template,
+    "drop_filter": o_drop_filter,
+    "hash_fields": o_hash_fields,
+    "ratelimit_sample": o_ratelimit_sample,
+    "url_param": o_url_param,
+    "useragent_parse": o_useragent_parse,
+    "lookup_enrich": o_lookup_enrich,
+    "cond_route": o_cond_route,
+    "pipeline_e2e": o_pipeline_e2e,
+    "agg_report": o_agg_report,
+}

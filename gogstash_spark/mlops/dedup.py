@@ -1,0 +1,191 @@
+"""Deduplication at training-data scale.
+
+- exact:        hash-groupBy on md5(text) — one shuffle, map-side combine
+- minhash_lsh:  shingle -> K md5-minhashes -> band buckets -> candidate
+                pairs via bucket join -> exact-Jaccard verify.
+                The classic MinHash+LSH decomposition: candidate
+                generation never goes quadratic; the verify join touches
+                only same-bucket pairs.
+- simhash:      16-bit md5-derived simhash; near-dups share the value
+- ngram_jaccard: token-shingle inverted-index self-join (|A∩B| from a
+                shared-shingle join, |A∪B| = |A|+|B|-|A∩B|)
+- embedding cosine: see ann.py
+
+All hashes are md5-of-string so Spark results are bit-identical to the
+DuckDB oracle (engine-portable determinism, no JVM-specific hashing in
+the dedup semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gogstash_spark.mlops.textops import tokens
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: md5(text) -> (keep_id=min(id), n_dups)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("h"), F.col(id_col))
+        .groupBy("h")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def shingle_df(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """(id, shingle) pairs: distinct word n-gram shingles per doc."""
+    toks = tokens(F.col(text_col))
+    if n == 1:
+        sh = F.array_distinct(toks)
+    else:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+        sh = F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+                ),
+            )
+        )
+    return df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+
+
+def minhash_signatures(
+    sh: DataFrame, k: int = 4
+) -> DataFrame:
+    """K md5-minhashes per doc: m_j = min(md5(j || '|' || shingle))."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit("%d|" % j), F.col("shingle")))).alias("m%d" % j)
+        for j in range(k)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding (bands of 1 row here: a
+    candidate shares ANY minhash) verified with exact Jaccard.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    sh = shingle_df(df, text_col, id_col, n).persist()
+    sig = minhash_signatures(sh, k)
+
+    # band join: explode signatures to (band, value) and self-join buckets
+    bands = sig.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(j).alias("band"), F.col("m%d" % j).alias("v"))
+                for j in range(k)
+            ])
+        ).alias("b"),
+    ).select("id", F.col("b.band").alias("band"), F.col("b.v").alias("v"))
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "v"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+
+    # exact jaccard verify via shared-shingle counts
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    verified = (
+        cand.join(inter, ["id_a", "id_b"])
+        .join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """16-bit SimHash from token md5s, engine-portable.
+
+    Bit b = sign of sum over tokens of (lsb of hex digit b of md5(token)
+    -> +1/-1). Output as a 16-char '0'/'1' string (portable across
+    engines without bit types).
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).withColumn("h", F.md5(F.col("tok")))
+    bit_sums = tok.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.instr(F.lit("13579bdf"), F.substring(F.col("h"), b + 1, 1)) > 0,
+                    F.lit(1),
+                ).otherwise(F.lit(-1))
+            ).alias("s%d" % b)
+            for b in range(16)
+        ]
+    )
+    sig = bit_sums.select(
+        "id",
+        F.concat(
+            *[F.when(F.col("s%d" % b) > 0, F.lit("1")).otherwise(F.lit("0")) for b in range(16)]
+        ).alias("simhash"),
+    )
+    return sig
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 1,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard >= threshold via inverted-index join
+    (no LSH stage — the exact counterpart used to validate minhash_lsh).
+    """
+    sh = shingle_df(df, text_col, id_col, n).persist()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,361 @@
+"""Driver-contract queries for the training-data ops (mlops package),
+over the driver-registered `documents` / `embeddings` views (testdata
+parquet), plus transcripts where duplicate structure is richer.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gogstash_spark.mlops import ann, dedup, multimodal, textops
+from gogstash_spark.sources.transcripts import ensure_transcripts
+
+ORACLE_SF_DIR = "/root/repo/data/sf0.01"
+TX_CTE = (
+    "WITH t AS (SELECT * FROM read_parquet('%s/transcripts/*.parquet'))" % ORACLE_SF_DIR
+)
+
+STOP_LIST_SQL = "[%s]" % ", ".join("'%s'" % w for w in textops.EN_STOPWORDS)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+# --------------------------------------------------------------------------
+# dedup
+# --------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    data_dir = ensure_transcripts(sf_dir)
+    tx = spark.read.parquet(os.path.join(data_dir, "transcripts"))
+    return dedup.exact_dup_groups(
+        tx.select("text", F.xxhash64("conv_id", "turn_idx").alias("doc_id")),
+        "text",
+        "doc_id",
+    ).select("h", "n_dups")  # keep_id depends on xxhash64 -> compare h + count only
+
+
+def o_dedup_exact() -> str:
+    return f"""{TX_CTE}
+SELECT md5(text) AS h, count(*) AS n_dups
+FROM t GROUP BY 1 HAVING count(*) > 1"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), "text", "doc_id", n=3, k=4, threshold=0.35
+    )
+
+
+def o_dedup_minhash_lsh() -> str:
+    mh = ", ".join(
+        "min(md5('%d|' || shingle)) AS m%d" % (j, j) for j in range(4)
+    )
+    return f"""WITH docs AS (SELECT doc_id, text FROM documents),
+sh AS (
+  SELECT doc_id AS id, unnest(list_distinct(
+    [array_to_string(words[i:i+2], ' ') FOR i IN range(1, greatest(len(words)-1, 1))]
+  )) AS shingle
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words FROM docs)
+),
+sig AS (SELECT id, {mh} FROM sh GROUP BY id),
+bands AS (
+  SELECT id, b.band, b.v FROM sig,
+  UNNEST([{{'band': 0, 'v': m0}}, {{'band': 1, 'v': m1}},
+          {{'band': 2, 'v': m2}}, {{'band': 3, 'v': m3}}]) AS u(b)
+),
+cand AS (
+  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.v = y.v AND x.id < y.id
+),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b,
+       round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+FROM cand c
+JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+JOIN sizes sa ON sa.id = c.id_a
+JOIN sizes sb ON sb.id = c.id_b
+WHERE round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) >= 0.35"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(_docs(spark, sf_dir), "text", "doc_id").select(
+        F.col("id").alias("doc_id"), "simhash"
+    )
+
+
+def o_dedup_simhash() -> str:
+    sums = ", ".join(
+        "sum(CASE WHEN strpos('13579bdf', substr(h, %d, 1)) > 0 THEN 1 ELSE -1 END) AS s%d"
+        % (b + 1, b)
+        for b in range(16)
+    )
+    bits = " || ".join(
+        "CASE WHEN s%d > 0 THEN '1' ELSE '0' END" % b for b in range(16)
+    )
+    return f"""WITH tok AS (
+  SELECT doc_id, md5(unnest(regexp_split_to_array(trim(text), '\\s+'))) AS h
+  FROM documents
+),
+bs AS (SELECT doc_id, {sums} FROM tok GROUP BY doc_id)
+SELECT doc_id, {bits} AS simhash FROM bs"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), "text", "doc_id", n=3, threshold=0.2
+    )
+
+
+def o_dedup_ngram_jaccard() -> str:
+    return """WITH sh AS (
+  SELECT doc_id AS id, unnest(list_distinct(
+    [array_to_string(words[i:i+2], ' ') FOR i IN range(1, greatest(len(words)-1, 1))]
+  )) AS shingle
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words FROM documents)
+),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+FROM inter i JOIN sizes sa ON sa.id = i.id_a JOIN sizes sb ON sb.id = i.id_b
+WHERE round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) >= 0.2"""
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann.cosine_near_dup_pairs(_emb(spark, sf_dir), threshold=0.3, n_bits=8)
+
+
+def _sql_cos(a: str, b: str) -> str:
+    return (
+        "round(list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
+        "(sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
+        "sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))), 6)"
+    ).format(a=a, b=b)
+
+
+def _sql_bucket(vec: str, n_bits: int = 8) -> str:
+    return " || ".join(
+        "CASE WHEN %s[%d] >= 0 THEN '1' ELSE '0' END" % (vec, b + 1) for b in range(n_bits)
+    )
+
+
+def o_dedup_embedding() -> str:
+    cos = _sql_cos("a.embedding", "b.embedding")
+    return f"""WITH e AS (
+  SELECT vec_id, embedding, {_sql_bucket("embedding")} AS bucket FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cos
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {cos} >= 0.3"""
+
+
+# --------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------
+
+
+def q_ann_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann.brute_topk(_emb(spark, sf_dir), k=5, max_query_id=50)
+
+
+def o_ann_topk_brute() -> str:
+    cos = _sql_cos("q.embedding", "c.embedding")
+    return f"""WITH pairs AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id, {cos} AS cos
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 50
+),
+ranked AS (
+  SELECT q_id, n_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
+  FROM pairs
+)
+SELECT q_id, n_id, cos, rk FROM ranked WHERE rk <= 5"""
+
+
+def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann.lsh_topk(_emb(spark, sf_dir), k=5, n_bits=8, max_query_id=50)
+
+
+def o_ann_topk_lsh() -> str:
+    cos = _sql_cos("q.embedding", "c.embedding")
+    return f"""WITH e AS (
+  SELECT vec_id, embedding, {_sql_bucket("embedding")} AS bucket FROM embeddings
+),
+pairs AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id, {cos} AS cos
+  FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 50
+),
+ranked AS (
+  SELECT q_id, n_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
+  FROM pairs
+)
+SELECT q_id, n_id, cos, rk FROM ranked WHERE rk <= 5"""
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.lang_id(_docs(spark, sf_dir)).select(
+        "doc_id", "en_stopword_ratio", "lang_pred"
+    )
+
+
+def o_text_langid() -> str:
+    return f"""WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents
+)
+SELECT doc_id,
+  round(CASE WHEN len(toks) > 0
+    THEN CAST(len(list_filter(toks, x -> list_contains({STOP_LIST_SQL}, x))) AS DOUBLE) / len(toks)
+    ELSE 0.0 END, 6) AS en_stopword_ratio,
+  CASE WHEN (CASE WHEN len(toks) > 0
+    THEN CAST(len(list_filter(toks, x -> list_contains({STOP_LIST_SQL}, x))) AS DOUBLE) / len(toks)
+    ELSE 0.0 END) > 0.08 THEN 'en' ELSE 'unknown' END AS lang_pred
+FROM w"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.quality_score(_docs(spark, sf_dir)).select(
+        "doc_id", "n_chars_q", "punct_ratio", "stopword_ratio", "mean_word_len", "quality"
+    )
+
+
+def o_text_quality() -> str:
+    sw = (
+        f"CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> "
+        f"list_contains({STOP_LIST_SQL}, x))) AS DOUBLE) / len(toks) ELSE 0.0 END"
+    )
+    return f"""WITH w AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars_q,
+         len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS toks,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
+  FROM documents
+),
+f AS (
+  SELECT doc_id, n_chars_q,
+    CASE WHEN n_chars_q > 0 THEN CAST(n_punct AS DOUBLE) / n_chars_q ELSE 0.0 END AS punct_ratio,
+    {sw} AS stopword_ratio,
+    CASE WHEN n_tok > 0
+      THEN (CAST(length(trim(text)) - (n_tok - 1) AS DOUBLE)) / n_tok ELSE 0.0 END AS mean_word_len,
+    CASE WHEN n_chars_q BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.25 END AS len_band
+  FROM w
+)
+SELECT doc_id, CAST(n_chars_q AS BIGINT) AS n_chars_q,
+  round(punct_ratio, 6) AS punct_ratio,
+  round(stopword_ratio, 6) AS stopword_ratio,
+  round(mean_word_len, 6) AS mean_word_len,
+  round(len_band * 0.4
+        + (CASE WHEN punct_ratio < 0.2 THEN 1.0 ELSE 0.0 END) * 0.2
+        + least(stopword_ratio * 5.0, 1.0) * 0.2
+        + (CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END) * 0.2,
+        6) AS quality
+FROM f"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.token_counts(_docs(spark, sf_dir)).select(
+        "doc_id", "n_ws_tokens", "n_bpe_tokens"
+    )
+
+
+def o_token_count() -> str:
+    return f"""SELECT doc_id,
+  CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_ws_tokens,
+  len(regexp_extract_all(text, '{textops.TOKEN_RX}')) AS n_bpe_tokens
+FROM documents"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.fingerprint(_docs(spark, sf_dir), n=5).select("doc_id", "fingerprint")
+
+
+def o_doc_fingerprint() -> str:
+    return """WITH w AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+)
+SELECT doc_id,
+  CASE WHEN len(toks) >= 5
+    THEN list_min(list_transform(
+      [array_to_string(toks[i:i+4], ' ') FOR i IN range(1, greatest(len(toks)-3, 1))],
+      s -> md5(s)))
+    ELSE md5(text) END AS fingerprint
+FROM w"""
+
+
+# --------------------------------------------------------------------------
+# multimodal plumbing
+# --------------------------------------------------------------------------
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return multimodal.extract_features(multimodal.attach_binary_payload(docs))
+
+
+def o_multimodal_features() -> str:
+    return """SELECT doc_id,
+  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+  lower(hex(encode(substr(text, 1, 8)))) AS head_hex,
+  'text/plain' AS modality,
+  CAST(octet_length(encode(text)) % 7 AS DOUBLE) AS fake_dim
+FROM documents"""
+
+
+MLOPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_embedding": q_dedup_embedding,
+    "ann_topk_brute": q_ann_topk_brute,
+    "ann_topk_lsh": q_ann_topk_lsh,
+    "text_langid": q_text_langid,
+    "text_quality": q_text_quality,
+    "token_count": q_token_count,
+    "doc_fingerprint": q_doc_fingerprint,
+    "multimodal_features": q_multimodal_features,
+}
+
+MLOPS_ORACLES: dict[str, Callable[[], str]] = {
+    "dedup_exact": o_dedup_exact,
+    "dedup_minhash_lsh": o_dedup_minhash_lsh,
+    "dedup_simhash": o_dedup_simhash,
+    "dedup_ngram_jaccard": o_dedup_ngram_jaccard,
+    "dedup_embedding": o_dedup_embedding,
+    "ann_topk_brute": o_ann_topk_brute,
+    "ann_topk_lsh": o_ann_topk_lsh,
+    "text_langid": o_text_langid,
+    "text_quality": o_text_quality,
+    "token_count": o_token_count,
+    "doc_fingerprint": o_doc_fingerprint,
+    "multimodal_features": o_multimodal_features,
+}

@@ -111,11 +111,11 @@ def compile_typeconv(cfg: dict, ctx: Context) -> Stage:
     def conv(col: Column) -> Column:
         if typ in ("int64", "int", "long"):
             return F.coalesce(
-                F.try_cast(col, "long"),
-                F.try_cast(col, "double").cast("long"),
+                col.try_cast("long"),
+                col.try_cast("double").cast("long"),
             )
         if typ in ("float64", "float", "double"):
-            return F.try_cast(col, "double")
+            return col.try_cast("double")
         return col.cast("string")
 
     def apply(df: DataFrame) -> DataFrame:
@@ -138,7 +138,7 @@ def compile_convert(cfg: dict, ctx: Context) -> Stage:
 
     def apply(df: DataFrame) -> DataFrame:
         for f in fields:
-            col = F.try_cast(F.col(f), "double") * F.lit(factor)
+            col = F.col(f).try_cast("double") * F.lit(factor)
             if mode == "to_int":
                 col = col.cast("long")
             df = df.withColumn(f, col)

@@ -416,13 +416,13 @@ def compile_date(cfg: dict, ctx: Context) -> Stage:
                 # seconds since epoch, fractional + exponent notation ok
                 attempts.append(
                     F.timestamp_micros(
-                        (F.try_cast(src, "double") * F.lit(1_000_000)).cast("long")
+                        (src.try_cast("double") * F.lit(1_000_000)).cast("long")
                     )
                 )
             elif fmt == "UNIXNANO":
                 attempts.append(
                     F.timestamp_micros(
-                        (F.try_cast(src, "double") / F.lit(1_000)).cast("long")
+                        (src.try_cast("double") / F.lit(1_000)).cast("long")
                     )
                 )
             else:

@@ -1,0 +1,92 @@
+"""Pure-function tests: grok translation, cond translation, date formats.
+
+Mirrors the reference's pure-unit layer (pathvalue_test.go, kv tokenizer
+tests) — no Spark session needed.
+"""
+
+import re
+
+import pytest
+
+from gogstash_spark.functions.conds import CondError, cond_to_sql
+from gogstash_spark.functions.datefmt import go_layout_to_spark
+from gogstash_spark.functions.grok import compile_grok
+
+APACHE_LINE = (
+    '8.8.8.8 - - [18/Jul/2017:16:10:16 +0300] "GET /index.html HTTP/1.1" '
+    '200 756 "https://google.com/" "Mozilla/5.0 (X11; Linux x86_64) Chrome/120.0"'
+)
+
+
+class TestGrok:
+    def test_commonapachelog_captures(self):
+        cg = compile_grok("%{COMMONAPACHELOG}")
+        m = re.search(cg.named("python"), APACHE_LINE)
+        assert m
+        assert m.group("clientip") == "8.8.8.8"
+        assert m.group("verb") == "GET"
+        assert m.group("request") == "/index.html"
+        assert m.group("response") == "200"
+        assert m.group("bytes") == "756"
+        assert cg.types == {"response": "int", "bytes": "int"}
+
+    def test_combined_positional_matches_named(self):
+        cg = compile_grok("%{COMBINEDAPACHELOG}")
+        mn = re.search(cg.named("python"), APACHE_LINE)
+        mp = re.search(cg.positional(), APACHE_LINE)
+        assert mn and mp
+        for c in cg.captures:
+            assert mp.group(cg.group_index(c)) == mn.group(c)
+
+    def test_custom_pattern_and_type(self):
+        cg = compile_grok(
+            "%{WORD:w} %{INT:n:int}", extra_patterns={}
+        )
+        m = re.search(cg.named("python"), "hello 42")
+        assert m.group("w") == "hello" and m.group("n") == "42"
+        assert cg.types["n"] == "int"
+
+    def test_unknown_pattern_raises(self):
+        with pytest.raises(KeyError):
+            compile_grok("%{NOPE:x}")
+
+    def test_first_dup_field_wins(self):
+        cg = compile_grok("%{WORD:x} %{WORD:x}")
+        assert cg.captures == ["x"]
+
+
+class TestCond:
+    @pytest.mark.parametrize(
+        "expr,sql",
+        [
+            ("a == 'x'", "(a = 'x')"),
+            ("a != 1 && b >= 2", "((a <> 1) AND (b >= 2))"),
+            ("x || !y", "(x OR (NOT y))"),
+            ("'t' IN tags", "array_contains(tags, 't')"),
+            ("lvl IN ('a','b')", "(lvl IN ('a', 'b'))"),
+            ("empty(f)", "(f IS NULL OR CAST(f AS STRING) = '')"),
+            ("strlen(m) > 3", "(length(m) > 3)"),
+            ("v =~ 'ab.'", "(v RLIKE 'ab.')"),
+            ("a + b * 2 > 4", "((a + (b * 2)) > 4)"),
+        ],
+    )
+    def test_translate(self, expr, sql):
+        assert cond_to_sql(expr) == sql
+
+    def test_bad_expr_raises(self):
+        with pytest.raises(CondError):
+            cond_to_sql("a ==")
+
+
+class TestDateFmt:
+    @pytest.mark.parametrize(
+        "go,spark",
+        [
+            ("2006-01-02 15:04:05", "yyyy-MM-dd HH:mm:ss"),
+            ("02/Jan/2006:15:04:05 -0700", "dd/MMM/yyyy:HH:mm:ss xx"),
+            ("2006-01-02T15:04:05Z07:00", "yyyy-MM-dd'T'HH:mm:ssXXX"),
+            ("2006.01.02", "yyyy.MM.dd"),
+        ],
+    )
+    def test_layouts(self, go, spark):
+        assert go_layout_to_spark(go) == spark

@@ -1,0 +1,125 @@
+"""Training-data ops: dedup, ANN, text analysis, multimodal plumbing."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from gogstash_spark.mlops import ann, dedup, multimodal, textops
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+            (3, "the quick brown fox jumps over a lazy dog"),    # near dup of 1
+            (4, "completely different words entirely unrelated zebra"),
+            (5, "spark batch query window merge join"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+class TestDedup:
+    def test_exact(self, spark, docs):
+        got = dedup.exact_dup_groups(docs).collect()
+        assert len(got) == 1
+        assert got[0]["keep_id"] == 1 and got[0]["n_dups"] == 2
+
+    def test_ngram_jaccard(self, spark, docs):
+        pairs = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs(docs, n=1, threshold=0.5).collect()
+        }
+        assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+        assert (1, 3) in pairs and 0.5 < pairs[(1, 3)] < 1.0
+        assert (1, 4) not in pairs
+
+    def test_minhash_lsh_finds_near_dups(self, spark, docs):
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.minhash_lsh_pairs(docs, n=1, k=4, threshold=0.5).collect()
+        }
+        assert (1, 2) in pairs
+        assert (4, 5) not in pairs
+
+    def test_simhash_identical_for_dups(self, spark, docs):
+        sig = {r["id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+        assert sig[1] == sig[2]
+        assert len(sig[1]) == 16 and set(sig[1]) <= {"0", "1"}
+        # near-dup differs in few bits, unrelated differs in more
+        def hamming(a, b):
+            return sum(x != y for x, y in zip(a, b))
+        assert hamming(sig[1], sig[3]) <= hamming(sig[1], sig[4]) + 2
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.99, 0.1, 0.0, 0.0], 0),
+        (2, [0.0, 1.0, 0.0, 0.0], 1),
+        (3, [0.0, 0.98, 0.2, 0.0], 1),
+        (4, [-1.0, 0.0, 0.0, 0.0], 2),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+class TestANN:
+    def test_brute_topk(self, spark, emb):
+        got = ann.brute_topk(emb, k=1, max_query_id=10).collect()
+        nn = {r["q_id"]: r["n_id"] for r in got}
+        assert nn[0] == 1 and nn[1] == 0
+        assert nn[2] == 3 and nn[3] == 2
+        cos01 = [r["cos"] for r in got if r["q_id"] == 0][0]
+        assert abs(cos01 - 0.99 / math.sqrt(0.99**2 + 0.1**2)) < 1e-4
+
+    def test_lsh_respects_buckets(self, spark, emb):
+        got = ann.lsh_topk(emb, k=5, n_bits=4, max_query_id=10).collect()
+        # vec 4 has opposite sign on dim 0 -> different bucket from 0/1
+        for r in got:
+            if r["q_id"] == 0:
+                assert r["n_id"] != 4
+
+    def test_cosine_near_dup_pairs(self, spark, emb):
+        pairs = {(r["id_a"], r["id_b"]) for r in
+                 ann.cosine_near_dup_pairs(emb, threshold=0.9, n_bits=4).collect()}
+        assert (0, 1) in pairs
+        assert (0, 4) not in pairs
+
+
+class TestTextOps:
+    def test_token_counts(self, spark):
+        df = spark.createDataFrame([(1, "hello, world 42")], "doc_id long, text string")
+        r = textops.token_counts(df).collect()[0]
+        assert r["n_ws_tokens"] == 3
+        assert r["n_bpe_tokens"] == 4  # hello , world 42
+
+    def test_lang_id(self, spark, docs):
+        got = {r["doc_id"]: r["lang_pred"] for r in textops.lang_id(docs).collect()}
+        assert got[1] == "en"  # 'the' twice + 'over'? stopword-heavy
+        assert got[5] == "unknown"
+
+    def test_quality_score_bounds(self, spark, docs):
+        for r in textops.quality_score(docs).collect():
+            assert 0.0 <= r["quality"] <= 1.0
+
+    def test_fingerprint_equal_for_dups(self, spark, docs):
+        fp = {r["doc_id"]: r["fingerprint"] for r in textops.fingerprint(docs).collect()}
+        assert fp[1] == fp[2]
+        assert fp[1] != fp[4]
+
+
+class TestMultimodal:
+    def test_binary_plumbing(self, spark, docs):
+        out = multimodal.extract_features(multimodal.attach_binary_payload(docs))
+        got = {r["doc_id"]: r for r in out.collect()}
+        assert got[1]["byte_len"] == len("the quick brown fox jumps over the lazy dog")
+        assert got[1]["head_hex"] == b"the quic".hex()
+        assert got[1]["modality"] == "text/plain"
+
+    def test_decode_stub_raises(self):
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image(b"\x89PNG")

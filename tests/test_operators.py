@@ -1,0 +1,323 @@
+"""Per-filter golden tests: tiny literal DataFrame in, exact rows out —
+the reference's per-module test pattern (filtergrok_test.go:34-109:
+inject crafted event, assert full-event equality incl. tags).
+"""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from gogstash_spark.operators import Context, compile_filter
+
+UTC = datetime.timezone.utc
+
+
+def ctx(spark, base="."):
+    return Context(spark=spark, base_dir=base)
+
+
+def rows(df, *cols):
+    return [tuple(r) for r in df.select(*cols).orderBy(cols[0]).collect()]
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.createDataFrame(
+        [
+            (1, '8.8.8.8 - - [18/Jul/2017:16:10:16 +0000] "GET /a?x=1 HTTP/1.1" 200 756 "-" "curl/8.5.0"'),
+            (2, "level=warn latency_ms=42 path=\"/api v1\" status=500"),
+            (3, '{"level":"error","msg":"boom","code":503,"ts":"2017-07-18T13:10:16Z"}'),
+            (4, "just some free text here"),
+        ],
+        "id int, text string",
+    )
+
+
+class TestGrok:
+    @pytest.mark.parametrize("use_pandas", [False, True])
+    def test_first_match_wins_and_error_tag(self, spark, events, use_pandas):
+        stage = compile_filter(
+            {
+                "type": "grok",
+                "match": ["%{COMMONAPACHELOG}", "^level=%{WORD:lvl}"],
+                "use_pandas": use_pandas,
+            },
+            ctx(spark),
+        )
+        out = stage(events)
+        got = {r["id"]: r for r in out.collect()}
+        assert got[1]["clientip"] == "8.8.8.8"
+        assert got[1]["response"] == 200  # typed capture
+        assert got[1]["bytes"] == 756
+        assert got[2]["lvl"] == "warn"
+        assert got[2]["clientip"] is None
+        assert list(got[4]["tags"]) == ["gogstash_filter_grok_error"]
+        assert list(got[1]["tags"] or []) == []
+
+    def test_add_tag_only_on_match(self, spark, events):
+        stage = compile_filter(
+            {
+                "type": "grok",
+                "match": ["%{COMMONAPACHELOG}"],
+                "use_pandas": False,
+                "add_tag": ["parsed"],
+            },
+            ctx(spark),
+        )
+        got = {r["id"]: r for r in stage(events).collect()}
+        assert "parsed" in list(got[1]["tags"])
+        assert "parsed" not in list(got[4]["tags"])
+
+
+class TestGonx:
+    def test_default_format(self, spark):
+        df = spark.createDataFrame(
+            [(1, '1.2.3.4 - bob [18/Jul/2017:16:10:16 +0000] "GET / HTTP/1.1" 200 5')],
+            "id int, text string",
+        )
+        stage = compile_filter({"type": "gonx"}, ctx(spark))
+        r = stage(df).collect()[0]
+        assert r["remote_addr"] == "1.2.3.4"
+        assert r["remote_user"] == "bob"
+        assert r["request"] == "GET / HTTP/1.1"
+        assert r["status"] == "200"
+
+
+class TestDate:
+    def test_formats_in_order_and_unix(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "18/Jul/2017:16:10:16 +0300"),
+                (2, "2017-07-18 13:10:16"),
+                (3, "1500383416"),
+                (4, "garbage"),
+            ],
+            "id int, src string",
+        )
+        stage = compile_filter(
+            {
+                "type": "date",
+                "source": "src",
+                "format": ["02/Jan/2006:15:04:05 -0700", "2006-01-02 15:04:05", "UNIX"],
+                "target": "t",
+            },
+            ctx(spark),
+        )
+        got = {r["id"]: r for r in stage(df).collect()}
+        assert got[1]["t"] == datetime.datetime(2017, 7, 18, 13, 10, 16)
+        assert got[2]["t"] == datetime.datetime(2017, 7, 18, 13, 10, 16)
+        assert got[3]["t"] == datetime.datetime(2017, 7, 18, 13, 10, 16)
+        assert got[4]["t"] is None
+        assert list(got[4]["tags"]) == ["gogstash_filter_date_error"]
+
+
+class TestJsonKv:
+    def test_json_schema_appendkey(self, spark, events):
+        stage = compile_filter(
+            {
+                "type": "json",
+                "schema": "struct<level:string,msg:string,code:bigint>",
+                "appendkey": "j",
+            },
+            ctx(spark),
+        )
+        got = {r["id"]: r for r in stage(events).collect()}
+        assert got[3]["j"]["level"] == "error" and got[3]["j"]["code"] == 503
+        assert got[1]["j"] is None
+
+    def test_kv_quote_aware(self, spark, events):
+        stage = compile_filter(
+            {
+                "type": "kv",
+                "target": "kvm",
+                "fields": {
+                    "lvl": {"key": "level", "type": "string"},
+                    "lat": {"key": "latency_ms", "type": "long"},
+                    "pth": {"key": "path", "type": "string"},
+                },
+            },
+            ctx(spark),
+        )
+        got = {r["id"]: r for r in stage(events).collect()}
+        assert got[2]["lvl"] == "warn"
+        assert got[2]["lat"] == 42
+        assert got[2]["pth"] == "/api v1"  # quotes stripped, space kept
+        assert got[2]["kvm"]["status"] == "500"
+
+
+class TestMutateFamily:
+    def test_mutate_ops(self, spark):
+        df = spark.createDataFrame([(1, "ab", "x/y")], "id int, a string, b string")
+        up = compile_filter({"type": "mutate", "uppercase": ["a"]}, ctx(spark))
+        sp = compile_filter({"type": "mutate", "split": {"field": "b", "sep": "/"}}, ctx(spark))
+        rn = compile_filter({"type": "mutate", "rename": {"from": "a", "to": "a2"}}, ctx(spark))
+        out = rn(sp(up(df))).collect()[0]
+        assert out["a2"] == "AB"
+        assert list(out["b"]) == ["x", "y"]
+
+    def test_typeconv_int_via_float(self, spark):
+        df = spark.createDataFrame([(1, "3.7"), (2, "11"), (3, "x")], "id int, v string")
+        stage = compile_filter(
+            {"type": "typeconv", "fields": ["v"], "conv_type": "int64"}, ctx(spark)
+        )
+        got = {r["id"]: r["v"] for r in stage(df).collect()}
+        assert got == {1: 3, 2: 11, 3: None}
+
+    def test_convert_factor(self, spark):
+        df = spark.createDataFrame([(1, "100")], "id int, v string")
+        stage = compile_filter(
+            {"type": "convert", "fields": ["v"], "mode": "to_float", "factor": 0.5},
+            ctx(spark),
+        )
+        assert stage(df).collect()[0]["v"] == 50.0
+
+    def test_add_field_template_and_overwrite_guard(self, spark):
+        df = spark.createDataFrame(
+            [(1, "u", None), (2, "v", "keep")], "id int, role string, dst string"
+        )
+        stage = compile_filter(
+            {"type": "add_field", "key": "dst", "value": "%{role}!", "overwrite": False},
+            ctx(spark),
+        )
+        got = {r["id"]: r["dst"] for r in stage(df).collect()}
+        assert got == {1: "u!", 2: "keep"}
+
+    def test_remove_field(self, spark):
+        df = spark.createDataFrame([(1, "a", "b")], "id int, x string, text string")
+        stage = compile_filter(
+            {"type": "remove_field", "fields": ["x"], "blank_message": True}, ctx(spark)
+        )
+        out = stage(df)
+        assert "x" not in out.columns
+        assert out.collect()[0]["text"] == ""
+
+    def test_drop_condition(self, spark):
+        df = spark.createDataFrame([(1, "a"), (2, "drop")], "id int, v string")
+        stage = compile_filter({"type": "drop", "condition": "v == 'drop'"}, ctx(spark))
+        assert [r["id"] for r in stage(df).collect()] == [1]
+
+    def test_hash_algos(self, spark):
+        df = spark.createDataFrame([(1, "x")], "id int, v string")
+        import hashlib
+
+        h = compile_filter(
+            {"type": "hash", "source": ["v"], "algo": "sha256", "target": "h"}, ctx(spark)
+        )
+        assert h(df).collect()[0]["h"] == hashlib.sha256(b"x").hexdigest()
+        h2 = compile_filter(
+            {"type": "hash", "source": ["v"], "algo": "md5", "target": "h"}, ctx(spark)
+        )
+        assert h2(df).collect()[0]["h"] == hashlib.md5(b"x").hexdigest()
+
+    def test_ratelimit_deterministic(self, spark):
+        df = spark.range(0, 100).withColumn("turn_idx", F.col("id").cast("int"))
+        stage = compile_filter(
+            {"type": "ratelimit", "key": "turn_idx", "keep_num": 1, "keep_den": 10},
+            ctx(spark),
+        )
+        a = sorted(r["id"] for r in stage(df).collect())
+        b = sorted(r["id"] for r in stage(df).collect())
+        assert a == b
+        assert 0 < len(a) < 100
+
+    def test_sql_escape_hatch(self, spark):
+        df = spark.createDataFrame([(1, 2)], "a int, b int")
+        stage = compile_filter({"type": "sql", "expr": {"c": "a + b"}}, ctx(spark))
+        assert stage(df).collect()[0]["c"] == 3
+
+
+class TestEnrich:
+    def test_lookuptable_parquet_and_miss_tag(self, spark, sf_data_dir):
+        df = spark.createDataFrame(
+            [(1, "search"), (2, "calculator")], "id int, tool string"
+        )
+        stage = compile_filter(
+            {
+                "type": "lookuptable",
+                "source": "tool",
+                "path": sf_data_dir + "/tool_lookup.parquet",
+                "lookup_key": "tool",
+                "tag_on_miss": True,
+            },
+            ctx(spark),
+        )
+        got = {r["id"]: r for r in stage(df).collect()}
+        assert got[1]["tool_family"] == "retrieval"
+        assert got[2]["tool_family"] is None
+        assert list(got[2]["tags"]) == ["gogstash_filter_lookup_miss"]
+
+    def test_lookuptable_txt_format(self, spark, sf_data_dir):
+        df = spark.createDataFrame([(1, "python")], "id int, tool string")
+        stage = compile_filter(
+            {
+                "type": "lookuptable",
+                "source": "tool",
+                "path": sf_data_dir + "/tool_family.txt",
+                "lookup_key": "key",
+                "lookup_value": "fam",
+                "select": {"fam": "fam"},
+            },
+            ctx(spark),
+        )
+        assert stage(df).collect()[0]["fam"] == "execution"
+
+    def test_geoip_private_skip(self, spark, sf_data_dir, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        lk = str(tmp_path / "geo.parquet")
+        pq.write_table(
+            pa.table({"ip": ["8.8.8.8"], "country": ["US"], "city": ["MTV"]}), lk
+        )
+        df = spark.createDataFrame(
+            [(1, "8.8.8.8"), (2, "10.0.0.5"), (3, "1.1.1.1")], "id int, clientip string"
+        )
+        stage = compile_filter(
+            {"type": "geoip", "source": "clientip", "path": lk, "key": "geo"},
+            ctx(spark),
+        )
+        got = {r["id"]: r for r in stage(df).collect()}
+        assert got[1]["geo"]["country"] == "US"
+        assert got[2]["geo"] is None  # private: skipped, no error tag
+        assert list(got[2]["tags"] or []) == []
+        assert got[3]["geo"] is None  # public miss: error tag
+        assert "gogstash_filter_geoip2_error" in list(got[3]["tags"])
+
+    def test_useragent(self, spark, events):
+        grok = compile_filter(
+            {"type": "grok", "match": ["%{COMBINEDAPACHELOG}"], "use_pandas": False},
+            ctx(spark),
+        )
+        ua = compile_filter({"type": "useragent", "source": "agent"}, ctx(spark))
+        got = {r["id"]: r for r in ua(grok(events)).collect()}
+        assert got[1]["ua"]["family"] == "curl"
+        assert got[1]["ua"]["version"] == "8.5.0"
+
+
+class TestCondFilter:
+    def test_branching(self, spark):
+        df = spark.createDataFrame([(1, "hit"), (2, "miss")], "id int, v string")
+        stage = compile_filter(
+            {
+                "type": "cond",
+                "condition": "v == 'hit'",
+                "filter": [{"type": "add_field", "key": "mark", "value": "T"}],
+                "else_filter": [{"type": "add_field", "key": "mark", "value": "F"}],
+            },
+            ctx(spark),
+        )
+        got = {r["id"]: r["mark"] for r in stage(df).collect()}
+        assert got == {1: "T", 2: "F"}
+
+    def test_url_param(self, spark):
+        df = spark.createDataFrame(
+            [(1, "/s?q=spark&page=2"), (2, "/plain")], "id int, request string"
+        )
+        stage = compile_filter(
+            {"type": "url_param", "source": "request", "include_keys": ["q", "page"]},
+            ctx(spark),
+        )
+        got = {r["id"]: r for r in stage(df).collect()}
+        assert got[1]["q"] == "spark" and got[1]["page"] == "2"
+        assert got[2]["q"] is None

@@ -1,0 +1,175 @@
+"""Routing fan-out + batch runner e2e + resume (no dup / no loss),
+mirroring SURVEY.md §5's oracle layer: a pure-pandas reimplementation
+of the route predicates over the same rows.
+"""
+
+import os
+import re
+import shutil
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gogstash_spark.functions.grok import compile_grok
+from gogstash_spark.operators import Context
+from gogstash_spark.pipelines import EXTRA_PATTERNS, GROK_MATCHES, standard_spec
+from gogstash_spark.plans.compile import compile_pipeline, flatten_outputs
+from gogstash_spark.plans.spec import PipelineSpec
+from gogstash_spark.runner import run_pipeline
+
+
+class TestFlattenOutputs:
+    def test_nested_cond_tree(self):
+        routes = flatten_outputs(
+            [
+                {"type": "table", "name": "all"},
+                {
+                    "type": "cond",
+                    "condition": "a > 1",
+                    "output": [
+                        {"type": "table", "name": "big", "condition": "b == 'x'"},
+                    ],
+                    "else_output": [{"type": "table", "name": "small"}],
+                },
+            ]
+        )
+        by_name = {r.sink: r.pred_sql for r in routes}
+        assert by_name["all"] == "true"
+        assert "(a > 1)" in by_name["big"] and "(b = 'x')" in by_name["big"]
+        assert "NOT coalesce" in by_name["small"]
+
+
+def oracle_routes(pdf: pd.DataFrame) -> dict[str, set]:
+    """Pure-pandas oracle of the standard-spec routing (FIXTURES.md §4)."""
+    rx_a = re.compile(compile_grok(GROK_MATCHES[0], EXTRA_PATTERNS).positional())
+    rx_k = re.compile(compile_grok(GROK_MATCHES[1], EXTRA_PATTERNS).positional())
+    rx_j = re.compile(compile_grok(GROK_MATCHES[2], EXTRA_PATTERNS).positional())
+    out = {s: set() for s in
+           ["sink_errors", "sink_tool_calls", "sink_user_turns", "sink_deadletter", "sink_rest"]}
+    import json as jsonlib
+
+    for row in pdf.itertuples():
+        key = (row.conv_id, row.turn_idx)
+        text = row.text
+        ma, mk = rx_a.search(text), rx_k.search(text)
+        mj = rx_j.search(text)
+        status = level = None
+        if ma:
+            status = int(ma.group(9))
+        elif mk:
+            status = int(mk.group(4))
+            level = mk.group(1)
+        elif mj:
+            d = jsonlib.loads(text)
+            status, level = d.get("code"), d.get("level")
+        dead = not (ma or mk or mj)
+        routed = False
+        if (status is not None and status >= 500) or level == "error":
+            out["sink_errors"].add(key)
+            routed = True
+        if row.role == "tool" and row.tool != "none":
+            out["sink_tool_calls"].add(key)
+            routed = True
+        if row.role == "user":
+            out["sink_user_turns"].add(key)
+            routed = True
+        if dead:
+            out["sink_deadletter"].add(key)
+            routed = True
+        if not routed:
+            out["sink_rest"].add(key)
+    return out
+
+
+@pytest.fixture(scope="module")
+def run_out(spark, sf_data_dir, tmp_path_factory):
+    out_dir = str(tmp_path_factory.mktemp("runner_out"))
+    spec = standard_spec(sf_data_dir)
+    res = run_pipeline(spark, spec, out_dir=out_dir, base_dir=sf_data_dir)
+    return out_dir, res
+
+
+class TestRunnerE2E:
+    def test_routed_row_sets_match_oracle(self, spark, sf_data_dir, run_out):
+        out_dir, res = run_out
+        pdf = pd.read_parquet(os.path.join(sf_data_dir, "transcripts"))
+        expected = oracle_routes(pdf)
+        for sink, keys in expected.items():
+            got = {
+                (r["conv_id"], r["turn_idx"])
+                for r in spark.read.parquet(os.path.join(out_dir, sink))
+                .select("conv_id", "turn_idx")
+                .collect()
+            }
+            assert got == keys, "routed-row set mismatch for %s" % sink
+
+    def test_per_turn_text_equality(self, spark, sf_data_dir, run_out):
+        """per-turn text equality under (conv_id, turn_idx) ordering."""
+        out_dir, _ = run_out
+        src = pd.read_parquet(os.path.join(sf_data_dir, "transcripts"))
+        src = src.set_index(["conv_id", "turn_idx"])["text"]
+        got = (
+            spark.read.parquet(os.path.join(out_dir, "sink_user_turns"))
+            .select("conv_id", "turn_idx", "text")
+            .toPandas()
+            .sort_values(["conv_id", "turn_idx"])
+        )
+        for r in got.itertuples():
+            assert src.loc[(r.conv_id, r.turn_idx)] == r.text
+
+    def test_aggregate_counts_match(self, spark, run_out):
+        out_dir, res = run_out
+        agg = spark.read.parquet(os.path.join(out_dir, "agg_counts"))
+        per_sink = {
+            r["sink"]: r["total"]
+            for r in agg.groupBy("sink").agg(F.sum("n").alias("total")).collect()
+        }
+        assert per_sink == res.sink_rows
+
+    def test_metrics_lineage(self, run_out):
+        _, res = run_out
+        assert res.metrics["pipeline"]["rows_total"] == 5000
+        assert res.metrics["pipeline"]["rows_routed"] == sum(res.sink_rows.values())
+
+
+class TestResume:
+    def test_kill_and_resume_no_dup_no_loss(self, spark, sf_data_dir, tmp_path):
+        out_a = str(tmp_path / "full")
+        out_b = str(tmp_path / "interrupted")
+        spec = standard_spec(sf_data_dir)
+        full = run_pipeline(spark, spec, out_dir=out_a, base_dir=sf_data_dir)
+        with pytest.raises(RuntimeError):
+            run_pipeline(
+                spark, spec, out_dir=out_b, base_dir=sf_data_dir,
+                fail_after_sink="sink_tool_calls",
+            )
+        resumed = run_pipeline(spark, spec, out_dir=out_b, base_dir=sf_data_dir, resume=True)
+        assert set(resumed.skipped_sinks) == {"sink_errors", "sink_tool_calls"}
+        for sink, n in full.sink_rows.items():
+            keys_a = {
+                (r["conv_id"], r["turn_idx"])
+                for r in spark.read.parquet(os.path.join(out_a, sink))
+                .select("conv_id", "turn_idx").collect()
+            }
+            keys_b = {
+                (r["conv_id"], r["turn_idx"])
+                for r in spark.read.parquet(os.path.join(out_b, sink))
+                .select("conv_id", "turn_idx").collect()
+            }
+            assert keys_a == keys_b, sink
+
+    def test_fresh_rerun_overwrites_cleanly(self, spark, sf_data_dir, tmp_path):
+        out = str(tmp_path / "twice")
+        spec = PipelineSpec.from_dict(
+            {
+                "input": {"path": os.path.join(sf_data_dir, "transcripts")},
+                "filter": [],
+                "output": [{"type": "table", "name": "s1", "condition": "role == 'user'"}],
+                "aggregate": [],
+            }
+        )
+        r1 = run_pipeline(spark, spec, out_dir=out, base_dir=sf_data_dir)
+        shutil.rmtree(os.path.join(out), ignore_errors=False)
+        r2 = run_pipeline(spark, spec, out_dir=out, base_dir=sf_data_dir)
+        assert r1.sink_rows == r2.sink_rows

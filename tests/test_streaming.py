@@ -1,0 +1,60 @@
+"""Structured Streaming variant: same spec, foreachBatch fan-out,
+windowed watermark aggregate. availableNow trigger drives the whole
+file-backed stream to completion synchronously."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gogstash_spark.plans.spec import PipelineSpec
+from gogstash_spark.streaming.pipeline import run_pipeline_streaming, windowed_counts
+
+
+@pytest.fixture(scope="module")
+def mini_spec(sf_data_dir):
+    return PipelineSpec.from_dict(
+        {
+            "input": {"path": os.path.join(sf_data_dir, "transcripts")},
+            "filter": [
+                {"type": "add_field", "key": "src", "value": "%{role}/%{tool}"},
+            ],
+            "output": [
+                {"type": "table", "name": "s_user", "condition": "role == 'user'"},
+                {"type": "table", "name": "s_tool", "condition": "role == 'tool'"},
+            ],
+        }
+    )
+
+
+class TestStreaming:
+    def test_foreachbatch_fanout_matches_batch(self, spark, sf_data_dir, mini_spec, tmp_path):
+        out = str(tmp_path / "stream_out")
+        run_pipeline_streaming(
+            spark, mini_spec, os.path.join(sf_data_dir, "transcripts"), out,
+            base_dir=sf_data_dir,
+        )
+        src = spark.read.parquet(os.path.join(sf_data_dir, "transcripts"))
+        want_user = src.filter("role = 'user'").count()
+        want_tool = src.filter("role = 'tool'").count()
+        assert spark.read.parquet(os.path.join(out, "s_user")).count() == want_user
+        assert spark.read.parquet(os.path.join(out, "s_tool")).count() == want_tool
+        # enriched field made it through the streaming chain
+        row = spark.read.parquet(os.path.join(out, "s_user")).select("src").first()
+        assert row["src"].startswith("user/")
+
+    def test_windowed_counts_with_watermark(self, spark, sf_data_dir):
+        got = windowed_counts(
+            spark, os.path.join(sf_data_dir, "transcripts"),
+            window="1 hour", watermark="2 hours", queryName="wc_test",
+        )
+        src = spark.read.parquet(os.path.join(sf_data_dir, "transcripts"))
+        want = (
+            src.groupBy(F.date_trunc("hour", "ts").alias("ws"), "tool")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        got_set = {(r["ws"], r["tool"], r["n"]) for r in got.collect()}
+        want_set = {(r["ws"], r["tool"], r["n"]) for r in want.collect()}
+        # append-mode watermark may hold back the trailing window(s) only
+        assert got_set <= want_set
+        assert len(got_set) >= 0.8 * len(want_set)
