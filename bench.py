@@ -38,10 +38,15 @@ def main() -> None:
     qs = entry.queries()
     timings: dict[str, float] = {}
 
-    # headline: end-to-end pipeline with real sink writes
+    # headline: end-to-end pipeline with real sink writes.
+    # One warm-up run first: JVM codegen + Python worker pool spin-up are
+    # per-process costs that a 100 TB job amortizes to zero; the metric
+    # is steady-state turns/sec.
     out_dir = "/tmp/gogstash_bench_out"
-    shutil.rmtree(out_dir, ignore_errors=True)
     spec = standard_spec(data_dir)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    run_pipeline(spark, spec, out_dir=out_dir, base_dir=data_dir, resume=False)
+    shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.time()
     res = run_pipeline(spark, spec, out_dir=out_dir, base_dir=data_dir, resume=False)
     e2e = time.time() - t0
@@ -64,7 +69,9 @@ def main() -> None:
         if name not in qs:
             continue
         t0 = time.time()
-        qs[name](spark, sf_dir).count()
+        # noop sink forces full column computation (count() would let
+        # Catalyst prune the parse away)
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)

@@ -543,6 +543,139 @@ SELECT role, tool, date_trunc('hour', ts) AS time_bucket, count(*) AS n
 FROM t GROUP BY 1, 2, 3"""
 
 
+def q_gonx_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nginx log_format parse (reference filter/gonx/filtergonx.go:80-96)."""
+    df = _tx(spark, sf_dir)
+    stage = _stage(spark, sf_dir, {"type": "gonx", "tag_on_failure": False})
+    out = stage(df)
+    return out.filter(F.col("status").isNotNull() & (F.col("status") != "")).select(
+        "conv_id", "turn_idx", "remote_addr", "request", "status", "body_bytes_sent"
+    )
+
+
+def o_gonx_parse() -> str:
+    from gogstash_spark.operators.parse import gonx_format_to_regex
+
+    cg = gonx_format_to_regex(
+        '$remote_addr - $remote_user [$time_local] "$request" $status $body_bytes_sent'
+    )
+    rx = _sql_quote_rx(cg.positional())
+    g = cg.group_index
+    return f"""{TX_CTE}
+SELECT conv_id, turn_idx,
+       regexp_extract(text, '{rx}', {g("remote_addr")}) AS remote_addr,
+       regexp_extract(text, '{rx}', {g("request")}) AS request,
+       regexp_extract(text, '{rx}', {g("status")}) AS status,
+       regexp_extract(text, '{rx}', {g("body_bytes_sent")}) AS body_bytes_sent
+FROM t WHERE regexp_matches(text, '{rx}')"""
+
+
+def q_geoip_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geoip-shaped broadcast enrich with private-CIDR skip + miss tag
+    (reference filter/geoip2/filtergeoip2.go:123-223)."""
+    df = _tx(spark, sf_dir)
+    data_dir = ensure_transcripts(sf_dir)
+    grok = _stage(
+        spark, sf_dir, {"type": "grok", "match": ["%{COMBINEDAPACHELOG}"], "use_pandas": True}
+    )
+    geo = _stage(
+        spark, sf_dir,
+        {"type": "geoip", "source": "clientip",
+         "path": os.path.join(data_dir, "geo_lookup.parquet"), "key": "geoip"},
+    )
+    out = geo(grok(df))
+    return out.filter(F.col("clientip").isNotNull()).select(
+        "conv_id", "turn_idx", "clientip",
+        F.col("geoip.country_code").alias("country_code"),
+        F.col("geoip.city_name").alias("city_name"),
+        F.array_contains(F.col("tags"), "gogstash_filter_geoip2_error").alias("geo_missed"),
+    )
+
+
+def o_geoip_enrich() -> str:
+    rx = _sql_quote_rx(RX_ACCESS.named("python"))
+    return f"""{TX_CTE}, m AS (
+  SELECT conv_id, turn_idx, (regexp_extract(text, '{rx}', {_caps_sql(RX_ACCESS)})).clientip AS clientip
+  FROM t WHERE regexp_matches(text, '{rx}')
+), geo AS (SELECT * FROM read_parquet('{ORACLE_SF_DIR}/geo_lookup.parquet')),
+p AS (
+  SELECT m.*, regexp_matches(clientip,
+    '^(?:10\\.|192\\.168\\.|172\\.(?:1[6-9]|2[0-9]|3[01])\\.|127\\.|169\\.254\\.)') AS is_private
+  FROM m
+)
+SELECT p.conv_id, p.turn_idx, p.clientip,
+       CASE WHEN NOT is_private THEN geo.country_code END AS country_code,
+       CASE WHEN NOT is_private THEN geo.city_name END AS city_name,
+       (NOT is_private) AND geo.ip IS NULL AS geo_missed
+FROM p LEFT JOIN geo ON p.clientip = geo.ip AND NOT p.is_private"""
+
+
+def q_statsd_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """statsd-style template-keyed metrics per sink
+    (reference output/statsd/outputstatsd.go:267-331)."""
+    from gogstash_spark.runner import compute_aggregate
+
+    data_dir = ensure_transcripts(sf_dir)
+    spec = standard_spec(data_dir)
+    plan = compile_pipeline(spec, Context(spark=spark, base_dir=data_dir))
+    routed = plan.run(spark.read.parquet(os.path.join(data_dir, "transcripts")))
+    exploded = routed.select(F.explode("routes").alias("sink"), "*")
+    return compute_aggregate(
+        exploded,
+        {"name": "statsd", "metric_key": "%{role}.%{tool}", "ops": ["count", "sum:latency_ms"]},
+    )
+
+
+def o_statsd_agg() -> str:
+    return (
+        _oracle_routed_cte()
+        + """,
+kvlat AS (
+  SELECT conv_id, turn_idx,
+         CAST(NULLIF(regexp_extract(text, 'latency_ms=(\\S+)', 1), '') AS BIGINT) AS latency_ms
+  FROM t WHERE regexp_matches(text, '^level=')
+)
+SELECT r.sink, r.role || '.' || r.tool AS metric,
+       count(*) AS n, sum(k.latency_ms) AS sum_latency_ms
+FROM routes r LEFT JOIN kvlat k
+  ON r.conv_id = k.conv_id AND r.turn_idx = k.turn_idx
+GROUP BY 1, 2"""
+    )
+
+
+def q_codec_eventhub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """azureeventhubjson codec: envelope records array -> N events
+    (reference codec/azureeventhubjson/codecazureeventhubjson.go:73-91).
+    Envelope built deterministically from documents, decoded by the
+    real codec, one output row per record."""
+    from gogstash_spark.codecs import decode_azureeventhubjson
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    env = docs.select(
+        "doc_id",
+        F.to_json(
+            F.struct(
+                F.array(
+                    F.create_map(F.lit("msg"), F.col("text"), F.lit("seq"), F.lit("0")),
+                    F.create_map(F.lit("msg"), F.col("text"), F.lit("seq"), F.lit("1")),
+                ).alias("records")
+            )
+        ).alias("value"),
+    )
+    out = decode_azureeventhubjson(env, "value")
+    return out.select(
+        "doc_id",
+        F.col("record")["msg"].alias("msg"),
+        F.col("record")["seq"].cast("int").alias("seq"),
+    )
+
+
+def o_codec_eventhub() -> str:
+    return """SELECT doc_id, text AS msg, 0 AS seq FROM documents
+UNION ALL
+SELECT doc_id, text AS msg, 1 AS seq FROM documents"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grok_parse": q_grok_parse,
     "kv_parse": q_kv_parse,
@@ -561,6 +694,10 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cond_route": q_cond_route,
     "pipeline_e2e": q_pipeline_e2e,
     "agg_report": q_agg_report,
+    "gonx_parse": q_gonx_parse,
+    "geoip_enrich": q_geoip_enrich,
+    "statsd_agg": q_statsd_agg,
+    "codec_eventhub": q_codec_eventhub,
 }
 
 PIPELINE_ORACLES: dict[str, str | Callable[[], str]] = {
@@ -581,4 +718,8 @@ PIPELINE_ORACLES: dict[str, str | Callable[[], str]] = {
     "cond_route": o_cond_route,
     "pipeline_e2e": o_pipeline_e2e,
     "agg_report": o_agg_report,
+    "gonx_parse": o_gonx_parse,
+    "geoip_enrich": o_geoip_enrich,
+    "statsd_agg": o_statsd_agg,
+    "codec_eventhub": o_codec_eventhub,
 }

@@ -34,10 +34,8 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
-def shingle_df(
-    df: DataFrame, text_col: str, id_col: str, n: int = 3
-) -> DataFrame:
-    """(id, shingle) pairs: distinct word n-gram shingles per doc."""
+def shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """(id, sh_set array<string>) — distinct word n-gram shingles per doc."""
     toks = tokens(F.col(text_col))
     if n == 1:
         sh = F.array_distinct(toks)
@@ -51,7 +49,16 @@ def shingle_df(
                 ),
             )
         )
-    return df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+    return df.select(F.col(id_col).alias("id"), sh.alias("sh_set"))
+
+
+def shingle_df(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """(id, shingle) pairs: the exploded inverted-index form."""
+    return shingle_sets(df, text_col, id_col, n).select(
+        "id", F.explode("sh_set").alias("shingle")
+    )
 
 
 def minhash_signatures(
@@ -77,8 +84,14 @@ def minhash_lsh_pairs(
     candidate shares ANY minhash) verified with exact Jaccard.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+
+    Scale shape: candidate generation is a bucket equi-join (never
+    quadratic); the exact-Jaccard verify touches ONLY candidate pairs
+    via array_intersect on the two shingle sets — no inverted-index
+    self-join blowup on hot shingles.
     """
-    sh = shingle_df(df, text_col, id_col, n).persist()
+    sets = shingle_sets(df, text_col, id_col, n).persist()
+    sh = sets.select("id", F.explode("sh_set").alias("shingle"))
     sig = minhash_signatures(sh, k)
 
     # band join: explode signatures to (band, value) and self-join buckets
@@ -99,27 +112,15 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # exact jaccard verify via shared-shingle counts
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    inter = (
-        sh.alias("a")
-        .join(sh.alias("b"), "shingle")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    # exact jaccard verify per candidate pair
+    a = sets.select(F.col("id").alias("id_a"), F.col("sh_set").alias("sh_a"))
+    b = sets.select(F.col("id").alias("id_b"), F.col("sh_set").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
     verified = (
-        cand.join(inter, ["id_a", "id_b"])
-        .join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter").cast("double")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
-                6,
-            ),
-        )
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", F.round(inter.cast("double") / union.cast("double"), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -61,13 +61,13 @@ def o_dedup_minhash_lsh() -> str:
     mh = ", ".join(
         "min(md5('%d|' || shingle)) AS m%d" % (j, j) for j in range(4)
     )
-    return f"""WITH docs AS (SELECT doc_id, text FROM documents),
-sh AS (
-  SELECT doc_id AS id, unnest(list_distinct(
+    return f"""WITH sets AS (
+  SELECT doc_id AS id, list_distinct(
     [array_to_string(words[i:i+2], ' ') FOR i IN range(1, greatest(len(words)-1, 1))]
-  )) AS shingle
-  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words FROM docs)
+  ) AS sh_set
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words FROM documents)
 ),
+sh AS (SELECT id, unnest(sh_set) AS shingle FROM sets),
 sig AS (SELECT id, {mh} FROM sh GROUP BY id),
 bands AS (
   SELECT id, b.band, b.v FROM sig,
@@ -78,19 +78,13 @@ cand AS (
   SELECT DISTINCT x.id AS id_a, y.id AS id_b
   FROM bands x JOIN bands y ON x.band = y.band AND x.v = y.v AND x.id < y.id
 ),
-sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
-inter AS (
-  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
-  GROUP BY 1, 2
+j AS (
+  SELECT c.id_a, c.id_b,
+    round(CAST(len(list_intersect(a.sh_set, b.sh_set)) AS DOUBLE) /
+      (len(a.sh_set) + len(b.sh_set) - len(list_intersect(a.sh_set, b.sh_set))), 6) AS jaccard
+  FROM cand c JOIN sets a ON a.id = c.id_a JOIN sets b ON b.id = c.id_b
 )
-SELECT c.id_a, c.id_b,
-       round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) AS jaccard
-FROM cand c
-JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
-JOIN sizes sa ON sa.id = c.id_a
-JOIN sizes sb ON sb.id = c.id_b
-WHERE round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) >= 0.35"""
+SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.35"""
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -136,3 +136,22 @@ def compile_geoip(cfg: dict, ctx: Context) -> Stage:
         return joined.drop("__geo_key", "__geo_rec", "__geo_probe")
 
     return apply
+
+
+@register("ip2location")
+def compile_ip2location(cfg: dict, ctx: Context) -> Stage:
+    """IP2Location-shaped enrich: identical broadcast-left-join shape to
+    geoip, default target key `ip2location`
+    (reference filter/ip2location/filterip2location.go:212-231; the .BIN
+    db is replaced by any ip-keyed table with country_code/country_name/
+    city_name/region_name/ISP/lat/lon columns)."""
+    cfg = {"key": "ip2location", "error_tag": "gogstash_filter_ip2location_error", **cfg}
+    return compile_geoip(cfg, ctx)
+
+
+@register("ip2proxy")
+def compile_ip2proxy(cfg: dict, ctx: Context) -> Stage:
+    """Proxy-detection enrich, same join shape
+    (reference filter/ip2proxy/filterip2proxy.go:63-)."""
+    cfg = {"key": "ip2proxy", "error_tag": "gogstash_filter_ip2proxy_error", **cfg}
+    return compile_geoip(cfg, ctx)

@@ -106,6 +106,12 @@ def _grok_pandas(df: DataFrame, source: str, compiled: list[CompiledGrok]) -> tu
         res["__midx"] = res["__midx"].astype("int32")
         return res
 
+    # block predicate/projection pushdown THROUGH the UDF: a filter on a
+    # UDF-derived column would otherwise duplicate the ArrowEvalPython
+    # node (2x regex + 2x Arrow transfer). The function is pure; the
+    # nondeterministic mark is purely an optimizer fence.
+    grok_extract = grok_extract.asNondeterministic()
+
     df = df.withColumn("__grok", grok_extract(F.col(source)))
     new_cols: dict[str, Column] = {}
     for name in field_names:
@@ -163,7 +169,9 @@ def gonx_format_to_regex(fmt: str) -> CompiledGrok:
             body = '[^"]*'
         elif nxt == "]":
             body = r"[^\]]*"
-        elif nxt == " ":
+        elif nxt == " " or m.end() == len(fmt):
+            # space-delimited or trailing var: greedy non-space (a lazy
+            # .*? at pattern end would match empty)
             body = r"\S*"
         else:
             body = ".*?"

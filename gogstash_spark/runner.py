@@ -71,6 +71,33 @@ class SnapshotLedger:
         os.replace(tmp, self.path)
 
 
+def compute_aggregate(exploded: DataFrame, agg: dict) -> DataFrame:
+    """One aggregate spec over the exploded (sink, event) frame.
+
+    report shape: group_by cols + optional time_bucket -> count
+    (reference output/report/outputreport.go:80-92); statsd shape:
+    %{}-template metric key + count/sum/avg/max/min ops
+    (reference output/statsd/outputstatsd.go:267-331).
+    """
+    if agg.get("metric_key"):
+        from gogstash_spark.logevent import format_expr
+
+        keyed = exploded.withColumn("metric", format_expr(exploded, str(agg["metric_key"])))
+        aggs = []
+        for op in agg.get("ops", ["count"]):
+            if op == "count":
+                aggs.append(F.count(F.lit(1)).alias("n"))
+            else:
+                fn_name, fld = op.split(":", 1)
+                fn = {"sum": F.sum, "avg": F.avg, "max": F.max, "min": F.min}[fn_name]
+                aggs.append(fn(F.col(fld)).alias("%s_%s" % (fn_name, fld)))
+        return keyed.groupBy("sink", "metric").agg(*aggs)
+    keys = [F.col(k) for k in agg.get("group_by", [])]
+    if agg.get("time_bucket"):
+        keys.append(F.date_trunc(agg["time_bucket"], F.col("ts")).alias("time_bucket"))
+    return exploded.groupBy(F.col("sink"), *keys).agg(F.count(F.lit(1)).alias("n"))
+
+
 def salted_repartition(
     df: DataFrame, n_partitions: int, conv_col: str = "conv_id", n_salts: int = DEFAULT_SALTS
 ) -> DataFrame:
@@ -89,6 +116,7 @@ def run_pipeline(
     base_dir: str = ".",
     n_partitions: int | None = None,
     resume: bool = True,
+    write_mode: str = "per_sink",  # or "partitioned": one partitionBy write
     fail_after_sink: str | None = None,  # test hook for resume tests
 ) -> RunResult:
     if isinstance(spec, dict):
@@ -127,7 +155,29 @@ def run_pipeline(
 
     result = RunResult()
     try:
-        for route in plan.routes:
+        if write_mode == "partitioned":
+            # ONE pass: explode routes -> dynamic-partitioned write by
+            # route (the reference's per-path writer goroutines,
+            # output/file/outputfile.go:190-325, as a partitionBy write).
+            # Same bytes as per-sink writes but a single job; per-sink
+            # resume granularity is traded for one atomic commit.
+            if not (resume and ledger.committed("__partitioned__")):
+                part_dir = os.path.join(out_dir, "by_route")
+                tmp_dir = part_dir + ".__tmp__"
+                exploded = routed.select(F.explode(ROUTES).alias("route"), "*").drop(ROUTES)
+                exploded.write.mode("overwrite").partitionBy("route").parquet(tmp_dir)
+                if os.path.exists(part_dir):
+                    shutil.rmtree(part_dir)
+                os.replace(tmp_dir, part_dir)
+                counts = dict(
+                    spark.read.parquet(part_dir).groupBy("route").count().collect()
+                )
+                result.sink_rows = {r.sink: int(counts.get(r.sink, 0)) for r in plan.routes}
+                ledger.commit("__partitioned__", sum(result.sink_rows.values()))
+            routes_to_write = []
+        else:
+            routes_to_write = plan.routes
+        for route in routes_to_write:
             sink = route.sink
             sink_dir = os.path.join(out_dir, sink)
             if resume and ledger.committed(sink) and os.path.exists(sink_dir):
@@ -152,21 +202,14 @@ def run_pipeline(
                 raise RuntimeError("injected failure after sink %s" % sink)
 
         # per-sink aggregates (report/statsd semantics,
-        # reference output/report/outputreport.go:80-92)
+        # reference output/report/outputreport.go:80-92,
+        # output/statsd/outputstatsd.go:267-331)
         for agg in spec.aggregate or [{"name": "counts", "group_by": ["tool"], "time_bucket": "hour"}]:
             name = agg["name"]
             if resume and ledger.committed("agg_%s" % name):
                 continue
-            keys = [F.col(k) for k in agg.get("group_by", [])]
-            if agg.get("time_bucket"):
-                keys.append(
-                    F.date_trunc(agg["time_bucket"], F.col("ts")).alias("time_bucket")
-                )
-            agg_df = (
-                routed.select(F.explode(ROUTES).alias("sink"), "*")
-                .groupBy(F.col("sink"), *keys)
-                .agg(F.count(F.lit(1)).alias("n"))
-            )
+            exploded = routed.select(F.explode(ROUTES).alias("sink"), "*")
+            agg_df = compute_aggregate(exploded, agg)
             agg_obs = Observation("agg_%s" % name)
             agg_df = agg_df.observe(agg_obs, F.count(F.lit(1)).alias("rows"))
             agg_dir = os.path.join(out_dir, "agg_%s" % name)

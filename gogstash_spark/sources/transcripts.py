@@ -217,7 +217,28 @@ TOOL_LOOKUP = [
 ]
 
 
+# geoip-shaped lookup for the public IPs in the pool; 203.0.113.7 and
+# 198.51.100.23 intentionally absent -> public-miss error-tag path
+GEO_LOOKUP = [
+    ("8.8.8.8", "US", "Mountain View", 37.386, -122.0838),
+    ("1.2.3.4", "AU", "Brisbane", -27.4679, 153.0281),
+    ("93.184.216.34", "US", "Norwell", 42.1508, -70.8228),
+]
+
+
 def write_lookups(out_dir: str) -> None:
+    pq.write_table(
+        pa.table(
+            {
+                "ip": pa.array([g[0] for g in GEO_LOOKUP]),
+                "country_code": pa.array([g[1] for g in GEO_LOOKUP]),
+                "city_name": pa.array([g[2] for g in GEO_LOOKUP]),
+                "latitude": pa.array([g[3] for g in GEO_LOOKUP], pa.float64()),
+                "longitude": pa.array([g[4] for g in GEO_LOOKUP], pa.float64()),
+            }
+        ),
+        os.path.join(out_dir, "geo_lookup.parquet"),
+    )
     pq.write_table(
         pa.table(
             {
@@ -266,6 +287,9 @@ def ensure_transcripts(sf_dir: str, root: str | None = None) -> str:
     tdir = os.path.join(out, "transcripts")
     done = os.path.join(out, "_SUCCESS")
     if os.path.exists(done):
+        # lookups added in later versions regenerate idempotently
+        if not os.path.exists(os.path.join(out, "geo_lookup.parquet")):
+            write_lookups(out)
         return out
     os.makedirs(tdir, exist_ok=True)
     sf = sf_of_dir(sf_dir)

@@ -1,0 +1,102 @@
+"""Codecs, statsd-style aggregates, partitioned write mode, enrich aliases."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gogstash_spark import codecs
+from gogstash_spark.operators import Context, compile_filter
+from gogstash_spark.plans.spec import PipelineSpec
+from gogstash_spark.runner import compute_aggregate, run_pipeline
+
+
+class TestCodecs:
+    def test_decode_default(self, spark):
+        df = spark.createDataFrame([("raw line",)], "value string")
+        assert codecs.decode_default(df).collect()[0]["text"] == "raw line"
+
+    def test_json_roundtrip(self, spark):
+        df = spark.createDataFrame(
+            [('{"level":"info","n":3}',)], "value string"
+        )
+        out = codecs.decode_json(df, schema="struct<level:string,n:bigint>")
+        r = out.collect()[0]
+        assert r["level"] == "info" and r["n"] == 3
+
+    def test_encode_json_utc_timestamp(self, spark):
+        df = spark.createDataFrame(
+            [("msg",)], "text string"
+        ).withColumn("ts", F.to_timestamp(F.lit("2024-03-01 12:00:00")))
+        out = codecs.encode_json(df).collect()[0]["encoded"]
+        d = json.loads(out)
+        assert d["message"] == "msg"
+        assert d["@timestamp"].startswith("2024-03-01T12:00:00")
+
+    def test_eventhub_explode(self, spark):
+        env = '{"records":[{"msg":"a"},{"msg":"b"}]}'
+        df = spark.createDataFrame([(env,)], "value string")
+        out = codecs.decode_azureeventhubjson(df).collect()
+        assert [r["record"]["msg"] for r in out] == ["a", "b"]
+
+
+class TestStatsdAgg:
+    def test_metric_key_template_ops(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("s1", "user", "none", 10),
+                ("s1", "user", "none", 20),
+                ("s1", "tool", "bash", 5),
+            ],
+            "sink string, role string, tool string, latency_ms long",
+        )
+        out = compute_aggregate(
+            df, {"metric_key": "%{role}.%{tool}", "ops": ["count", "sum:latency_ms"]}
+        )
+        got = {(r["sink"], r["metric"]): (r["n"], r["sum_latency_ms"]) for r in out.collect()}
+        assert got[("s1", "user.none")] == (2, 30)
+        assert got[("s1", "tool.bash")] == (1, 5)
+
+
+class TestPartitionedWrite:
+    def test_partitionby_route_matches_per_sink(self, spark, sf_data_dir, tmp_path):
+        spec = PipelineSpec.from_dict(
+            {
+                "input": {"path": os.path.join(sf_data_dir, "transcripts")},
+                "filter": [],
+                "output": [
+                    {"type": "table", "name": "s_user", "condition": "role == 'user'"},
+                    {"type": "table", "name": "s_tool", "condition": "role == 'tool'"},
+                ],
+                "aggregate": [],
+            }
+        )
+        a = run_pipeline(spark, spec, out_dir=str(tmp_path / "a"), base_dir=sf_data_dir)
+        b = run_pipeline(
+            spark, spec, out_dir=str(tmp_path / "b"), base_dir=sf_data_dir,
+            write_mode="partitioned",
+        )
+        assert a.sink_rows == b.sink_rows
+        got = spark.read.parquet(str(tmp_path / "b" / "by_route")).filter(
+            "route = 's_user'"
+        ).count()
+        assert got == a.sink_rows["s_user"]
+
+
+class TestEnrichAliases:
+    def test_ip2location_alias(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        lk = str(tmp_path / "ip2l.parquet")
+        pq.write_table(
+            pa.table({"ip": ["8.8.8.8"], "country_code": ["US"], "ISP": ["G"]}), lk
+        )
+        df = spark.createDataFrame([(1, "8.8.8.8")], "id int, clientip string")
+        stage = compile_filter(
+            {"type": "ip2location", "source": "clientip", "path": lk},
+            Context(spark=spark),
+        )
+        r = stage(df).collect()[0]
+        assert r["ip2location"]["country_code"] == "US"
