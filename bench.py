@@ -45,10 +45,10 @@ def main() -> None:
     out_dir = "/tmp/gogstash_bench_out"
     spec = standard_spec(data_dir)
     shutil.rmtree(out_dir, ignore_errors=True)
-    run_pipeline(spark, spec, out_dir=out_dir, base_dir=data_dir, resume=False)
+    run_pipeline(spark, spec, out_dir=out_dir, base_dir=data_dir, resume=False, write_mode="partitioned")
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.time()
-    res = run_pipeline(spark, spec, out_dir=out_dir, base_dir=data_dir, resume=False)
+    res = run_pipeline(spark, spec, out_dir=out_dir, base_dir=data_dir, resume=False, write_mode="partitioned")
     e2e = time.time() - t0
     timings["pipeline_e2e_write"] = round(e2e, 3)
     n_turns = res.metrics.get("pipeline", {}).get("rows_total", 0)

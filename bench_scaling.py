@@ -27,21 +27,26 @@ from gogstash_spark.sources.transcripts import ensure_transcripts
 spark = get_spark(app_name="scaling", master="local[{cores}]")
 data_dir = ensure_transcripts({sf_dir!r})
 out = "/tmp/gogstash_scaling_{cores}"
-shutil.rmtree(out, ignore_errors=True)
-# warm-up: JVM/codegen/Python workers (excluded from the measurement)
-run_pipeline(spark, standard_spec(data_dir), out_dir=out, base_dir=data_dir, resume=False)
-shutil.rmtree(out, ignore_errors=True)
-t0 = time.time()
-res = run_pipeline(spark, standard_spec(data_dir), out_dir=out, base_dir=data_dir, resume=False)
-wall = time.time() - t0
-rows = res.metrics["pipeline"]["rows_total"]
-print("RESULT " + json.dumps({{"cores": {cores}, "wall_sec": round(wall,2),
-  "rows": int(rows), "turns_per_sec": round(rows/wall,1)}}))
+walls = []
+rows = 0
+# run 0 is the JVM/codegen/Python-worker warm-up, excluded from walls
+for rep in range({reps} + 1):
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.time()
+    res = run_pipeline(spark, standard_spec(data_dir), out_dir=out,
+                       base_dir=data_dir, resume=False, write_mode="partitioned")
+    wall = time.time() - t0
+    rows = res.metrics["pipeline"]["rows_total"]
+    if rep > 0:
+        walls.append(round(wall, 2))
+print("RESULT " + json.dumps({{"cores": {cores}, "walls": walls,
+  "wall_sec": min(walls), "rows": int(rows),
+  "turns_per_sec": round(rows / min(walls), 1)}}))
 """
 
 
-def run_at(cores: int, sf_dir: str, repo: str) -> dict:
-    code = RUNNER.format(cores=cores, sf_dir=sf_dir, repo=repo)
+def run_at(cores: int, sf_dir: str, repo: str, reps: int) -> dict:
+    code = RUNNER.format(cores=cores, sf_dir=sf_dir, repo=repo, reps=reps)
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
     )
@@ -51,19 +56,78 @@ def run_at(cores: int, sf_dir: str, repo: str) -> dict:
     raise RuntimeError("no RESULT line; stderr tail: %s" % out.stderr[-2000:])
 
 
+CONTROL = """
+import time, sys
+sys.path.insert(0, {repo!r})
+from gogstash_spark.session import get_spark
+from pyspark.sql import functions as F
+spark = get_spark(master="local[{cores}]")
+df = spark.range(0, 40_000_000_000, 1, max({cores}, 64))
+expr = F.count(F.when(F.xxhash64("id") % 1000 == 0, 1))
+spark.range(0, 1000).agg(F.count("id")).collect()
+best = 1e9
+for _ in range(2):
+    t = time.time(); df.agg(expr).collect(); best = min(best, time.time() - t)
+print("RESULT " + str(best))
+"""
+
+
+def control_at(cores: int, repo: str) -> float:
+    """Machine parallel ceiling: an embarrassingly parallel pure-JVM
+    codegen job (range + xxhash64 + count, zero I/O, zero Python, zero
+    shuffle). Whatever 8->32 speedup THIS job gets is the most the
+    hardware will give any workload (shared-host vCPUs boost higher at
+    low thread counts)."""
+    out = subprocess.run(
+        [sys.executable, "-c", CONTROL.format(cores=cores, repo=repo)],
+        capture_output=True, text=True, timeout=1200,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return float(line[len("RESULT "):])
+    raise RuntimeError("control failed: %s" % out.stderr[-500:])
+
+
 def main() -> None:
+    """The sandbox host is noisy (shared VM): each config runs `reps`
+    measured repetitions in-process and the configs are interleaved
+    across two rounds of subprocesses; per-config wall = MIN across all
+    measurements (robust to external interference). A pure-JVM control
+    job measures the machine's own 8->32 scaling ceiling so pipeline
+    efficiency can be normalized against what the hardware allows."""
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     repo = os.path.dirname(os.path.abspath(__file__))
-    r8 = run_at(8, sf_dir, repo)
-    r32 = run_at(32, sf_dir, repo)
+    results: dict[int, dict] = {}
+    for round_ix in range(2):
+        for cores in (8, 32):
+            r = run_at(cores, sf_dir, repo, reps)
+            if cores in results:
+                results[cores]["walls"].extend(r["walls"])
+            else:
+                results[cores] = r
+    for cores, r in results.items():
+        r["wall_sec"] = min(r["walls"])
+        r["turns_per_sec"] = round(r["rows"] / r["wall_sec"], 1)
+    c8 = min(control_at(8, repo), control_at(8, repo))
+    c32 = min(control_at(32, repo), control_at(32, repo))
+    r8, r32 = results[8], results[32]
     speedup = r8["wall_sec"] / r32["wall_sec"]
     efficiency = speedup / (32 / 8)
+    ctrl_speedup = c8 / c32
     report = {
         "sf_dir": sf_dir,
         "local8": r8,
         "local32": r32,
         "speedup_8_to_32": round(speedup, 3),
         "scaling_efficiency": round(efficiency, 3),
+        "control_pure_jvm": {
+            "wall8": round(c8, 2),
+            "wall32": round(c32, 2),
+            "speedup": round(ctrl_speedup, 3),
+            "efficiency": round(ctrl_speedup / 4, 3),
+        },
+        "efficiency_vs_machine_ceiling": round(speedup / ctrl_speedup, 3),
     }
     print(json.dumps(report))
     with open(os.path.join(repo, "BENCH_SCALING.json"), "w") as f:

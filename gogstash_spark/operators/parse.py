@@ -357,12 +357,18 @@ UA_OS_RULES: list[tuple[str, str]] = [
 
 @register("useragent")
 def compile_useragent(cfg: dict, ctx: Context) -> Stage:
-    """UA parse via dedup-parse-join: distinct UA values are parsed once
-    and broadcast-joined back — the set-based analog of the reference's
-    per-process LRU cache (reference filter/useragent/filteruseragent.go:81-157).
+    """UA parse (reference filter/useragent/filteruseragent.go:81-157).
+
+    Default: inline native regexes — with a small ruleset the parse is
+    pure codegen, no extra pass. `dedup_join: true` switches to the
+    dedup-parse-broadcast-join shape (the set-based analog of the
+    reference's LRU cache) — worth it only when the ruleset is large
+    enough that per-row parse cost beats a second scan+shuffle; note it
+    re-evaluates the upstream plan to build the distinct set.
     """
     source = cfg.get("source", "agent")
     target = cfg.get("target", "ua")
+    dedup_join = bool(cfg.get("dedup_join", False))
 
     def parse_cols(col: Column) -> list[Column]:
         fam = F.coalesce(
@@ -381,6 +387,13 @@ def compile_useragent(cfg: dict, ctx: Context) -> Stage:
 
     def apply(df: DataFrame) -> DataFrame:
         strip = F.regexp_replace(F.coalesce(F.col(source), F.lit("")), r'^"|"$', "")
+        if not dedup_join:
+            fam, ver, osf = parse_cols(strip)
+            out = df.withColumn(
+                target,
+                F.struct(fam.alias("family"), ver.alias("version"), osf.alias("os")),
+            )
+            return apply_common(out, cfg, None)
         df = df.withColumn("__ua_src", strip)
         distinct = df.select(F.col("__ua_src").alias("__ua_key")).distinct()
         parsed = distinct.select(

@@ -284,12 +284,16 @@ class TestEnrich:
         assert got[3]["geo"] is None  # public miss: error tag
         assert "gogstash_filter_geoip2_error" in list(got[3]["tags"])
 
-    def test_useragent(self, spark, events):
+    @pytest.mark.parametrize("dedup_join", [False, True])
+    def test_useragent(self, spark, events, dedup_join):
         grok = compile_filter(
             {"type": "grok", "match": ["%{COMBINEDAPACHELOG}"], "use_pandas": False},
             ctx(spark),
         )
-        ua = compile_filter({"type": "useragent", "source": "agent"}, ctx(spark))
+        ua = compile_filter(
+            {"type": "useragent", "source": "agent", "dedup_join": dedup_join},
+            ctx(spark),
+        )
         got = {r["id"]: r for r in ua(grok(events)).collect()}
         assert got[1]["ua"]["family"] == "curl"
         assert got[1]["ua"]["version"] == "8.5.0"
