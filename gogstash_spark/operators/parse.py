@@ -71,9 +71,18 @@ def _grok_native(df: DataFrame, source: str, compiled: list[CompiledGrok]) -> tu
     return df, applied
 
 
-def _grok_pandas(df: DataFrame, source: str, compiled: list[CompiledGrok]) -> tuple[DataFrame, Column]:
+def _grok_pandas(
+    df: DataFrame,
+    source: str,
+    compiled: list[CompiledGrok],
+    accumulators: dict | None = None,
+) -> tuple[DataFrame, Column]:
     """Multi-pattern path: one Arrow-batched pandas UDF doing ordered
     Series.str.extract (first hit wins), returning a struct of strings.
+
+    `accumulators`: optional {"rows": <LongAccumulator>, "misses": ...}
+    incremented task-side per Arrow batch — executor-level row-count
+    lineage with zero extra passes.
     """
     field_names: list[str] = []
     for cg in compiled:
@@ -85,6 +94,8 @@ def _grok_pandas(df: DataFrame, source: str, compiled: list[CompiledGrok]) -> tu
         + [T.StructField(n, T.StringType()) for n in field_names]
     )
     regexes = [cg.named("python") for cg in compiled]
+    acc_rows = (accumulators or {}).get("rows")
+    acc_miss = (accumulators or {}).get("misses")
 
     @F.pandas_udf(out_schema)
     def grok_extract(s: pd.Series) -> pd.DataFrame:
@@ -104,6 +115,10 @@ def _grok_pandas(df: DataFrame, source: str, compiled: list[CompiledGrok]) -> tu
                     res.loc[hit_ix, c] = ext.loc[hit_ix, c]
             remaining = remaining[~hit.to_numpy()]
         res["__midx"] = res["__midx"].astype("int32")
+        if acc_rows is not None:
+            acc_rows.add(len(s))
+        if acc_miss is not None:
+            acc_miss.add(int((res["__midx"] == -1).sum()))
         return res
 
     # block predicate/projection pushdown THROUGH the UDF: a filter on a
@@ -134,9 +149,15 @@ def compile_grok_filter(cfg: dict, ctx: Context) -> Stage:
     use_pandas = cfg.get("use_pandas", len(compiled) > 2)
     error_tag = cfg.get("error_tag", GROK_ERROR_TAG)
 
+    accumulators = None
+    if cfg.get("with_accumulators", True) and ctx.spark is not None:
+        sc = ctx.spark.sparkContext
+        accumulators = {"rows": sc.accumulator(0), "misses": sc.accumulator(0)}
+        ctx.options.setdefault("accumulators", {})["grok"] = accumulators
+
     def apply(df: DataFrame) -> DataFrame:
         if use_pandas:
-            df, applied = _grok_pandas(df, source, compiled)
+            df, applied = _grok_pandas(df, source, compiled, accumulators)
         else:
             df, applied = _grok_native(df, source, compiled)
         df = df.withColumn(

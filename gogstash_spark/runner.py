@@ -200,11 +200,28 @@ def run_pipeline(
                 if os.path.exists(part_dir):
                     shutil.rmtree(part_dir)
                 os.replace(tmp_dir, part_dir)
-                counts = dict(
-                    spark.read.parquet(part_dir).groupBy("route").count().collect()
+                # per-partition (per output file) row-count lineage in one
+                # pruned scan; sink totals roll up from it
+                lineage_rows = (
+                    spark.read.parquet(part_dir)
+                    .groupBy("route", F.input_file_name().alias("file"))
+                    .count()
+                    .collect()
                 )
+                lineage = [
+                    {"route": r["route"], "file": os.path.basename(r["file"]), "rows": r["count"]}
+                    for r in lineage_rows
+                ]
+                counts: dict[str, int] = {}
+                for r in lineage_rows:
+                    counts[r["route"]] = counts.get(r["route"], 0) + r["count"]
                 result.sink_rows = {r.sink: int(counts.get(r.sink, 0)) for r in plan.routes}
-                ledger.commit("__partitioned__", sum(result.sink_rows.values()))
+                result.metrics["lineage"] = {"files": len(lineage), "per_file": lineage}
+                ledger.commit(
+                    "__partitioned__",
+                    sum(result.sink_rows.values()),
+                    extra={"lineage": lineage},
+                )
             routes_to_write = []
         else:
             routes_to_write = plan.routes
@@ -263,6 +280,11 @@ def run_pipeline(
             result.metrics["pipeline"] = dict(obs.get)
         except Exception:
             pass  # observation only materializes if the observed node ran
+        # task-side accumulators registered by stages (e.g. grok rows/misses)
+        for stage_name, accs in (ctx.options.get("accumulators") or {}).items():
+            result.metrics["acc_%s" % stage_name] = {
+                k: int(a.value) for k, a in accs.items()
+            }
     finally:
         try:
             routed.unpersist()
