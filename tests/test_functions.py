@@ -54,6 +54,34 @@ class TestGrok:
         cg = compile_grok("%{WORD:x} %{WORD:x}")
         assert cg.captures == ["x"]
 
+    @pytest.mark.parametrize(
+        "pattern,line",
+        [
+            ("%{SYSLOGLINE}", "Jul 18 16:10:16 myhost sshd[1234]: Failed password"),
+            ("%{TIMESTAMP_ISO8601:t}", "2024-03-01T12:34:56Z"),
+            ("%{URI:u}", "https://example.com:8080/a/b?x=1&y=2"),
+            ("%{UUID:u}", "123e4567-e89b-12d3-a456-426614174000"),
+            ("%{MAC:m}", "00:1a:2b:3c:4d:5e"),
+            ("%{IPV6:i}", "2001:db8::1"),
+            ("%{EMAILADDRESS:e}", "bob.smith@example.com"),
+            ("%{DATESTAMP:d}", "07/18/2017-16:10:16"),
+            ("%{UNIXPATH:p}", "/var/log/app.log"),
+        ],
+    )
+    def test_extended_library(self, pattern, line):
+        cg = compile_grok(pattern)
+        assert re.search(cg.named("python"), line)
+
+    def test_syslog_typed_fields(self):
+        cg = compile_grok("%{SYSLOGLINE}")
+        m = re.search(
+            cg.named("python"), "Jul 18 16:10:16 myhost sshd[1234]: Failed password"
+        )
+        assert m.group("program") == "sshd"
+        assert m.group("pid") == "1234"
+        assert cg.types["pid"] == "int"
+        assert m.group("message") == "Failed password"
+
 
 class TestCond:
     @pytest.mark.parametrize(
