@@ -99,13 +99,8 @@ def fingerprint(df: DataFrame, text_col: str = "text", n: int = 5) -> DataFrame:
     Short docs (< n words) fall back to md5 of the whole text.
     """
     toks = tokens(F.col(text_col))
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    shingles = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
-        ),
-    )
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
     fp = F.when(
         F.size(toks) >= n,
         F.array_min(F.transform(shingles, F.md5)),
