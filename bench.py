@@ -46,10 +46,17 @@ def main() -> None:
     spec = standard_spec(data_dir)
     shutil.rmtree(out_dir, ignore_errors=True)
     run_pipeline(spark, spec, out_dir=out_dir, base_dir=data_dir, resume=False, write_mode="partitioned")
-    shutil.rmtree(out_dir, ignore_errors=True)
-    t0 = time.time()
-    res = run_pipeline(spark, spec, out_dir=out_dir, base_dir=data_dir, resume=False, write_mode="partitioned")
-    e2e = time.time() - t0
+    # two measured runs, keep the min: the sandbox host is shared and a
+    # single run can be 2x off (see BASELINE.md noise notes)
+    e2e = float("inf")
+    for _ in range(2):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.time()
+        res = run_pipeline(
+            spark, spec, out_dir=out_dir, base_dir=data_dir, resume=False,
+            write_mode="partitioned",
+        )
+        e2e = min(e2e, time.time() - t0)
     timings["pipeline_e2e_write"] = round(e2e, 3)
     n_turns = res.metrics.get("pipeline", {}).get("rows_total", 0)
 
