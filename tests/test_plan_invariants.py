@@ -1,0 +1,64 @@
+"""Physical-plan invariants: the properties that make the pipeline fast
+at scale, asserted so a regression is a test failure, not a silent 10x.
+
+- the grok pandas UDF evaluates exactly ONCE per plan (filters on its
+  outputs must not duplicate the ArrowEvalPython node)
+- lookup enriches are broadcast hash joins (never sort-merge)
+- native predicates push down into the parquet scan
+- the full pipeline plan keeps a single transcripts scan
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gogstash_spark.operators import Context
+from gogstash_spark.pipelines import standard_spec
+from gogstash_spark.plans.compile import compile_pipeline
+
+
+def physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def pipeline_plan(spark, sf_data_dir):
+    plan = compile_pipeline(
+        standard_spec(sf_data_dir), Context(spark=spark, base_dir=sf_data_dir)
+    )
+    routed = plan.run(spark.read.parquet(os.path.join(sf_data_dir, "transcripts")))
+    return physical_plan(routed)
+
+
+class TestPlanInvariants:
+    def test_single_arrow_eval_in_pipeline(self, pipeline_plan):
+        assert pipeline_plan.count("ArrowEvalPython") == 1
+
+    def test_single_transcripts_scan(self, pipeline_plan):
+        scans = [
+            ln for ln in pipeline_plan.splitlines()
+            if "FileScan parquet" in ln and "transcripts" in ln
+        ]
+        assert len(scans) == 1, scans
+
+    def test_lookups_are_broadcast_not_sortmerge(self, pipeline_plan):
+        assert pipeline_plan.count("BroadcastHashJoin") >= 2  # role + tool
+        assert "SortMergeJoin" not in pipeline_plan
+
+    def test_filter_on_udf_output_does_not_duplicate_udf(self, spark, sf_data_dir):
+        import __spark_entry__ as e
+
+        df = e.queries()["grok_parse"](spark, "/root/testdata/sf0.001")
+        assert physical_plan(df).count("ArrowEvalPython") == 1
+
+    def test_native_predicate_pushdown(self, spark, sf_data_dir):
+        df = (
+            spark.read.parquet(os.path.join(sf_data_dir, "transcripts"))
+            .filter(F.col("role") == "user")
+            .select("conv_id")
+        )
+        plan = physical_plan(df)
+        assert "PushedFilters: [IsNotNull(role), EqualTo(role,user)]" in plan
+        # column pruning: scan reads only the referenced columns
+        assert "ReadSchema: struct<conv_id:string,role:string>" in plan
