@@ -122,6 +122,12 @@ def standard_spec(data_dir: str, use_pandas_grok: bool = True) -> PipelineSpec:
             ],
             "aggregate": [
                 {"name": "counts", "group_by": ["tool"], "time_bucket": "hour"},
+                {"name": "conv_counts", "group_by": ["conv_id"]},
+                {
+                    "name": "statsd",
+                    "metric_key": "%{role}.%{tool}",
+                    "ops": ["count", "sum:latency_ms"],
+                },
             ],
         }
     )
