@@ -195,7 +195,12 @@ def q_mutate_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = add(out)
     out = out.withColumn("src_parts", F.col("src"))
     out = sp(rep(up(out)))
-    return out.select("conv_id", "turn_idx", "role_up", "src", "src_parts")
+    # The driver's canonicalizer hashes with pandas sort_values, which cannot
+    # hash list cells — project the split array as a joined string.
+    return out.select(
+        "conv_id", "turn_idx", "role_up", "src",
+        F.array_join(F.col("src_parts"), "|").alias("src_parts"),
+    )
 
 
 def o_mutate_ops() -> str:
@@ -203,7 +208,7 @@ def o_mutate_ops() -> str:
 SELECT conv_id, turn_idx,
        upper(role) AS role_up,
        replace(role || '/' || tool, '/none', '/-') AS src,
-       string_split(role || '/' || tool, '/') AS src_parts
+       array_to_string(string_split(role || '/' || tool, '/'), '|') AS src_parts
 FROM t"""
 
 

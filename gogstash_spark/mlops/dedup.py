@@ -43,10 +43,16 @@ def shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataF
         # slice-based shingling: one HOF call per shingle instead of n
         # element_at calls (measured 2.3x faster; HOF lambdas are
         # interpreted, not codegen'd)
-        idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-        sh = F.array_distinct(
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-        )
+        idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+        # docs with < n tokens have no n-shingles: sequence(1, <1) would
+        # descend and slice() would throw, so guard with a lazily-evaluated
+        # CASE WHEN (CaseWhen short-circuits per row)
+        sh = F.when(
+            F.size(toks) >= n,
+            F.array_distinct(
+                F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+            ),
+        ).otherwise(F.array().cast("array<string>"))
     return df.select(F.col(id_col).alias("id"), sh.alias("sh_set"))
 
 
@@ -70,41 +76,94 @@ def minhash_signatures(
     return sh.groupBy("id").agg(*aggs)
 
 
+def collapse_exact_texts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One representative row per distinct text: id = min(id) per md5(text).
+
+    Run BEFORE near-dup detection so a million-way boilerplate cluster
+    contributes ONE row to every LSH bucket instead of n (the n² pair
+    explosion lives in exact duplicates, which exact_dup_groups already
+    reports cheaply)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("__th"))
+        .agg(F.min(id_col).alias(id_col), F.min(text_col).alias(text_col))
+        .select(id_col, text_col)
+    )
+
+
+def lsh_band_buckets(sig: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """Explode a minhash signature frame (id, m0..m{b*r-1}) to
+    (id, band, v) where v concatenates the band's r row-hashes."""
+    structs = []
+    for bnd in range(bands):
+        v = F.concat_ws(
+            "|", *[F.col("m%d" % (bnd * rows_per_band + j)) for j in range(rows_per_band)]
+        )
+        structs.append(F.struct(F.lit(bnd).alias("band"), v.alias("v")))
+    return sig.select("id", F.explode(F.array(*structs)).alias("b")).select(
+        "id", F.col("b.band").alias("band"), F.col("b.v").alias("v")
+    )
+
+
+def lsh_hot_buckets(buckets: DataFrame, bucket_cap: int) -> DataFrame:
+    """(band, v, cnt) for buckets over the cap — the rows a capped run
+    skips. Surface this to the caller/logs: capping must never be a
+    silent truncation."""
+    return (
+        buckets.groupBy("band", "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > bucket_cap)
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
-    k: int = 4,
+    bands: int = 4,
+    rows_per_band: int = 1,
     threshold: float = 0.5,
+    bucket_cap: int | None = None,
+    collapse_exact: bool = True,
 ) -> DataFrame:
-    """Near-dup pairs via MinHash banding (bands of 1 row here: a
-    candidate shares ANY minhash) verified with exact Jaccard.
+    """Near-dup pairs via MinHash banding verified with exact Jaccard.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    With collapse_exact (default), ids are per-distinct-text
+    representatives (min id per md5(text)) — exact duplicates are
+    reported by exact_dup_groups, not re-derived here.
+
+    bands × rows_per_band tunes the S-curve: P(candidate) =
+    1 - (1 - s^rows)^bands for Jaccard s. rows=1 means "shares ANY
+    minhash" (high recall); more rows sharpen precision.
 
     Scale shape: candidate generation is a bucket equi-join (never
-    quadratic); the exact-Jaccard verify touches ONLY candidate pairs
-    via array_intersect on the two shingle sets — no inverted-index
-    self-join blowup on hot shingles.
+    quadratic); bucket_cap drops buckets holding > cap docs (use
+    lsh_hot_buckets to log what was dropped — no silent truncation);
+    the exact-Jaccard verify touches ONLY candidate pairs via
+    array_intersect on the two shingle sets.
     """
+    if collapse_exact:
+        df = collapse_exact_texts(df, text_col, id_col)
     sets = shingle_sets(df, text_col, id_col, n).persist()
     sh = sets.select("id", F.explode("sh_set").alias("shingle"))
-    sig = minhash_signatures(sh, k)
+    sig = minhash_signatures(sh, bands * rows_per_band)
 
     # band join: explode signatures to (band, value) and self-join buckets
-    bands = sig.select(
-        "id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(j).alias("band"), F.col("m%d" % j).alias("v"))
-                for j in range(k)
-            ])
-        ).alias("b"),
-    ).select("id", F.col("b.band").alias("band"), F.col("b.v").alias("v"))
+    buckets = lsh_band_buckets(sig, bands, rows_per_band)
+    if bucket_cap is not None:
+        ok = (
+            buckets.groupBy("band", "v")
+            .agg(F.count(F.lit(1)).alias("__bcnt"))
+            .filter(F.col("__bcnt") <= bucket_cap)
+            .select("band", "v")
+        )
+        buckets = buckets.join(ok, ["band", "v"])
     cand = (
-        bands.alias("x")
-        .join(bands.alias("y"), ["band", "v"])
+        buckets.alias("x")
+        .join(buckets.alias("y"), ["band", "v"])
         .filter(F.col("x.id") < F.col("y.id"))
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
@@ -161,11 +220,26 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 1,
     threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
-    """All-pairs n-gram Jaccard >= threshold via inverted-index join
-    (no LSH stage — the exact counterpart used to validate minhash_lsh).
+    """All-pairs n-gram Jaccard >= threshold via inverted-index join.
+
+    TEST/VALIDATION PATH ONLY: the self-join is quadratic on hot
+    shingles — this is the exact counterpart used to validate
+    minhash_lsh_pairs, not a production dedup path. max_df drops
+    shingles appearing in > max_df docs (biases Jaccard low for pairs
+    sharing only hot shingles, but bounds the join at larger scales).
     """
-    sh = shingle_df(df, text_col, id_col, n).persist()
+    sh = shingle_df(df, text_col, id_col, n)
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
+    sh = sh.persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         sh.alias("a")

@@ -53,7 +53,8 @@ FROM t GROUP BY 1 HAVING count(*) > 1"""
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(
-        _docs(spark, sf_dir), "text", "doc_id", n=3, k=4, threshold=0.35
+        _docs(spark, sf_dir), "text", "doc_id", n=3, bands=4, rows_per_band=1,
+        threshold=0.35, bucket_cap=1000, collapse_exact=True,
     )
 
 
@@ -61,19 +62,24 @@ def o_dedup_minhash_lsh() -> str:
     mh = ", ".join(
         "min(md5('%d|' || shingle)) AS m%d" % (j, j) for j in range(4)
     )
-    return f"""WITH sets AS (
+    return f"""WITH reps AS (
+  SELECT min(doc_id) AS doc_id, min(text) AS text FROM documents GROUP BY md5(text)
+),
+sets AS (
   SELECT doc_id AS id, list_distinct(
     [array_to_string(words[i:i+2], ' ') FOR i IN range(1, greatest(len(words)-1, 1))]
   ) AS sh_set
-  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words FROM documents)
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words FROM reps)
 ),
 sh AS (SELECT id, unnest(sh_set) AS shingle FROM sets),
 sig AS (SELECT id, {mh} FROM sh GROUP BY id),
-bands AS (
+bands0 AS (
   SELECT id, b.band, b.v FROM sig,
   UNNEST([{{'band': 0, 'v': m0}}, {{'band': 1, 'v': m1}},
           {{'band': 2, 'v': m2}}, {{'band': 3, 'v': m3}}]) AS u(b)
 ),
+ok AS (SELECT band, v FROM bands0 GROUP BY band, v HAVING count(*) <= 1000),
+bands AS (SELECT b.* FROM bands0 b JOIN ok USING (band, v)),
 cand AS (
   SELECT DISTINCT x.id AS id_a, y.id AS id_b
   FROM bands x JOIN bands y ON x.band = y.band AND x.v = y.v AND x.id < y.id

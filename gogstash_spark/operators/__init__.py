@@ -26,6 +26,10 @@ class Context:
     spark: SparkSession
     base_dir: str = "."
     options: dict = field(default_factory=dict)
+    # SQL boolean expr naming the rows a branch chain owns (set by the
+    # cond filter). Row-REMOVING stages must keep rows outside the guard;
+    # column writes need no handling — cond's snapshot/merge restores them.
+    guard: str | None = None
 
 
 FILTERS: dict[str, Callable[[dict, Context], Stage]] = {}

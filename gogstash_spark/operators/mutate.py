@@ -46,8 +46,12 @@ def compile_mutate(cfg: dict, ctx: Context) -> Stage:
                     else F.split(F.col(o["field"]), _rx_escape(o["sep"]), -1),
                 )
             elif op == "replace":
-                # literal old -> new, new supports %{} templates
-                new = logevent.format_expr(df, str(o["new"]))
+                # literal old -> new, new supports %{} templates; escape
+                # '$'/'\' in the rendered replacement (Java regex group
+                # refs) so the contract stays literal old -> new
+                new = F.regexp_replace(
+                    logevent.format_expr(df, str(o["new"])), r"([\\$])", r"\\$1"
+                )
                 df = df.withColumn(
                     o["field"],
                     F.regexp_replace(
@@ -194,10 +198,18 @@ def compile_drop(cfg: dict, ctx: Context) -> Stage:
     for the same effect); no condition drops everything.
     """
     condition = cfg.get("condition")
+    guard = ctx.guard
 
     def apply(df: DataFrame) -> DataFrame:
+        drop_pred = cond_to_sql(condition) if condition else "true"
+        if guard is not None:
+            # inside a cond branch: rows outside the guard always survive;
+            # in-guard rows keep the unguarded null semantics (null -> drop)
+            return df.filter(
+                "(NOT coalesce(%s, false)) OR (NOT (%s))" % (guard, drop_pred)
+            )
         if condition:
-            return df.filter("NOT (%s)" % cond_to_sql(condition))
+            return df.filter("NOT (%s)" % drop_pred)
         return df.limit(0)
 
     return apply
@@ -252,12 +264,17 @@ def compile_ratelimit(cfg: dict, ctx: Context) -> Stage:
     key = cfg.get("key", "turn_idx")
     keep_num = int(cfg.get("keep_num", 1))
     keep_den = int(cfg.get("keep_den", 10))
+    guard = ctx.guard
 
     def apply(df: DataFrame) -> DataFrame:
         bucket = F.pmod(
             F.pmod(F.col(key).cast("long") * F.lit(2654435761), F.lit(2**31 - 1)),
             F.lit(keep_den),
         )
-        return df.filter(bucket < F.lit(keep_num))
+        keep = bucket < F.lit(keep_num)
+        if guard is not None:
+            # inside a cond branch: throttle only the rows the branch owns
+            keep = keep | ~F.coalesce(F.expr(guard), F.lit(False))
+        return df.filter(keep)
 
     return apply

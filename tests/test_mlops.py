@@ -40,10 +40,66 @@ class TestDedup:
     def test_minhash_lsh_finds_near_dups(self, spark, docs):
         pairs = {
             (r["id_a"], r["id_b"])
-            for r in dedup.minhash_lsh_pairs(docs, n=1, k=4, threshold=0.5).collect()
+            for r in dedup.minhash_lsh_pairs(docs, n=1, bands=4, threshold=0.5).collect()
+        }
+        # exact dups collapse to rep id 1 (exact_dup_groups owns them);
+        # the near-dup pair survives at the representative level
+        assert (1, 3) in pairs
+        assert (1, 2) not in pairs
+        assert (4, 5) not in pairs
+
+    def test_minhash_lsh_no_collapse_keeps_exact_pairs(self, spark, docs):
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.minhash_lsh_pairs(
+                docs, n=1, bands=4, threshold=0.5, collapse_exact=False
+            ).collect()
         }
         assert (1, 2) in pairs
-        assert (4, 5) not in pairs
+
+    def test_shingle_short_doc_empty_not_error(self, spark):
+        short = spark.createDataFrame(
+            [(1, "one two"), (2, "a"), (3, ""), (4, "alpha beta gamma delta")],
+            "doc_id long, text string",
+        )
+        sets = {
+            r["id"]: r["sh_set"]
+            for r in dedup.shingle_sets(short, "text", "doc_id", n=3).collect()
+        }
+        assert sets[1] == [] and sets[2] == [] and sets[3] == []
+        assert sets[4] == ["alpha beta gamma", "beta gamma delta"]
+        # the pair pipelines must not abort on short docs either
+        assert dedup.minhash_lsh_pairs(short, n=3, threshold=0.5).count() == 0
+
+    def test_minhash_lsh_mass_duplicate_cluster_bounded(self, spark):
+        """A 10k-way exact-duplicate cluster must not explode the band
+        join into ~n^2/2 candidate pairs (collapse-exact + bucket cap)."""
+        base = spark.range(10_000).select(
+            F.col("id").alias("doc_id"),
+            F.lit("the same boilerplate text repeated everywhere again").alias("text"),
+        )
+        extra = spark.createDataFrame(
+            [(100_001, "the same boilerplate text repeated everywhere once more"),
+             (100_002, "entirely unrelated content zebra quantum")],
+            "doc_id long, text string",
+        )
+        pairs = dedup.minhash_lsh_pairs(
+            base.unionByName(extra), n=1, bands=4, threshold=0.3, bucket_cap=1000
+        )
+        got = pairs.collect()  # completes fast; reps only
+        ids = {r["id_a"] for r in got} | {r["id_b"] for r in got}
+        assert len(got) <= 3 and ids <= {0, 100_001, 100_002}
+
+    def test_lsh_hot_buckets_reports_dropped(self, spark):
+        docs = spark.range(50).select(
+            F.col("id").alias("doc_id"), F.lit("hot hot hot").alias("text")
+        )
+        sets = dedup.shingle_sets(docs, "text", "doc_id", n=1)
+        sh = sets.select("id", F.explode("sh_set").alias("shingle"))
+        sig = dedup.minhash_signatures(sh, 4)
+        buckets = dedup.lsh_band_buckets(sig, bands=4, rows_per_band=1)
+        hot = dedup.lsh_hot_buckets(buckets, bucket_cap=10).collect()
+        assert len(hot) == 4 and all(r["cnt"] == 50 for r in hot)
 
     def test_simhash_identical_for_dups(self, spark, docs):
         sig = {r["id"]: r["simhash"] for r in dedup.simhash(docs).collect()}

@@ -52,6 +52,39 @@ class TestPlanInvariants:
         df = e.queries()["grok_parse"](spark, "/root/testdata/sf0.001")
         assert physical_plan(df).count("ArrowEvalPython") == 1
 
+    def test_midchain_cond_does_not_duplicate_subtree(self, spark, sf_data_dir):
+        """A cond filter after grok compiles to per-column CASE WHEN, not
+        branch-split + union: one scan, one ArrowEvalPython — a split
+        would run the regex UDF (the most expensive stage) twice."""
+        from gogstash_spark.operators import Context, compile_chain
+        from gogstash_spark.pipelines import EXTRA_PATTERNS, GROK_MATCHES
+
+        ctx = Context(spark=spark, base_dir=sf_data_dir)
+        chain = compile_chain(
+            [
+                {"type": "grok", "source": "text", "match": GROK_MATCHES,
+                 "patterns": EXTRA_PATTERNS, "use_pandas": True},
+                {"type": "cond",
+                 "condition": "role == 'tool'",
+                 "filter": [
+                     {"type": "add_field", "key": "route", "value": "tools"},
+                     {"type": "drop", "condition": "tool == 'none'"},
+                 ],
+                 "else_filter": [
+                     {"type": "add_field", "key": "route", "value": "rest"},
+                 ]},
+            ],
+            ctx,
+        )
+        df = chain(spark.read.parquet(os.path.join(sf_data_dir, "transcripts")))
+        plan = physical_plan(df)
+        assert plan.count("ArrowEvalPython") == 1, plan
+        scans = [
+            ln for ln in plan.splitlines()
+            if "FileScan parquet" in ln and "transcripts" in ln
+        ]
+        assert len(scans) == 1, scans
+
     def test_native_predicate_pushdown(self, spark, sf_data_dir):
         df = (
             spark.read.parquet(os.path.join(sf_data_dir, "transcripts"))
