@@ -180,6 +180,95 @@ SELECT conv_id, turn_idx,
 FROM m"""
 
 
+SYSLOG_NOW = "2024-06-01 00:00:00"  # pinned clock => deterministic year backfill
+
+
+def q_syslog_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SYSLOGLINE grok + yearless date parse with the reference's
+    compute_year_if_missing back-fill (filter/date/filterdate.go:34,114-119):
+    current year, minus one when that would land in the future."""
+    df = _tx(spark, sf_dir).withColumn(
+        "sysline",
+        F.concat(
+            F.date_format("ts", "MMM dd HH:mm:ss"),
+            F.lit(" host-"), F.col("role"),
+            F.lit(" "), F.col("tool"),
+            F.lit("["), (F.col("turn_idx") % 97 + 1).cast("string"),
+            F.lit("]: turn for "), F.col("conv_id"),
+        ),
+    )
+    grok = _stage(
+        spark, sf_dir,
+        {"type": "grok", "source": "sysline", "match": ["%{SYSLOGLINE}"],
+         "use_pandas": False, "tag_on_failure": False},
+    )
+    dt = _stage(
+        spark, sf_dir,
+        {"type": "date", "source": "timestamp", "format": ["Jan 02 15:04:05"],
+         "compute_year_if_missing": True, "now": SYSLOG_NOW,
+         "target": "log_ts", "tag_on_failure": False},
+    )
+    return dt(grok(df)).select(
+        "conv_id", "turn_idx", "logsource", "program", "pid", "message", "log_ts"
+    )
+
+
+def o_syslog_parse() -> str:
+    # the syslog line is synthesized from ts/role/tool/conv_id, so the
+    # oracle recomputes the expected fields directly; log_ts mirrors the
+    # year back-fill: current(now) year, minus 1 if in now's future
+    return f"""{TX_CTE}, c AS (
+  SELECT conv_id, turn_idx,
+    'host-' || role AS logsource,
+    tool AS program,
+    CAST(turn_idx % 97 + 1 AS BIGINT) AS pid,
+    'turn for ' || conv_id AS message,
+    make_timestamp(2024, month(ts), day(ts), hour(ts), minute(ts), second(ts)) AS cand
+  FROM t
+)
+SELECT conv_id, turn_idx, logsource, program, pid, message,
+  CASE WHEN cand > TIMESTAMP '{SYSLOG_NOW}'
+       THEN make_timestamp(2023, month(cand), day(cand), hour(cand), minute(cand), second(cand))
+       ELSE cand END AS log_ts
+FROM c"""
+
+
+def q_kv_autotype(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kv auto-int typing with string-keep list (reference
+    filter/kv/filterkv.go:117-139): int-parsable values become longs in
+    kv_num unless the key is string-kept."""
+    df = _tx(spark, sf_dir).filter(F.col("text").rlike("^level="))
+    stage = _stage(
+        spark, sf_dir,
+        {"type": "kv", "source": "text", "target": "kv",
+         "auto_type": True, "keep_strings": ["status"]},
+    )
+    out = stage(df)
+    return out.select(
+        "conv_id", "turn_idx",
+        F.col("kv_num")["latency_ms"].alias("lat_num"),
+        F.col("kv")["status"].alias("status_str"),
+        F.col("kv")["level"].alias("level_str"),
+        F.col("kv")["latency_ms"].alias("lat_in_str"),  # auto-typed away => NULL
+    )
+
+
+def o_kv_autotype() -> str:
+    return f"""{TX_CTE}, x AS (
+  SELECT conv_id, turn_idx,
+    regexp_replace(regexp_extract(text, 'latency_ms=("[^"]*"|\\S+)', 1), '^"(.*)"$', '\\1') AS lat,
+    regexp_replace(regexp_extract(text, 'status=("[^"]*"|\\S+)', 1), '^"(.*)"$', '\\1') AS status,
+    regexp_replace(regexp_extract(text, 'level=("[^"]*"|\\S+)', 1), '^"(.*)"$', '\\1') AS level
+  FROM t WHERE regexp_matches(text, '^level=')
+)
+SELECT conv_id, turn_idx,
+  CAST(CASE WHEN regexp_matches(lat, '^-?\\d+$') THEN lat END AS BIGINT) AS lat_num,
+  status AS status_str,
+  level AS level_str,
+  CASE WHEN NOT regexp_matches(lat, '^-?\\d+$') THEN lat END AS lat_in_str
+FROM x"""
+
+
 def q_mutate_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """uppercase / replace / merge / split
     (reference filter/mutate/filtermutate.go:68-119)."""
@@ -306,15 +395,40 @@ def q_hash_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir,
         {"type": "hash", "source": ["text"], "algo": "md5", "target": "h_md5"},
     )
-    return h2(h1(df)).select("conv_id", "turn_idx", "h_sha256", "h_md5")
+    h3 = _stage(
+        spark, sf_dir,
+        {"type": "hash", "source": ["conv_id", "turn_idx"], "algo": "fnv32a", "target": "h_fnv"},
+    )
+    h4 = _stage(
+        spark, sf_dir,
+        {"type": "hash", "source": ["conv_id", "turn_idx"], "algo": "adler32", "target": "h_adler"},
+    )
+    return h4(h3(h2(h1(df)))).select(
+        "conv_id", "turn_idx", "h_sha256", "h_md5", "h_fnv", "h_adler"
+    )
 
 
 def o_hash_fields() -> str:
-    return f"""{TX_CTE}
+    # fnv32a / adler32 recomputed as plain integer arithmetic over the
+    # codepoints (ASCII input => codepoints == utf-8 bytes)
+    return f"""{TX_CTE}, s AS (
+  SELECT conv_id, turn_idx, text,
+         conv_id || CAST(turn_idx AS VARCHAR) AS k
+  FROM t
+), b AS (
+  SELECT conv_id, turn_idx, text, k,
+         [CAST(ord(k[i]) AS BIGINT) FOR i IN range(1, length(k)+1)] AS bs
+  FROM s
+)
 SELECT conv_id, turn_idx,
-       sha256(conv_id || CAST(turn_idx AS VARCHAR)) AS h_sha256,
-       md5(text) AS h_md5
-FROM t"""
+       sha256(k) AS h_sha256,
+       md5(text) AS h_md5,
+       lpad(lower(hex(list_reduce(list_prepend(2166136261::BIGINT, bs),
+            (acc, x) -> (xor(acc, x) * 16777619) % 4294967296))), 8, '0') AS h_fnv,
+       lpad(lower(hex(
+            ((length(k) + list_sum([bs[i] * (length(k) - i + 1) FOR i IN range(1, length(k)+1)])) % 65521) * 65536
+            + (1 + list_sum(bs)) % 65521)), 8, '0') AS h_adler
+FROM b"""
 
 
 def q_ratelimit_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -684,8 +798,10 @@ SELECT doc_id, text AS msg, 1 AS seq FROM documents"""
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grok_parse": q_grok_parse,
     "kv_parse": q_kv_parse,
+    "kv_autotype": q_kv_autotype,
     "json_parse": q_json_parse,
     "date_parse": q_date_parse,
+    "syslog_parse": q_syslog_parse,
     "mutate_ops": q_mutate_ops,
     "typeconv_cast": q_typeconv_cast,
     "convert_factor": q_convert_factor,
@@ -708,8 +824,10 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 PIPELINE_ORACLES: dict[str, str | Callable[[], str]] = {
     "grok_parse": o_grok_parse,
     "kv_parse": o_kv_parse,
+    "kv_autotype": o_kv_autotype,
     "json_parse": o_json_parse,
     "date_parse": o_date_parse,
+    "syslog_parse": o_syslog_parse,
     "mutate_ops": o_mutate_ops,
     "typeconv_cast": o_typeconv_cast,
     "convert_factor": o_convert_factor,

@@ -215,19 +215,67 @@ def compile_drop(cfg: dict, ctx: Context) -> Stage:
     return apply
 
 
-_HASH_ALGOS = {"md5", "sha1", "sha256", "crc32", "xxhash64"}
+_HASH_ALGOS = {"md5", "sha1", "sha256", "crc32", "xxhash64", "fnv32a", "adler32"}
+# digest algorithms the reference supports that have NO faithful
+# column-arithmetic mapping here: fail loudly, never silently remap
+# (migrating workloads use digests as stable document ids)
+_UNSUPPORTED_ALGOS = {"fnv64a", "fnv128a", "murmur3_128"}
+
+
+def _utf8_bytes(col: Column) -> Column:
+    """array<long> of the UTF-8 bytes of a string column (via hex pairs —
+    stays entirely in native expressions, no UDF)."""
+    hx = F.hex(F.encode(col, "UTF-8"))
+    n = (F.length(hx) / 2).cast("int")
+    return F.when(n > 0, F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.conv(F.substr(hx, i * 2 - 1, F.lit(2)), 16, 10).cast("long"),
+    )).otherwise(F.array().cast("array<long>"))
+
+
+def _fnv32a(col: Column) -> Column:
+    """FNV-1a 32-bit (reference filter/hash/filterhash.go:73-82 uses
+    hash/fnv): h = (h XOR byte) * 16777619 mod 2^32, h0 = 2166136261.
+    Pure column arithmetic — products stay under 2^57, no overflow."""
+    return F.aggregate(
+        _utf8_bytes(col),
+        F.lit(2166136261).cast("long"),
+        lambda acc, b: F.pmod(acc.bitwiseXOR(b) * F.lit(16777619), F.lit(4294967296)),
+    )
+
+
+def _adler32(col: Column) -> Column:
+    """Adler-32 via the closed-form weighted sum: a = 1 + sum(bytes),
+    b = n + sum((n-i)*byte_i) [0-based], result = (b mod 65521)*65536 +
+    (a mod 65521). Exact for inputs < ~250 MB (sum fits in a long)."""
+    bs = _utf8_bytes(col)
+    n = F.size(bs)
+    a = F.pmod(F.lit(1) + F.aggregate(bs, F.lit(0).cast("long"), lambda x, y: x + y), F.lit(65521))
+    weighted = F.when(n > 0, F.aggregate(
+        F.zip_with(bs, F.sequence(F.lit(0), n - 1), lambda b, i: b * (n.cast("long") - i)),
+        F.lit(0).cast("long"),
+        lambda x, y: x + y,
+    )).otherwise(F.lit(0).cast("long"))
+    b = F.pmod(n.cast("long") + weighted, F.lit(65521))
+    return b * F.lit(65536) + a
 
 
 @register("hash")
 def compile_hash(cfg: dict, ctx: Context) -> Stage:
     """Concat source fields, hash, format hex/base64/bigint
-    (reference filter/hash/filterhash.go:72-162; the non-cryptographic
-    family maps to Spark's native crc32/xxhash64).
+    (reference filter/hash/filterhash.go:72-162). fnv32a/adler32 are
+    bit-exact column arithmetic; fnv64a/fnv128a/murmur3_128 raise (no
+    silent digest remap).
     """
     sources = cfg.get("source") or [logevent.TEXT]
     algo = cfg.get("algo", "sha1")
     fmt = cfg.get("format", "hex")
     target = cfg.get("target", "hash")
+    if algo in _UNSUPPORTED_ALGOS:
+        raise ValueError(
+            "hash algo %r is not supported (no native mapping); "
+            "use one of %s" % (algo, sorted(_HASH_ALGOS))
+        )
     if algo not in _HASH_ALGOS:
         raise ValueError("unsupported hash algo %r" % algo)
 
@@ -241,6 +289,12 @@ def compile_hash(cfg: dict, ctx: Context) -> Stage:
             h = F.sha2(joined, 256)
         elif algo == "crc32":
             h = F.crc32(joined).cast("string")
+        elif algo == "fnv32a":
+            v = _fnv32a(joined)
+            h = F.lpad(F.lower(F.hex(v)), 8, "0") if fmt == "hex" else v.cast("string")
+        elif algo == "adler32":
+            v = _adler32(joined)
+            h = F.lpad(F.lower(F.hex(v)), 8, "0") if fmt == "hex" else v.cast("string")
         else:
             h = F.xxhash64(joined).cast("string")
         if fmt == "base64" and algo in ("md5", "sha1", "sha256"):

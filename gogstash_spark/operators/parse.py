@@ -148,6 +148,15 @@ def compile_grok_filter(cfg: dict, ctx: Context) -> Stage:
     compiled = [compile_grok(p, extra) for p in patterns]
     use_pandas = cfg.get("use_pandas", len(compiled) > 2)
     error_tag = cfg.get("error_tag", GROK_ERROR_TAG)
+    # default TRUE in the reference (filter/grok/filtergrok.go:27,44):
+    # captures that matched the empty string become null, not ""
+    remove_empty = bool(cfg.get("remove_empty_values", True))
+    string_captures = sorted({
+        name
+        for cg in compiled
+        for name in cg.captures
+        if cg.types.get(name) not in ("int", "long", "int64", "float", "double", "float64")
+    })
 
     accumulators = None
     if cfg.get("with_accumulators", True) and ctx.spark is not None:
@@ -160,6 +169,10 @@ def compile_grok_filter(cfg: dict, ctx: Context) -> Stage:
             df, applied = _grok_pandas(df, source, compiled, accumulators)
         else:
             df, applied = _grok_native(df, source, compiled)
+        if remove_empty:
+            df = df.withColumns(
+                {name: F.nullif(F.col(name), F.lit("")) for name in string_captures}
+            )
         df = df.withColumn(
             logevent.TAGS,
             F.when(
@@ -298,6 +311,13 @@ def compile_kv(cfg: dict, ctx: Context) -> Stage:
     for name, v in (cfg.get("fields") or {}).items():
         fields[name] = v if isinstance(v, dict) else {"key": name, "type": v}
     pair_rx = r'(\w+)=("[^"]*"|\S+)'
+    # reference auto-converts int-parsable values unless the key is
+    # string-kept (filter/kv/filterkv.go:117-139). Columnar analog:
+    # `<target>` keeps the string entries, `<target>_num` holds the
+    # auto-typed longs; a lifted field may declare type "auto".
+    auto_type = bool(cfg.get("auto_type", False))
+    keep_strings = list(cfg.get("keep_strings") or [])
+    INT_RX = r"^-?\d+$"
 
     def apply(df: DataFrame) -> DataFrame:
         src = F.col(source)
@@ -312,14 +332,35 @@ def compile_kv(cfg: dict, ctx: Context) -> Stage:
         kvmap = F.map_from_arrays(keys, vals)
         df = df.withColumn("__kv", kvmap)
         applied = F.size(F.map_keys(F.col("__kv"))) > 0
-        if target:
+
+        def is_auto(k: Column, v: Column) -> Column:
+            kept = k.isin(*keep_strings) if keep_strings else F.lit(False)
+            return v.rlike(INT_RX) & ~kept
+
+        if target and auto_type:
+            df = df.withColumn(
+                target, F.map_filter(F.col("__kv"), lambda k, v: ~is_auto(k, v))
+            ).withColumn(
+                target + "_num",
+                F.transform_values(
+                    F.map_filter(F.col("__kv"), is_auto), lambda k, v: v.cast("long")
+                ),
+            )
+        elif target:
             df = df.withColumn(target, F.col("__kv"))
-        df = df.withColumns(
-            {
-                name: _typed(F.col("__kv")[spec.get("key", name)], spec.get("type"))
-                for name, spec in fields.items()
-            }
-        )
+        lifted: dict[str, Column] = {}
+        for name, spec in fields.items():
+            key = spec.get("key", name)
+            typ = spec.get("type")
+            val = F.col("__kv")[key]
+            if typ == "auto":
+                if key in keep_strings:
+                    lifted[name] = val
+                else:
+                    lifted[name] = F.when(val.rlike(INT_RX), val).cast("long")
+            else:
+                lifted[name] = _typed(val, typ)
+        df = df.withColumns(lifted)
         df = apply_common(df, cfg, applied)
         return df.drop("__kv")
 
@@ -449,6 +490,12 @@ def compile_date(cfg: dict, ctx: Context) -> Stage:
     target = cfg.get("target", logevent.TS)
     error_tag = cfg.get("error_tag", DATE_ERROR_TAG)
     tag_on_failure = cfg.get("tag_on_failure", True)
+    # syslog-style layouts carry no year; back-fill current year, minus
+    # one if that lands in the future (reference
+    # filter/date/filterdate.go:34,114-119). `now` (ISO string) pins the
+    # clock for deterministic tests/oracles.
+    compute_year = bool(cfg.get("compute_year_if_missing", False))
+    now_iso = cfg.get("now")
 
     def apply(df: DataFrame) -> DataFrame:
         src = F.col(source).cast("string")
@@ -470,6 +517,24 @@ def compile_date(cfg: dict, ctx: Context) -> Stage:
             else:
                 attempts.append(F.try_to_timestamp(src, F.lit(to_spark_pattern(fmt, joda))))
         parsed = F.coalesce(*attempts) if attempts else F.try_to_timestamp(src)
+        if compute_year:
+            # Spark parses yearless patterns into 1970 (its epoch default,
+            # the analog of Go's year-0 sentinel)
+            now_col = (
+                F.lit(now_iso).cast("timestamp") if now_iso else F.current_timestamp()
+            )
+            secs = F.second(parsed) + (F.unix_micros(parsed) % F.lit(1_000_000)) / F.lit(
+                1_000_000.0
+            )
+            this_year = F.make_timestamp(
+                F.year(now_col), F.month(parsed), F.day(parsed),
+                F.hour(parsed), F.minute(parsed), secs,
+            )
+            backfilled = F.when(this_year > now_col, F.make_timestamp(
+                F.year(now_col) - 1, F.month(parsed), F.day(parsed),
+                F.hour(parsed), F.minute(parsed), secs,
+            )).otherwise(this_year)
+            parsed = F.when(F.year(parsed) == 1970, backfilled).otherwise(parsed)
         df = df.withColumn("__date", parsed)
         applied = F.col("__date").isNotNull()
         df = df.withColumn(

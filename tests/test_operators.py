@@ -111,6 +111,30 @@ class TestDate:
         assert got[4]["t"] is None
         assert list(got[4]["tags"]) == ["gogstash_filter_date_error"]
 
+    def test_compute_year_if_missing(self, spark):
+        """yearless syslog timestamps: current year, minus one if that
+        lands in the future (reference filter/date/filterdate.go:114-119)."""
+        df = spark.createDataFrame(
+            [(1, "Mar 03 05:53:09"), (2, "Dec 25 10:00:00"), (3, "Jun 01 00:00:00")],
+            "id int, src string",
+        )
+        stage = compile_filter(
+            {
+                "type": "date",
+                "source": "src",
+                "format": ["Jan 02 15:04:05"],
+                "compute_year_if_missing": True,
+                "now": "2024-06-15 12:00:00",
+                "target": "t",
+                "tag_on_failure": False,
+            },
+            ctx(spark),
+        )
+        got = {r["id"]: r["t"] for r in stage(df).collect()}
+        assert got[1] == datetime.datetime(2024, 3, 3, 5, 53, 9)    # past: this year
+        assert got[2] == datetime.datetime(2023, 12, 25, 10, 0, 0)  # future: last year
+        assert got[3] == datetime.datetime(2024, 6, 1, 0, 0, 0)
+
 
 class TestJsonKv:
     def test_json_schema_appendkey(self, spark, events):
@@ -297,6 +321,70 @@ class TestEnrich:
         got = {r["id"]: r for r in ua(grok(events)).collect()}
         assert got[1]["ua"]["family"] == "curl"
         assert got[1]["ua"]["version"] == "8.5.0"
+
+
+class TestGrokRemoveEmpty:
+    def test_empty_captures_null_by_default(self, spark):
+        df = spark.createDataFrame([(1, "a= b=x")], "id int, text string")
+        stage = compile_filter(
+            {"type": "grok", "source": "text",
+             "match": [r"a=%{DATA:fa} b=%{WORD:fb}"],
+             "use_pandas": False, "tag_on_failure": False},
+            ctx(spark),
+        )
+        r = stage(df).collect()[0]
+        assert r["fa"] is None and r["fb"] == "x"
+
+    def test_keep_empty_when_disabled(self, spark):
+        df = spark.createDataFrame([(1, "a= b=x")], "id int, text string")
+        stage = compile_filter(
+            {"type": "grok", "source": "text",
+             "match": [r"a=%{DATA:fa} b=%{WORD:fb}"],
+             "use_pandas": False, "tag_on_failure": False,
+             "remove_empty_values": False},
+            ctx(spark),
+        )
+        r = stage(df).collect()[0]
+        assert r["fa"] == "" and r["fb"] == "x"
+
+
+class TestKvAutoType:
+    def test_auto_int_with_keep_list(self, spark):
+        df = spark.createDataFrame(
+            [(1, 'n=42 s=hello keep=7 q="99"')], "id int, text string"
+        )
+        stage = compile_filter(
+            {"type": "kv", "source": "text", "target": "kv",
+             "auto_type": True, "keep_strings": ["keep"]},
+            ctx(spark),
+        )
+        r = stage(df).collect()[0]
+        num, st = dict(r["kv_num"]), dict(r["kv"])
+        assert num == {"n": 42, "q": 99}  # quotes stripped before typing
+        assert st == {"s": "hello", "keep": "7"}
+
+
+class TestHashArithmetic:
+    def test_fnv32a_adler32_known_vectors(self, spark):
+        import zlib
+        df = spark.createDataFrame([(1, "hello world")], "id int, x string")
+        f = compile_filter(
+            {"type": "hash", "source": ["x"], "algo": "fnv32a", "target": "hf"},
+            ctx(spark),
+        )
+        a = compile_filter(
+            {"type": "hash", "source": ["x"], "algo": "adler32", "target": "ha"},
+            ctx(spark),
+        )
+        r = a(f(df)).collect()[0]
+        assert r["hf"] == "d58b3fa7"
+        assert int(r["ha"], 16) == zlib.adler32(b"hello world")
+
+    def test_unmapped_algo_raises(self, spark):
+        with pytest.raises(ValueError, match="fnv64a"):
+            compile_filter(
+                {"type": "hash", "source": ["x"], "algo": "fnv64a"}, ctx(spark)
+            )
 
 
 class TestCondFilter:
