@@ -326,8 +326,40 @@ def o_multimodal_features() -> str:
   CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
   lower(hex(encode(substr(text, 1, 8)))) AS head_hex,
   'text/plain' AS modality,
-  CAST(octet_length(encode(text)) % 7 AS DOUBLE) AS fake_dim
+  CAST(octet_length(encode(text)) % 7 AS DOUBLE) AS fake_dim,
+  CAST(NULL AS INTEGER) AS width,
+  CAST(NULL AS INTEGER) AS height,
+  CAST(NULL AS INTEGER) AS n_channels,
+  CAST(NULL AS DOUBLE) AS mean_pixel
 FROM documents"""
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode path: deterministic PPM payloads generated per
+    doc (Arrow-batched binary UDF), decoded in pure numpy inside
+    mapInPandas — width/height/channels/mean-pixel are actual decoded
+    values, not fakes."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    feats = multimodal.extract_features(multimodal.attach_ppm_payload(docs))
+    return feats.select(
+        "doc_id", "byte_len", "width", "height", "n_channels", "mean_pixel"
+    )
+
+
+def o_multimodal_decode() -> str:
+    # payload = 'P6\\n{w} {h}\\n255\\n' + pixels where pixel i =
+    # (doc_id*31 + i) % 256; w in 4..8 and h in 3..6 are single-digit so
+    # the header is always 11 bytes
+    return """WITH d AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
+)
+SELECT doc_id,
+  CAST(11 + w*h*3 AS BIGINT) AS byte_len,
+  CAST(w AS INTEGER) AS width,
+  CAST(h AS INTEGER) AS height,
+  3 AS n_channels,
+  round(list_avg([(doc_id*31 + i) % 256 FOR i IN range(0, CAST(w*h*3 AS INTEGER))]), 6) AS mean_pixel
+FROM d"""
 
 
 MLOPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -343,6 +375,7 @@ MLOPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_features": q_multimodal_features,
+    "multimodal_decode": q_multimodal_decode,
 }
 
 MLOPS_ORACLES: dict[str, Callable[[], str]] = {
@@ -358,4 +391,5 @@ MLOPS_ORACLES: dict[str, Callable[[], str]] = {
     "token_count": o_token_count,
     "doc_fingerprint": o_doc_fingerprint,
     "multimodal_features": o_multimodal_features,
+    "multimodal_decode": o_multimodal_decode,
 }

@@ -69,6 +69,9 @@ def compile_lookuptable(cfg: dict, ctx: Context) -> Stage:
             F.col(lookup_key).alias("__lk_key"),
             *[F.col(src).alias("__lk_%s" % tgt) for src, tgt in select.items()],
         )
+        # the reference loads the table into a map — one key, one value
+        # (lookup.go): duplicate keys must not fan out event rows
+        proj = proj.dropDuplicates(["__lk_key"])
         joined = df.join(
             F.broadcast(proj), df[source] == proj["__lk_key"], "left"
         )
@@ -112,7 +115,7 @@ def compile_geoip(cfg: dict, ctx: Context) -> Stage:
         proj = lk.select(
             F.col(lookup_key).alias("__geo_key"),
             F.struct(*[F.col(c) for c in attr_cols]).alias("__geo_rec"),
-        )
+        ).dropDuplicates(["__geo_key"])  # one record per ip, never fan out
         probe = F.col(source)
         if skip_private:
             probe = F.when(~F.col(source).rlike(PRIVATE_IP_RX), F.col(source))

@@ -27,6 +27,15 @@ ROUTES = "routes"
 class Route:
     sink: str
     pred_sql: str  # full path predicate (ANDed down the cond tree)
+    # elastic-style sink semantics (reference
+    # output/elastic/outputelastic.go:199-202): a %{}-formatted index
+    # template is rendered per event and LOWERCASED (ES index-name rule);
+    # document_id renders a per-event id used to dedup on write.
+    index_template: str | None = None
+    doc_id_template: str | None = None
+
+
+DOC_ID = "_doc_id"
 
 
 @dataclass
@@ -36,14 +45,34 @@ class CompiledPipeline:
     routes: list[Route] = field(default_factory=list)
 
     def with_routes(self, df: DataFrame) -> DataFrame:
-        """Materialize the routes array column."""
+        """Materialize the routes array column (and _doc_id if any sink
+        declares a document_id template)."""
+        from gogstash_spark.logevent import format_expr
+
         if not self.routes:
             return df.withColumn(ROUTES, F.array().cast("array<string>"))
-        entries = [
-            F.when(F.expr("coalesce(%s, false)" % r.pred_sql), F.lit(r.sink))
-            for r in self.routes
-        ]
-        return df.withColumn(ROUTES, F.array_compact(F.array(*entries)))
+        entries = []
+        for r in self.routes:
+            val = (
+                F.lower(format_expr(df, str(r.index_template)))
+                if r.index_template
+                else F.lit(r.sink)
+            )
+            entries.append(F.when(F.expr("coalesce(%s, false)" % r.pred_sql), val))
+        df = df.withColumn(ROUTES, F.array_compact(F.array(*entries)))
+        doc_routes = [r for r in self.routes if r.doc_id_template]
+        if doc_routes:
+            df = df.withColumn(
+                DOC_ID,
+                F.coalesce(*[
+                    F.when(
+                        F.expr("coalesce(%s, false)" % r.pred_sql),
+                        format_expr(df, str(r.doc_id_template)),
+                    )
+                    for r in doc_routes
+                ]),
+            )
+        return df
 
     def run(self, df: DataFrame) -> DataFrame:
         return self.with_routes(self.transform(df))
@@ -61,7 +90,12 @@ def flatten_outputs(outputs: list[dict], parent_pred: str = "true") -> list[Rout
                 neg = "(%s) AND (NOT coalesce(%s, false))" % (parent_pred, own)
                 routes.extend(flatten_outputs(out["else_output"], neg))
         else:
-            routes.append(Route(sink=out["name"], pred_sql=pred))
+            routes.append(Route(
+                sink=out["name"],
+                pred_sql=pred,
+                index_template=out.get("index"),
+                doc_id_template=out.get("document_id"),
+            ))
     return routes
 
 

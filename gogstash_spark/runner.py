@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from gogstash_spark.operators import Context
-from gogstash_spark.plans.compile import ROUTES, CompiledPipeline, compile_pipeline
+from gogstash_spark.plans.compile import DOC_ID, ROUTES, CompiledPipeline, compile_pipeline
 from gogstash_spark.plans.spec import PipelineSpec
 
 DEFAULT_SALTS = 16
@@ -192,6 +192,22 @@ def run_pipeline(
                 part_dir = os.path.join(out_dir, "by_route")
                 tmp_dir = part_dir + ".__tmp__"
                 exploded = routed.select(F.explode(ROUTES).alias("route"), "*").drop(ROUTES)
+                if DOC_ID in exploded.columns:
+                    # elastic document_id semantics: one row per (index,
+                    # doc id) — last-write-wins dedup on append. Rows from
+                    # sinks without a doc-id template get a unique
+                    # surrogate so they pass through untouched.
+                    exploded = (
+                        exploded.withColumn(
+                            "__dd",
+                            F.coalesce(
+                                F.col(DOC_ID),
+                                F.monotonically_increasing_id().cast("string"),
+                            ),
+                        )
+                        .dropDuplicates(["route", "__dd"])
+                        .drop("__dd")
+                    )
                 salt = F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(n_partitions))
                 exploded = exploded.withColumn("__salt", salt).repartition(
                     n_partitions, F.col("route"), F.col("__salt")
@@ -201,30 +217,54 @@ def run_pipeline(
                     shutil.rmtree(part_dir)
                 os.replace(tmp_dir, part_dir)
                 # per-partition (per output file) row-count lineage in one
-                # pruned scan; sink totals roll up from it
-                lineage_rows = (
+                # pruned scan, written to a parquet SIDECAR — at 100 TB the
+                # file list is 10^5-10^6 entries, which must never ride
+                # through the driver or the JSON ledger. Only O(routes)
+                # totals are collected.
+                lineage_df = (
                     spark.read.parquet(part_dir)
                     .groupBy("route", F.input_file_name().alias("file"))
-                    .count()
+                    .agg(F.count(F.lit(1)).alias("rows"))
+                )
+                lin_dir = os.path.join(out_dir, "_lineage")
+                lin_tmp = lin_dir + ".__tmp__"
+                lineage_df.write.mode("overwrite").parquet(lin_tmp)
+                if os.path.exists(lin_dir):
+                    shutil.rmtree(lin_dir)
+                os.replace(lin_tmp, lin_dir)
+                rollup = (
+                    spark.read.parquet(lin_dir)
+                    .groupBy("route")
+                    .agg(F.sum("rows").alias("rows"), F.count(F.lit(1)).alias("files"))
                     .collect()
                 )
-                lineage = [
-                    {"route": r["route"], "file": os.path.basename(r["file"]), "rows": r["count"]}
-                    for r in lineage_rows
-                ]
-                counts: dict[str, int] = {}
-                for r in lineage_rows:
-                    counts[r["route"]] = counts.get(r["route"], 0) + r["count"]
-                result.sink_rows = {r.sink: int(counts.get(r.sink, 0)) for r in plan.routes}
-                result.metrics["lineage"] = {"files": len(lineage), "per_file": lineage}
+                counts: dict[str, int] = {rr["route"]: int(rr["rows"]) for rr in rollup}
+                result.sink_rows = {
+                    r.sink: int(counts.get(r.sink, 0))
+                    for r in plan.routes
+                    if not r.index_template
+                }
+                for k, v in counts.items():  # dynamic %{}-index route values
+                    result.sink_rows.setdefault(k, int(v))
+                result.metrics["lineage"] = {
+                    "files": sum(int(r["files"]) for r in rollup),
+                    "path": lin_dir,
+                    "route_rows": counts,
+                }
                 ledger.commit(
                     "__partitioned__",
                     sum(result.sink_rows.values()),
-                    extra={"lineage": lineage},
+                    extra={"route_rows": counts, "lineage_path": lin_dir},
                 )
             routes_to_write = []
         else:
             routes_to_write = plan.routes
+            dyn = [r.sink for r in plan.routes if r.index_template]
+            if dyn:
+                raise ValueError(
+                    "dynamic %%{}-index sinks %s need write_mode='partitioned' "
+                    "(one partitionBy(route) write handles any index cardinality)" % dyn
+                )
         for route in routes_to_write:
             sink = route.sink
             sink_dir = os.path.join(out_dir, sink)
@@ -233,6 +273,8 @@ def run_pipeline(
                 result.sink_rows[sink] = ledger.state["sinks"][sink]["rows"]
                 continue
             sink_df = routed.filter(F.array_contains(F.col(ROUTES), sink)).drop(ROUTES)
+            if route.doc_id_template and DOC_ID in sink_df.columns:
+                sink_df = sink_df.dropDuplicates([DOC_ID])
             sink_obs = Observation("sink_%s" % sink)
             sink_df = sink_df.observe(sink_obs, F.count(F.lit(1)).alias("rows"))
             tmp_dir = sink_dir + ".__tmp__"

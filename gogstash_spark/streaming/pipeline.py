@@ -3,9 +3,11 @@
 The reference is a daemon: inputs push events through channels forever
 (reference config/input.go:70-85). The streaming runner is the same
 compiled filter chain + routes column applied to a readStream source;
-per-sink fan-out happens inside foreachBatch (idempotent parquet
-appends keyed by epoch), and the report-style aggregate becomes a
-watermarked windowed count (reference output/report/outputreport.go:56-92).
+per-sink fan-out happens inside foreachBatch, writing each (sink,
+epoch) to its own epoch=N partition dir with overwrite semantics so an
+epoch replay is idempotent (exactly-once at the sink level). The
+report-style aggregate becomes a watermarked windowed count
+(reference output/report/outputreport.go:56-92).
 
 File-source streaming stands in for kafka here (the kafka connector
 needs its jar; `readStream.format("kafka")` is the one-line swap).
@@ -36,6 +38,31 @@ def stream_source(spark: SparkSession, path: str, schema=None) -> DataFrame:
     )
 
 
+def make_batch_writer(sinks: list[str], out_dir: str):
+    """foreachBatch fan-out writer, exactly-once per (sink, epoch): each
+    microbatch lands in its own epoch=N subdir with OVERWRITE semantics,
+    so when Structured Streaming replays an epoch after a mid-fanout
+    failure (sink A written, sink B not), the rewrite is idempotent —
+    sink A's epoch dir is replaced, never appended twice. Readers see
+    each sink as one partitioned dataset (epoch is a partition column).
+    """
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            for sink in sinks:
+                (
+                    batch_df.filter(F.array_contains(F.col(ROUTES), sink))
+                    .drop(ROUTES)
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(out_dir, sink, "epoch=%d" % epoch_id))
+                )
+        finally:
+            batch_df.unpersist()
+
+    return write_batch
+
+
 def run_pipeline_streaming(
     spark: SparkSession,
     spec: PipelineSpec | dict,
@@ -53,20 +80,7 @@ def run_pipeline_streaming(
     plan = compile_pipeline(spec, ctx)
     src = stream_source(spark, input_path)
     routed = plan.with_routes(plan.transform(src))
-    sinks = [r.sink for r in plan.routes]
-
-    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        batch_df = batch_df.persist()
-        try:
-            for sink in sinks:
-                (
-                    batch_df.filter(F.array_contains(F.col(ROUTES), sink))
-                    .drop(ROUTES)
-                    .write.mode("append")
-                    .parquet(os.path.join(out_dir, sink))
-                )
-        finally:
-            batch_df.unpersist()
+    write_batch = make_batch_writer([r.sink for r in plan.routes], out_dir)
 
     q = (
         routed.writeStream.foreachBatch(write_batch)

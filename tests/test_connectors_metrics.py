@@ -3,6 +3,7 @@
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from gogstash_spark.pipelines import standard_spec
 from gogstash_spark.runner import run_pipeline
@@ -40,9 +41,12 @@ class TestLineageMetrics:
         assert 0 < acc["misses"] < acc["rows"]
         lineage = res.metrics["lineage"]
         assert lineage["files"] > 0
-        assert sum(f["rows"] for f in lineage["per_file"]) == sum(res.sink_rows.values())
-        # sink totals roll up from per-file lineage
-        by_route = {}
-        for f in lineage["per_file"]:
-            by_route[f["route"]] = by_route.get(f["route"], 0) + f["rows"]
+        # per-file lineage lives in a parquet sidecar (never on the
+        # driver); sink totals roll up from it
+        per_file = spark.read.parquet(lineage["path"])
+        by_route = {
+            r["route"]: r["total"]
+            for r in per_file.groupBy("route").agg(F.sum("rows").alias("total")).collect()
+        }
         assert by_route == res.sink_rows
+        assert per_file.count() == lineage["files"]

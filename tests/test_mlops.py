@@ -176,6 +176,32 @@ class TestMultimodal:
         assert got[1]["head_hex"] == b"the quic".hex()
         assert got[1]["modality"] == "text/plain"
 
-    def test_decode_stub_raises(self):
+    def test_decode_unknown_format_raises_without_pil(self):
+        try:
+            import PIL  # noqa: F401
+            pytest.skip("PIL present: PNG decodes for real")
+        except ImportError:
+            pass
         with pytest.raises(NotImplementedError):
             multimodal.decode_image(b"\x89PNG")
+
+    def test_netpbm_roundtrip(self):
+        ppm = multimodal.make_ppm(seed=7, width=4, height=3)
+        d = multimodal.decode_netpbm(ppm)
+        assert (d["width"], d["height"], d["n_channels"]) == (4, 3, 3)
+        # pixel i = (7*31 + i) % 256 over 36 bytes
+        want = sum((7 * 31 + i) % 256 for i in range(36)) / 36
+        assert abs(d["mean_pixel"] - want) < 1e-9
+        # P5 grayscale with a comment line
+        pgm = b"P5\n# c\n2 2\n255\n\x00\x10\x20\x30"
+        d5 = multimodal.decode_netpbm(pgm)
+        assert (d5["width"], d5["height"], d5["n_channels"]) == (2, 2, 1)
+        assert d5["mean_pixel"] == (0x00 + 0x10 + 0x20 + 0x30) / 4
+
+    def test_real_decode_through_spark_plan(self, spark):
+        docs = spark.range(5).select(F.col("id").alias("doc_id"))
+        out = multimodal.extract_features(multimodal.attach_ppm_payload(docs))
+        got = {r["doc_id"]: r for r in out.collect()}
+        assert got[3]["width"] == 4 + 3 % 5 and got[3]["height"] == 3 + 3 % 4
+        assert all(r["n_channels"] == 3 for r in got.values())
+        assert all(r["mean_pixel"] is not None for r in got.values())

@@ -40,6 +40,55 @@ class TestFlattenOutputs:
         assert "NOT coalesce" in by_name["small"]
 
 
+class TestElasticSinkSemantics:
+    """%{}-formatted lowercased index + document_id dedup
+    (reference output/elastic/outputelastic.go:199-202)."""
+
+    @pytest.fixture()
+    def events(self, spark):
+        return spark.createDataFrame(
+            [
+                ("C1", 1, "User", "a"),
+                ("C1", 1, "User", "a-dup"),   # same doc id -> dedup
+                ("C2", 2, "Tool", "b"),
+            ],
+            "conv_id string, turn_idx int, role string, text string",
+        )
+
+    def spec(self):
+        return PipelineSpec.from_dict({
+            "input": {},
+            "filter": [],
+            "output": [{
+                "type": "elastic", "name": "es",
+                "index": "Logs-%{role}",
+                "document_id": "%{conv_id}/%{turn_idx}",
+            }],
+            "aggregate": [{"name": "counts", "group_by": ["role"]}],
+        })
+
+    def test_index_lowercased_and_docid_dedup(self, spark, events, tmp_path):
+        out = str(tmp_path / "es_out")
+        res = run_pipeline(
+            spark, self.spec(), input_df=events, out_dir=out,
+            write_mode="partitioned", resume=False,
+        )
+        # %{role} value 'User' -> index 'logs-user'
+        assert set(res.sink_rows) == {"logs-user", "logs-tool"}
+        got = spark.read.parquet(os.path.join(out, "by_route"))
+        assert got.filter("route = 'logs-user'").count() == 1  # doc-id dedup
+        assert got.filter("route = 'logs-tool'").count() == 1
+        ids = {r["_doc_id"] for r in got.collect()}
+        assert ids == {"C1/1", "C2/2"}
+
+    def test_dynamic_index_requires_partitioned_mode(self, spark, events, tmp_path):
+        with pytest.raises(ValueError, match="partitioned"):
+            run_pipeline(
+                spark, self.spec(), input_df=events,
+                out_dir=str(tmp_path / "x"), write_mode="per_sink", resume=False,
+            )
+
+
 def oracle_routes(pdf: pd.DataFrame) -> dict[str, set]:
     """Pure-pandas oracle of the standard-spec routing (FIXTURES.md §4)."""
     rx_a = re.compile(compile_grok(GROK_MATCHES[0], EXTRA_PATTERNS).positional())

@@ -43,6 +43,30 @@ class TestStreaming:
         row = spark.read.parquet(os.path.join(out, "s_user")).select("src").first()
         assert row["src"].startswith("user/")
 
+    def test_epoch_replay_is_idempotent(self, spark, tmp_path):
+        """Re-running an epoch (Structured Streaming's failure recovery)
+        must not duplicate rows in already-written sinks."""
+        from gogstash_spark.plans.compile import ROUTES
+        from gogstash_spark.streaming.pipeline import make_batch_writer
+
+        out = str(tmp_path / "replay_out")
+        df = spark.createDataFrame(
+            [(i, "user" if i % 2 else "tool") for i in range(10)], "id int, role string"
+        ).withColumn(
+            ROUTES,
+            F.array_compact(F.array(
+                F.when(F.col("role") == "user", F.lit("s_user")),
+                F.when(F.col("role") == "tool", F.lit("s_tool")),
+            )),
+        )
+        wb = make_batch_writer(["s_user", "s_tool"], out)
+        wb(df, 0)
+        wb(df, 0)  # replay of the same epoch
+        assert spark.read.parquet(os.path.join(out, "s_user")).count() == 5
+        assert spark.read.parquet(os.path.join(out, "s_tool")).count() == 5
+        wb(df, 1)  # a genuinely new epoch appends
+        assert spark.read.parquet(os.path.join(out, "s_user")).count() == 10
+
     def test_windowed_counts_with_watermark(self, spark, sf_data_dir):
         got = windowed_counts(
             spark, os.path.join(sf_data_dir, "transcripts"),
