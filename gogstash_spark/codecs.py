@@ -20,17 +20,59 @@ def decode_default(df: DataFrame, source: str = "value") -> DataFrame:
     return df.withColumn(logevent.TEXT, F.col(source).cast("string"))
 
 
+def _parse_rfc3339(col: Column) -> Column:
+    """RFC3339(Nano) -> timestamp: ISO cast handles fractional seconds
+    (nanos truncate to micros, matching Go time round-tripped at micro
+    precision in parquet)."""
+    return F.coalesce(F.try_to_timestamp(col), col.try_cast("timestamp"))
+
+
 def decode_json(df: DataFrame, source: str = "value", schema: str | None = None) -> DataFrame:
-    """JSON line -> typed columns; lifts message/@timestamp/tags when
-    present (reference codec/json/codecjson.go:111-138)."""
+    """JSON line -> typed columns; the reserved fields lift into the
+    event struct (reference codec/json/codecjson.go:111-138):
+    `message` -> text, `@timestamp` (RFC3339Nano) -> ts, `tags` merges
+    into the event tags. Everything else becomes its own column (typed
+    mode) or stays in the `extra` map (schemaless mode)."""
     sch = schema or "map<string,string>"
     parsed = F.from_json(F.col(source).cast("string"), sch)
     df = df.withColumn("__c", parsed)
     if schema:
         inner = df.select(F.col("__c.*")).columns
-        df = df.withColumns({c: F.col("__c")[c] for c in inner})
+        cols: dict[str, Column] = {}
+        for c in inner:
+            v = F.col("__c")[c]
+            if c == "@timestamp":
+                cols[logevent.TS] = _parse_rfc3339(v.cast("string"))
+            elif c == "message":
+                cols[logevent.TEXT] = v.cast("string")
+            elif c == logevent.TAGS and logevent.TAGS in df.columns:
+                cols[logevent.TAGS] = F.array_union(
+                    logevent.tags_col(df), F.coalesce(v, F.array().cast("array<string>"))
+                )
+            else:
+                cols[c] = v
+        df = df.withColumns(cols)
     else:
-        df = df.withColumn("extra", F.col("__c"))
+        m = F.col("__c")
+        df = df.withColumn(
+            "extra", F.map_filter(m, lambda k, v: ~k.isin("message", "@timestamp"))
+        )
+        df = df.withColumn(
+            logevent.TEXT,
+            F.coalesce(
+                m["message"],
+                F.col(logevent.TEXT) if logevent.TEXT in df.columns
+                else F.lit(None).cast("string"),
+            ),
+        )
+        df = df.withColumn(
+            logevent.TS,
+            F.coalesce(
+                _parse_rfc3339(m["@timestamp"]),
+                F.col(logevent.TS) if logevent.TS in df.columns
+                else F.lit(None).cast("timestamp"),
+            ),
+        )
     return df.drop("__c")
 
 

@@ -159,9 +159,17 @@ def compile_add_field(cfg: dict, ctx: Context) -> Stage:
     key = cfg["key"]
     value = str(cfg["value"])
     overwrite = cfg.get("overwrite", True)
+    nested = "." in key or "[" in key  # pathvalue.go path syntax
 
     def apply(df: DataFrame) -> DataFrame:
+        from gogstash_spark.functions.pathvalue import get_path, set_path
+
         val = logevent.format_expr(df, value)
+        if nested:
+            cur = get_path(df, key)
+            if not overwrite:
+                val = F.when(cur.isNull() | (cur.cast("string") == ""), val).otherwise(cur)
+            return apply_common(set_path(df, key, val), cfg, None)
         if not overwrite and key in df.columns:
             val = F.when(
                 F.col(key).isNull() | (F.col(key).cast("string") == ""), val
@@ -180,7 +188,13 @@ def compile_remove_field(cfg: dict, ctx: Context) -> Stage:
     blank_message = cfg.get("blank_message", False)
 
     def apply(df: DataFrame) -> DataFrame:
-        df = df.drop(*[f for f in fields if f in df.columns])
+        from gogstash_spark.functions.pathvalue import remove_path
+
+        for f in fields:
+            if "." in f or "[" in f:  # nested path (pathvalue.go:150-192)
+                df = remove_path(df, f)
+            elif f in df.columns:
+                df = df.drop(f)
         if blank_message:
             df = df.withColumn(logevent.TEXT, F.lit(""))
         return apply_common(df, cfg, None)

@@ -25,6 +25,32 @@ class TestCodecs:
         r = out.collect()[0]
         assert r["level"] == "info" and r["n"] == 3
 
+    def test_json_reserved_field_lift_typed(self, spark):
+        """message -> text, @timestamp -> ts, tags merge
+        (reference codec/json/codecjson.go:111-138)."""
+        df = spark.createDataFrame(
+            [('{"message":"hi","@timestamp":"2024-03-01T12:00:00.123456789Z","tags":["a"],"k":"v"}',)],
+            "value string",
+        ).withColumn("tags", F.array(F.lit("pre")))
+        out = codecs.decode_json(
+            df, schema='struct<message:string,`@timestamp`:string,tags:array<string>,k:string>'
+        )
+        r = out.collect()[0]
+        assert r["text"] == "hi"
+        assert r["ts"].year == 2024 and r["ts"].microsecond == 123456  # nanos truncate
+        assert sorted(r["tags"]) == ["a", "pre"]
+        assert r["k"] == "v"
+
+    def test_json_reserved_field_lift_schemaless(self, spark):
+        df = spark.createDataFrame(
+            [('{"message":"hi","@timestamp":"2024-03-01T12:00:00Z","k":"v"}',)],
+            "value string",
+        )
+        r = codecs.decode_json(df).collect()[0]
+        assert r["text"] == "hi"
+        assert r["ts"].year == 2024
+        assert dict(r["extra"]) == {"k": "v"}  # reserved keys lifted out
+
     def test_encode_json_utc_timestamp(self, spark):
         df = spark.createDataFrame(
             [("msg",)], "text string"

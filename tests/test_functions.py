@@ -106,6 +106,67 @@ class TestCond:
             cond_to_sql("a ==")
 
 
+class TestPathValue:
+    """Nested dotted-path get/set/remove with array indexing
+    (reference config/logevent/pathvalue.go:29-73,150-192)."""
+
+    @pytest.fixture()
+    def nested(self, spark):
+        return spark.createDataFrame(
+            [(1, {"b": [{"c": 10}, {"c": 20}, {"c": 30}], "d": "x"})],
+            "id int, a struct<b:array<struct<c:int>>, d:string>",
+        )
+
+    def test_parse_path(self):
+        from gogstash_spark.functions.pathvalue import parse_path
+
+        assert parse_path("a.b[0].c") == [
+            ("field", "a"), ("field", "b"), ("index", 0), ("field", "c")
+        ]
+        assert parse_path("x[-1]") == [("field", "x"), ("index", -1)]
+
+    def test_get_nested_and_negative_index(self, spark, nested):
+        from gogstash_spark.functions.pathvalue import get_path
+
+        r = nested.select(
+            get_path(nested, "a.b[0].c").alias("first"),
+            get_path(nested, "a.b[-1].c").alias("last"),
+            get_path(nested, "a.d").alias("d"),
+        ).collect()[0]
+        assert (r["first"], r["last"], r["d"]) == (10, 30, "x")
+
+    def test_set_nested_array_element(self, spark, nested):
+        from pyspark.sql import functions as F
+
+        from gogstash_spark.functions.pathvalue import set_path
+
+        out = set_path(nested, "a.b[1].c", F.lit(99)).collect()[0]
+        assert [e["c"] for e in out["a"]["b"]] == [10, 99, 30]
+        out2 = set_path(nested, "a.d", F.lit("y")).collect()[0]
+        assert out2["a"]["d"] == "y"
+
+    def test_remove_nested(self, spark, nested):
+        from gogstash_spark.functions.pathvalue import remove_path
+
+        out = remove_path(nested, "a.b[0]").collect()[0]
+        assert [e["c"] for e in out["a"]["b"]] == [20, 30]
+        out2 = remove_path(nested, "a.d")
+        assert "d" not in out2.select("a.*").columns
+
+    def test_operator_integration(self, spark, nested):
+        from gogstash_spark.operators import Context, compile_filter
+
+        add = compile_filter(
+            {"type": "add_field", "key": "a.d", "value": "%{id}"},
+            Context(spark=spark),
+        )
+        assert add(nested).collect()[0]["a"]["d"] == "1"
+        rm = compile_filter(
+            {"type": "remove_field", "fields": ["a.b[-1]"]}, Context(spark=spark)
+        )
+        assert [e["c"] for e in rm(nested).collect()[0]["a"]["b"]] == [10, 20]
+
+
 class TestDateFmt:
     @pytest.mark.parametrize(
         "go,spark",
