@@ -61,12 +61,25 @@ def remove_tags(df: DataFrame, tags: list[str]) -> DataFrame:
     return df.withColumn(TAGS, F.array_except(tags_col(df), F.array(*[F.lit(t) for t in tags])))
 
 
+def _env_fallback(key: str) -> str | None:
+    """The reference resolves unknown %{} tokens from the environment,
+    with %{HOSTNAME} as a special case (reference
+    config/logevent/logevent.go:208-226). Resolved at PLAN time on the
+    driver — one value per run, exactly like the reference's one value
+    per process."""
+    import os
+    import socket
+
+    if key == "HOSTNAME":
+        return os.environ.get("HOSTNAME") or socket.gethostname()
+    return os.environ.get(key)
+
+
 def format_expr(df: DataFrame, template: str) -> Column:
     """Compile a %{} template into a concat Column.
 
-    Unknown fields are left verbatim (the reference falls back to env
-    vars then leaves the token; env lookup is a non-goal here). Null
-    field values render as ''.
+    Unknown fields fall back to env vars / HOSTNAME (plan-time), then
+    are left verbatim. Null field values render as ''.
     """
     parts: list[Column] = []
     pos = 0
@@ -81,7 +94,8 @@ def format_expr(df: DataFrame, template: str) -> Column:
         elif key in df.columns:
             parts.append(F.coalesce(F.col(key).cast("string"), F.lit("")))
         else:
-            parts.append(F.lit(m.group(0)))
+            env = _env_fallback(key)
+            parts.append(F.lit(env if env is not None else m.group(0)))
         pos = m.end()
     if pos < len(template):
         parts.append(F.lit(template[pos:]))

@@ -69,6 +69,105 @@ def sign_bucket(vec, n_bits: int = 8):
     )
 
 
+def hyperplanes(dim: int, n_bits: int, table: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic Rademacher (+-1) hyperplanes for one LSH table.
+    +-1 weights make the projection a signed sum — exactly reproducible
+    across engines (no rounding from multiplication)."""
+    import random
+
+    rng = random.Random(seed * 1_000_003 + table)
+    return [[rng.choice((-1.0, 1.0)) for _ in range(dim)] for _ in range(n_bits)]
+
+
+def hyperplane_bucket(vec, planes: list[list[float]]):
+    """Bucket id from sign(vec . w_b) per plane — a real random-
+    projection LSH (sign_bucket's axis-aligned planes are its dim<=bits
+    special case). Left-fold aggregate keeps addition order fixed so
+    the oracle can reproduce the exact double."""
+    bits = []
+    for w in planes:
+        warr = F.array(*[F.lit(x) for x in w])
+        proj = F.aggregate(
+            F.zip_with(vec, warr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def _cap_buckets(df: DataFrame, keys: list[str], cap: int | None) -> DataFrame:
+    """Drop buckets holding more than `cap` rows (mass-duplicate
+    clusters); callers surface dropped counts via a groupBy on the same
+    keys — never a silent truncation at the API level."""
+    if cap is None:
+        return df
+    ok = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__bcnt"))
+        .filter(F.col("__bcnt") <= cap)
+        .select(*keys)
+    )
+    return df.join(ok, keys)
+
+
+def lsh_topk_multi(
+    emb: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_bits: int = 8,
+    n_tables: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_query_id: int | None = 100,
+    bucket_cap: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Multi-table random-projection LSH top-k.
+
+    Single-probe LSH has a recall cliff: a true neighbor split from the
+    query by ANY of the n_bits planes is lost. T independent tables
+    recover it (miss probability decays exponentially in T). Plan
+    shape: explode each vector to its T (table, bucket) keys, equi-join
+    per key, dedup candidates, then exact-cosine rank — candidate
+    generation never leaves bucket joins.
+    """
+    tables = [
+        F.struct(
+            F.lit(t).alias("t"),
+            hyperplane_bucket(F.col(vec_col), hyperplanes(dim, n_bits, t, seed)).alias("b"),
+        )
+        for t in range(n_tables)
+    ]
+    keyed = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.explode(F.array(*tables)).alias("tb"),
+    ).select("id", "vec", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+    keyed = _cap_buckets(keyed, ["t", "b"], bucket_cap)
+    q = keyed.select(F.col("id").alias("q_id"), "t", "b")
+    if max_query_id is not None:
+        q = q.filter(F.col("q_id") < max_query_id)
+    c = keyed.select(F.col("id").alias("n_id"), "t", "b")
+    cand = (
+        q.join(c, ["t", "b"])
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id")
+        .distinct()
+    )
+    qv = emb.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    nv = emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    pairs = cand.join(qv, "q_id").join(nv, "n_id").withColumn(
+        "cos", _cos(F.col("q_vec"), F.col("n_vec"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "n_id", "cos", "rk")
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     k: int = 5,
@@ -113,14 +212,17 @@ def cosine_near_dup_pairs(
     n_bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b) within
-    sign-LSH buckets — the embedding flavor of dedup."""
+    sign-LSH buckets — the embedding flavor of dedup. bucket_cap bounds
+    the within-bucket self-join against mass-duplicate embeddings."""
     with_b = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
     )
+    with_b = _cap_buckets(with_b, ["bucket"], bucket_cap)
     a = with_b.select(F.col("id").alias("id_a"), F.col("vec").alias("va"), "bucket")
     b = with_b.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"), "bucket")
     return (

@@ -18,7 +18,7 @@ the dedup semantics).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from gogstash_spark.mlops.textops import tokens
@@ -212,6 +212,88 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         ).alias("simhash"),
     )
     return sig
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash (production width; the 16-bit `simhash` is the
+    demo form). Bits 0..31 come from the lsb of md5(token)'s hex digits,
+    bits 32..63 from md5('s|' + token) — engine-portable, no JVM hashing.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).withColumn("h1", F.md5(F.col("tok"))).withColumn(
+        "h2", F.md5(F.concat(F.lit("s|"), F.col("tok")))
+    )
+
+    def bit(b: int):
+        src, pos = ("h1", b + 1) if b < 32 else ("h2", b - 31)
+        return F.when(
+            F.instr(F.lit("13579bdf"), F.substring(F.col(src), pos, 1)) > 0, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    sums = tok.groupBy("id").agg(*[F.sum(bit(b)).alias("s%d" % b) for b in range(64)])
+    return sums.select(
+        "id",
+        F.concat(*[
+            F.when(F.col("s%d" % b) > 0, F.lit("1")).otherwise(F.lit("0"))
+            for b in range(64)
+        ]).alias("simhash"),
+    )
+
+
+def hamming_bits(a: Column, b: Column, n: int = 64) -> Column:
+    """Hamming distance between two n-char '0'/'1' strings, native."""
+    return F.size(F.filter(
+        F.sequence(F.lit(1), F.lit(n)),
+        lambda i: F.substr(a, i, F.lit(1)) != F.substr(b, i, F.lit(1)),
+    ))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 7,
+) -> DataFrame:
+    """All pairs with SimHash Hamming distance <= max_hamming via
+    Hamming-neighbor banding: split the 64-bit signature into
+    (max_hamming + 1) bands — by pigeonhole, any pair within the radius
+    shares AT LEAST one band exactly, so a band equi-join finds every
+    such pair (the banded path is EXACT, not approximate). Candidate
+    generation never leaves equi-joins; the Hamming verify runs only on
+    candidates. Requires (max_hamming + 1) to divide 64.
+    """
+    bands = max_hamming + 1
+    if 64 % bands != 0:
+        raise ValueError("max_hamming + 1 must divide 64 (got %d)" % bands)
+    width = 64 // bands
+    sig = simhash64(df, text_col, id_col).persist()
+    bandv = sig.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.substring("simhash", i * width + 1, width).alias("v"),
+            )
+            for i in range(bands)
+        ])).alias("b"),
+    ).select("id", F.col("b.band").alias("band"), F.col("b.v").alias("v"))
+    cand = (
+        bandv.alias("x")
+        .join(bandv.alias("y"), ["band", "v"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    a = sig.select(F.col("id").alias("id_a"), F.col("simhash").alias("sa"))
+    b = sig.select(F.col("id").alias("id_b"), F.col("simhash").alias("sb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("hamming", hamming_bits(F.col("sa"), F.col("sb")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
 
 
 def ngram_jaccard_pairs(

@@ -116,6 +116,44 @@ bs AS (SELECT doc_id, {sums} FROM tok GROUP BY doc_id)
 SELECT doc_id, {bits} AS simhash FROM bs"""
 
 
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_dup_pairs(
+        _docs(spark, sf_dir), "text", "doc_id", max_hamming=7
+    )
+
+
+def _sql_simhash64() -> tuple[str, str]:
+    """(sums select-list, bits concat) mirroring dedup.simhash64."""
+    sums = []
+    for b in range(64):
+        src, pos = ("h1", b + 1) if b < 32 else ("h2", b - 31)
+        sums.append(
+            "sum(CASE WHEN strpos('13579bdf', substr(%s, %d, 1)) > 0 THEN 1 ELSE -1 END) AS s%d"
+            % (src, pos, b)
+        )
+    bits = " || ".join("CASE WHEN s%d > 0 THEN '1' ELSE '0' END" % b for b in range(64))
+    return ", ".join(sums), bits
+
+
+def o_dedup_simhash_pairs() -> str:
+    # BRUTE-FORCE oracle: all-pairs Hamming over the full signatures —
+    # if the Spark banded path missed any pair within the radius, the
+    # row counts would diverge (the banding is exact by pigeonhole)
+    sums, bits = _sql_simhash64()
+    return f"""WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tk FROM documents
+),
+h AS (SELECT doc_id, md5(tk) AS h1, md5('s|' || tk) AS h2 FROM tok),
+bs AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id),
+sig AS (SELECT doc_id, {bits} AS s FROM bs),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    len(list_filter(range(1, 65), i -> substr(a.s, i, 1) <> substr(b.s, i, 1))) AS hamming
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming FROM pairs WHERE hamming <= 7"""
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(
         _docs(spark, sf_dir), "text", "doc_id", n=3, threshold=0.2
@@ -206,6 +244,52 @@ pairs AS (
   SELECT q.vec_id AS q_id, c.vec_id AS n_id, {cos} AS cos
   FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
   WHERE q.vec_id < 50
+),
+ranked AS (
+  SELECT q_id, n_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
+  FROM pairs
+)
+SELECT q_id, n_id, cos, rk FROM ranked WHERE rk <= 5"""
+
+
+def q_ann_topk_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann.lsh_topk_multi(
+        _emb(spark, sf_dir), dim=64, k=5, n_bits=8, n_tables=2, max_query_id=50
+    )
+
+
+def _sql_hyperplane_bits(table: int) -> str:
+    """Concat of sign-bit CASEs mirroring ann.hyperplane_bucket for one
+    table: identical +-1 weights, identical left-fold addition order."""
+    planes = ann.hyperplanes(dim=64, n_bits=8, table=table)
+    bits = []
+    for w in planes:
+        terms = ", ".join(
+            "%sembedding[%d]::DOUBLE" % ("" if x > 0 else "-", i + 1)
+            for i, x in enumerate(w)
+        )
+        proj = "list_reduce(list_prepend(0.0::DOUBLE, [%s]), (a, x) -> a + x)" % terms
+        bits.append("CASE WHEN %s >= 0 THEN '1' ELSE '0' END" % proj)
+    return " || ".join(bits)
+
+
+def o_ann_topk_lsh_multi() -> str:
+    cos = _sql_cos("q.embedding", "c.embedding")
+    return f"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+keyed AS (
+  SELECT vec_id, 0 AS t, {_sql_hyperplane_bits(0)} AS b FROM e
+  UNION ALL
+  SELECT vec_id, 1 AS t, {_sql_hyperplane_bits(1)} AS b FROM e
+),
+cand AS (
+  SELECT DISTINCT kq.vec_id AS q_id, kc.vec_id AS n_id
+  FROM keyed kq JOIN keyed kc ON kq.t = kc.t AND kq.b = kc.b AND kq.vec_id <> kc.vec_id
+  WHERE kq.vec_id < 50
+),
+pairs AS (
+  SELECT cand.q_id, cand.n_id, {cos} AS cos
+  FROM cand JOIN e q ON q.vec_id = cand.q_id JOIN e c ON c.vec_id = cand.n_id
 ),
 ranked AS (
   SELECT q_id, n_id, cos,
@@ -366,10 +450,12 @@ MLOPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_embedding": q_dedup_embedding,
     "ann_topk_brute": q_ann_topk_brute,
     "ann_topk_lsh": q_ann_topk_lsh,
+    "ann_topk_lsh_multi": q_ann_topk_lsh_multi,
     "text_langid": q_text_langid,
     "text_quality": q_text_quality,
     "token_count": q_token_count,
@@ -382,10 +468,12 @@ MLOPS_ORACLES: dict[str, Callable[[], str]] = {
     "dedup_exact": o_dedup_exact,
     "dedup_minhash_lsh": o_dedup_minhash_lsh,
     "dedup_simhash": o_dedup_simhash,
+    "dedup_simhash_pairs": o_dedup_simhash_pairs,
     "dedup_ngram_jaccard": o_dedup_ngram_jaccard,
     "dedup_embedding": o_dedup_embedding,
     "ann_topk_brute": o_ann_topk_brute,
     "ann_topk_lsh": o_ann_topk_lsh,
+    "ann_topk_lsh_multi": o_ann_topk_lsh_multi,
     "text_langid": o_text_langid,
     "text_quality": o_text_quality,
     "token_count": o_token_count,

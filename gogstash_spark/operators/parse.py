@@ -146,7 +146,13 @@ def compile_grok_filter(cfg: dict, ctx: Context) -> Stage:
     patterns = cfg.get("match") or ["%{COMMONAPACHELOG}"]
     extra = cfg.get("patterns") or {}
     compiled = [compile_grok(p, extra) for p in patterns]
-    use_pandas = cfg.get("use_pandas", len(compiled) > 2)
+    # native path evaluates the regex once per capture (regexp_extract has
+    # no multi-group form), so it only wins for few patterns AND few
+    # captures; otherwise the single-eval Arrow/pandas path is cheaper
+    use_pandas = cfg.get("use_pandas")
+    if use_pandas is None:
+        n_caps = max((len(cg.captures) for cg in compiled), default=0)
+        use_pandas = len(compiled) > 2 or n_caps > 5
     error_tag = cfg.get("error_tag", GROK_ERROR_TAG)
     # default TRUE in the reference (filter/grok/filtergrok.go:27,44):
     # captures that matched the empty string become null, not ""

@@ -98,13 +98,22 @@ def compute_aggregate(exploded: DataFrame, agg: dict) -> DataFrame:
     return exploded.groupBy(F.col("sink"), *keys).agg(F.count(F.lit(1)).alias("n"))
 
 
+def _salt_col(df: DataFrame, modulus: int):
+    """Deterministic row salt from (conv_id, turn_idx) when present
+    (the transcripts key), else from every column."""
+    keys = [c for c in ("conv_id", "turn_idx") if c in df.columns] or df.columns
+    return F.pmod(F.xxhash64(*[F.col(c) for c in keys]), F.lit(modulus))
+
+
 def salted_repartition(
     df: DataFrame, n_partitions: int, conv_col: str = "conv_id", n_salts: int = DEFAULT_SALTS
 ) -> DataFrame:
-    """Spread hot conversations: partition on (conv_id, salt)."""
-    salt = F.pmod(F.xxhash64(F.col(conv_col), F.col("turn_idx")), F.lit(n_salts))
+    """Spread hot conversations: partition on (conv_id, salt); schemas
+    without the transcripts key fall back to an all-column hash."""
+    salt = _salt_col(df, n_salts)
+    first = F.col(conv_col) if conv_col in df.columns else salt
     return df.withColumn("__salt", salt).repartition(
-        n_partitions, F.col(conv_col), F.col("__salt")
+        n_partitions, first, F.col("__salt")
     ).drop("__salt")
 
 
@@ -126,11 +135,9 @@ def run_pipeline(
 
     t0 = time.time()
     if input_df is None:
-        inp = spec.input or {}
-        path = inp.get("path")
-        if not path:
-            raise ValueError("spec.input.path required when input_df not given")
-        input_df = spark.read.parquet(path)
+        from gogstash_spark.sources.files import read_input
+
+        input_df = read_input(spark, spec.input or {})
 
     if n_partitions is None:
         n_partitions = spark.sparkContext.defaultParallelism
@@ -208,7 +215,7 @@ def run_pipeline(
                         .dropDuplicates(["route", "__dd"])
                         .drop("__dd")
                     )
-                salt = F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(n_partitions))
+                salt = _salt_col(exploded.drop("route"), n_partitions)
                 exploded = exploded.withColumn("__salt", salt).repartition(
                     n_partitions, F.col("route"), F.col("__salt")
                 ).drop("__salt")

@@ -25,6 +25,69 @@ class TestConnectors:
             connectors.kafka_stream(spark, "localhost:9092", "t")
 
 
+class TestFileInputs:
+    """spec.input type/codec dispatch (reference file input + codec,
+    input/file/inputfile.go:47-210, config/codec.go:23-36)."""
+
+    def test_text_default_codec(self, spark, tmp_path):
+        from gogstash_spark.sources.files import read_input
+
+        p = str(tmp_path / "lines.log")
+        with open(p, "w") as f:
+            f.write("line one\nline two\n")
+        df = read_input(spark, {"type": "text", "path": p})
+        assert sorted(r["text"] for r in df.collect()) == ["line one", "line two"]
+
+    def test_text_json_codec_lifts_reserved(self, spark, tmp_path):
+        from gogstash_spark.sources.files import read_input
+
+        p = str(tmp_path / "ev.log")
+        with open(p, "w") as f:
+            f.write('{"message":"hello","@timestamp":"2024-03-01T12:00:00Z","k":"v"}\n')
+        df = read_input(spark, {"type": "text", "path": p, "codec": "json"})
+        r = df.collect()[0]
+        assert r["text"] == "hello" and r["ts"].year == 2024
+        assert dict(r["extra"]) == {"k": "v"}
+
+    def test_csv_and_jsonlines(self, spark, tmp_path):
+        from gogstash_spark.sources.files import read_input
+
+        c = str(tmp_path / "t.csv")
+        with open(c, "w") as f:
+            f.write("a,b\n1,x\n2,y\n")
+        got = read_input(spark, {"type": "csv", "path": c}).collect()
+        assert {(r["a"], r["b"]) for r in got} == {(1, "x"), (2, "y")}
+        j = str(tmp_path / "t.jsonl")
+        with open(j, "w") as f:
+            f.write('{"a": 1}\n{"a": 2}\n')
+        got = read_input(spark, {"type": "json", "path": j, "schema": "a bigint"}).collect()
+        assert sorted(r["a"] for r in got) == [1, 2]
+
+    def test_pipeline_over_text_input(self, spark, tmp_path):
+        """e2e: raw log lines -> grok -> route -> sinks, the reference's
+        bread-and-butter file pipeline shape."""
+        p = str(tmp_path / "app.log")
+        with open(p, "w") as f:
+            f.write("level=error latency_ms=12 path=/a status=500\n")
+            f.write("level=info latency_ms=3 path=/b status=200\n")
+        res = run_pipeline(
+            spark,
+            {
+                "input": {"type": "text", "path": p},
+                "filter": [{"type": "kv", "source": "text",
+                            "fields": {"level": "string", "status": {"key": "status", "type": "long"}}}],
+                "output": [
+                    {"type": "table", "name": "errs", "condition": "status >= 500"},
+                    {"type": "table", "name": "rest", "condition": "status < 500"},
+                ],
+                "aggregate": [{"name": "counts", "group_by": ["level"]}],
+            },
+            out_dir=str(tmp_path / "out"),
+            resume=False,
+        )
+        assert res.sink_rows == {"errs": 1, "rest": 1}
+
+
 class TestLineageMetrics:
     def test_accumulators_and_per_file_lineage(self, spark, sf_data_dir, tmp_path):
         res = run_pipeline(

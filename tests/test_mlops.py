@@ -101,6 +101,31 @@ class TestDedup:
         hot = dedup.lsh_hot_buckets(buckets, bucket_cap=10).collect()
         assert len(hot) == 4 and all(r["cnt"] == 50 for r in hot)
 
+    def test_simhash64_banding_is_exact(self, spark, docs):
+        """banded pair detection must find EXACTLY the pairs a brute
+        all-pairs Hamming scan finds (pigeonhole completeness)."""
+        sig = {r["id"]: r["simhash"] for r in dedup.simhash64(docs).collect()}
+        assert all(len(s) == 64 for s in sig.values())
+        def ham(a, b):
+            return sum(x != y for x, y in zip(a, b))
+        for radius in (0, 7, 15):
+            if (radius + 1) not in (1, 2, 4, 8, 16, 32, 64):
+                continue
+            want = {
+                (i, j)
+                for i in sig for j in sig
+                if i < j and ham(sig[i], sig[j]) <= radius
+            }
+            got = {
+                (r["id_a"], r["id_b"])
+                for r in dedup.simhash_near_dup_pairs(docs, max_hamming=radius).collect()
+            }
+            assert got == want, radius
+        assert (1, 2) in {
+            (r["id_a"], r["id_b"])
+            for r in dedup.simhash_near_dup_pairs(docs, max_hamming=0).collect()
+        }  # exact dups at hamming 0
+
     def test_simhash_identical_for_dups(self, spark, docs):
         sig = {r["id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
         assert sig[1] == sig[2]
@@ -166,6 +191,36 @@ class TestTextOps:
         fp = {r["doc_id"]: r["fingerprint"] for r in textops.fingerprint(docs).collect()}
         assert fp[1] == fp[2]
         assert fp[1] != fp[4]
+
+
+class TestMultiTableLSH:
+    def test_multi_table_recovers_neighbors(self, spark, emb):
+        got = {
+            (r["q_id"], r["rk"]): r["n_id"]
+            for r in ann.lsh_topk_multi(
+                emb, dim=4, k=1, n_bits=2, n_tables=3, max_query_id=10
+            ).collect()
+        }
+        # vec 1 is the near-copy of vec 0: with 3 tables the pair must
+        # land in at least one shared bucket
+        assert got.get((0, 1)) == 1 and got.get((1, 1)) == 0
+
+    def test_hyperplanes_deterministic(self):
+        a = ann.hyperplanes(8, 4, table=1)
+        b = ann.hyperplanes(8, 4, table=1)
+        c = ann.hyperplanes(8, 4, table=2)
+        assert a == b and a != c
+        assert all(x in (-1.0, 1.0) for row in a for x in row)
+
+    def test_bucket_cap_drops_hot_bucket(self, spark):
+        import pyspark.sql.functions as SF
+
+        hot = spark.range(100).select(
+            SF.col("id").alias("vec_id"),
+            SF.array(SF.lit(1.0), SF.lit(1.0)).alias("embedding"),
+        )
+        pairs = ann.cosine_near_dup_pairs(hot, threshold=0.5, n_bits=2, bucket_cap=10)
+        assert pairs.count() == 0  # hot bucket dropped, no n^2 pairs
 
 
 class TestMultimodal:
