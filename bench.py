@@ -46,10 +46,10 @@ def main() -> None:
     spec = standard_spec(data_dir)
     shutil.rmtree(out_dir, ignore_errors=True)
     run_pipeline(spark, spec, out_dir=out_dir, base_dir=data_dir, resume=False, write_mode="partitioned")
-    # two measured runs, keep the min: the sandbox host is shared and a
+    # three measured runs, keep the min: the sandbox host is shared and a
     # single run can be 2x off (see BASELINE.md noise notes)
     e2e = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.time()
         res = run_pipeline(
@@ -75,11 +75,14 @@ def main() -> None:
     ]:
         if name not in qs:
             continue
-        t0 = time.time()
         # noop sink forces full column computation (count() would let
-        # Catalyst prune the parse away)
-        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.time() - t0, 3)
+        # Catalyst prune the parse away); min of two runs vs host noise
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

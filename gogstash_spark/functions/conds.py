@@ -185,6 +185,14 @@ class _Parser:
             return "length(%s)" % args[0]
         if n == "rand":
             return "rand()"
+        if n == "map":
+            # reference built-in map("a.b") resolves a nested event path
+            # (filtercond.go:24-71); dotted identifiers are already
+            # native nested access here, so unquote to an identifier
+            a = args[0]
+            if len(a) >= 2 and a[0] == "'" and a[-1] == "'":
+                return a[1:-1]
+            return a
         raise CondError("unsupported function %s()" % name)
 
 

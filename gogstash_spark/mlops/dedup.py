@@ -68,12 +68,29 @@ def shingle_df(
 def minhash_signatures(
     sh: DataFrame, k: int = 4
 ) -> DataFrame:
-    """K md5-minhashes per doc: m_j = min(md5(j || '|' || shingle))."""
+    """K md5-minhashes per doc from exploded (id, shingle) pairs:
+    m_j = min(md5(j || '|' || shingle)). Shuffles on id — prefer
+    minhash_signatures_from_sets when the set form is already at hand."""
     aggs = [
         F.min(F.md5(F.concat(F.lit("%d|" % j), F.col("shingle")))).alias("m%d" % j)
         for j in range(k)
     ]
     return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_signatures_from_sets(sets: DataFrame, k: int = 4) -> DataFrame:
+    """Same signatures computed per row from the sh_set array with
+    array_min(transform(...)) — a pure projection, NO shuffle (the
+    explode+groupBy form costs a full shuffle on id). Rows with empty
+    shingle sets are excluded (no signature exists for them)."""
+    def mh(j: int):
+        # closure factory: a default-arg lambda would look 2-ary and make
+        # F.transform pass the element INDEX as the second argument
+        return F.array_min(
+            F.transform(F.col("sh_set"), lambda s: F.md5(F.concat(F.lit("%d|" % j), s)))
+        ).alias("m%d" % j)
+
+    return sets.filter(F.size("sh_set") > 0).select("id", *[mh(j) for j in range(k)])
 
 
 def collapse_exact_texts(
@@ -148,8 +165,7 @@ def minhash_lsh_pairs(
     if collapse_exact:
         df = collapse_exact_texts(df, text_col, id_col)
     sets = shingle_sets(df, text_col, id_col, n).persist()
-    sh = sets.select("id", F.explode("sh_set").alias("shingle"))
-    sig = minhash_signatures(sh, bands * rows_per_band)
+    sig = minhash_signatures_from_sets(sets, bands * rows_per_band)
 
     # band join: explode signatures to (band, value) and self-join buckets
     buckets = lsh_band_buckets(sig, bands, rows_per_band)

@@ -96,6 +96,7 @@ class TestCond:
             ("strlen(m) > 3", "(length(m) > 3)"),
             ("v =~ 'ab.'", "(v RLIKE 'ab.')"),
             ("a + b * 2 > 4", "((a + (b * 2)) > 4)"),
+            ("map('jsonf.level') == 'error'", "(jsonf.level = 'error')"),
         ],
     )
     def test_translate(self, expr, sql):

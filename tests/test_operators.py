@@ -402,6 +402,50 @@ class TestCondFilter:
         got = {r["id"]: r["mark"] for r in stage(df).collect()}
         assert got == {1: "T", 2: "F"}
 
+    def test_nested_cond_with_drop_guards_conjoin(self, spark):
+        """a drop nested two conds deep must only remove rows matching
+        BOTH predicates (guards conjoin down the tree)."""
+        df = spark.createDataFrame(
+            [(1, "a", "x"), (2, "a", "y"), (3, "b", "x"), (4, "b", "y")],
+            "id int, u string, v string",
+        )
+        stage = compile_filter(
+            {
+                "type": "cond",
+                "condition": "u == 'a'",
+                "filter": [
+                    {
+                        "type": "cond",
+                        "condition": "v == 'x'",
+                        "filter": [{"type": "drop"}],
+                        "else_filter": [{"type": "add_field", "key": "m", "value": "ay"}],
+                    },
+                ],
+                "else_filter": [{"type": "add_field", "key": "m", "value": "b"}],
+            },
+            ctx(spark),
+        )
+        got = {r["id"]: r["m"] for r in stage(df).collect()}
+        assert got == {2: "ay", 3: "b", 4: "b"}  # only (a, x) dropped
+
+    def test_cond_branch_ratelimit_only_throttles_branch(self, spark):
+        df = spark.createDataFrame(
+            [(i, "hot" if i % 2 == 0 else "cold") for i in range(40)],
+            "turn_idx int, kind string",
+        )
+        stage = compile_filter(
+            {
+                "type": "cond",
+                "condition": "kind == 'hot'",
+                "filter": [{"type": "ratelimit", "key": "turn_idx",
+                            "keep_num": 1, "keep_den": 10}],
+            },
+            ctx(spark),
+        )
+        out = stage(df)
+        assert out.filter("kind = 'cold'").count() == 20  # untouched
+        assert out.filter("kind = 'hot'").count() < 20    # throttled
+
     def test_url_param(self, spark):
         df = spark.createDataFrame(
             [(1, "/s?q=spark&page=2"), (2, "/plain")], "id int, request string"
