@@ -137,6 +137,28 @@ def _grok_pandas(
     return df, F.col("__grok_idx") >= 0
 
 
+def _load_pattern_file(path: str | None, ctx: Context) -> dict[str, str]:
+    """`NAME regex` lines, the grok pattern-file format (reference
+    filter/grok/filtergrok.go:23 patterns_path; format as in
+    filtergrok_test.go:21). Explicit `patterns` entries override."""
+    if not path:
+        return {}
+    import os
+
+    if not os.path.isabs(path):
+        path = os.path.join(ctx.base_dir, path)
+    out: dict[str, str] = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            name, _, rx = line.partition(" ")
+            if name and rx:
+                out[name] = rx.strip()
+    return out
+
+
 @register("grok")
 def compile_grok_filter(cfg: dict, ctx: Context) -> Stage:
     """Ordered grok patterns, first-match-wins; error tag on total miss
@@ -144,7 +166,8 @@ def compile_grok_filter(cfg: dict, ctx: Context) -> Stage:
     """
     source = cfg.get("source", logevent.TEXT)
     patterns = cfg.get("match") or ["%{COMMONAPACHELOG}"]
-    extra = cfg.get("patterns") or {}
+    extra = dict(_load_pattern_file(cfg.get("patterns_path"), ctx))
+    extra.update(cfg.get("patterns") or {})
     compiled = [compile_grok(p, extra) for p in patterns]
     # native path evaluates the regex once per capture (regexp_extract has
     # no multi-group form), so it only wins for few patterns AND few
@@ -269,6 +292,11 @@ def compile_json(cfg: dict, ctx: Context) -> Stage:
     appendkey = cfg.get("appendkey")
     error_tag = cfg.get("error_tag", JSON_ERROR_TAG)
     tag_on_failure = cfg.get("tag_on_failure", True)
+    # reference lifts a chosen key into the message and a timestamp key
+    # (with layout) into @timestamp (filter/json/filterjson.go:21-24,60-95)
+    msgfield = cfg.get("message")
+    tsfield = cfg.get("timestamp")
+    tsformat = cfg.get("timeformat")
 
     def apply(df: DataFrame) -> DataFrame:
         # guard: from_json is permissive (all-null struct) on garbage, so
@@ -280,6 +308,25 @@ def compile_json(cfg: dict, ctx: Context) -> Stage:
             parsed = F.from_json(F.col(source), "map<string,string>")
         df = df.withColumn("__json", F.when(looks_json, parsed))
         applied = F.col("__json").isNotNull()
+        if msgfield:
+            df = df.withColumn(
+                logevent.TEXT,
+                F.coalesce(F.col("__json")[msgfield].cast("string"),
+                           F.col(logevent.TEXT) if logevent.TEXT in df.columns
+                           else F.lit(None).cast("string")),
+            )
+        if tsfield:
+            raw_ts = F.col("__json")[tsfield].cast("string")
+            parsed_ts = (
+                F.try_to_timestamp(raw_ts, F.lit(to_spark_pattern(tsformat)))
+                if tsformat else F.try_to_timestamp(raw_ts)
+            )
+            df = df.withColumn(
+                logevent.TS,
+                F.coalesce(parsed_ts,
+                           F.col(logevent.TS) if logevent.TS in df.columns
+                           else F.lit(None).cast("timestamp")),
+            )
         if appendkey:
             df = df.withColumn(appendkey, F.col("__json"))
         elif schema:
@@ -383,7 +430,13 @@ def compile_url_param(cfg: dict, ctx: Context) -> Stage:
     source = cfg.get("source", "request")
     include_keys = cfg.get("include_keys") or []
     prefix = cfg.get("prefix", "")
+    # reference url_decode is a LIST of keys (filter/urlparam/
+    # filterurlparam.go:21); a bool decodes every included key
     decode = cfg.get("url_decode", False)
+    decode_keys = set(decode) if isinstance(decode, (list, tuple)) else (
+        set(include_keys) if decode else set()
+    )
+    remove_empty = bool(cfg.get("remove_empty_values", True))
 
     def apply(df: DataFrame) -> DataFrame:
         # parse_url needs an absolute URL; relative paths get a stub base
@@ -395,8 +448,10 @@ def compile_url_param(cfg: dict, ctx: Context) -> Stage:
         new_cols = {}
         for key in include_keys:
             val = F.parse_url(F.col("__url"), F.lit("QUERY"), F.lit(key))
-            if decode:
+            if key in decode_keys:
                 val = F.url_decode(val)
+            if remove_empty:
+                val = F.nullif(val, F.lit(""))
             new_cols[prefix + key] = val
         df = df.withColumns(new_cols)
         df = apply_common(df, cfg, applied)

@@ -150,6 +150,25 @@ class TestJsonKv:
         assert got[3]["j"]["level"] == "error" and got[3]["j"]["code"] == 503
         assert got[1]["j"] is None
 
+    def test_json_message_timestamp_lift(self, spark):
+        """json filter lifts chosen keys into message/@timestamp with a
+        Go layout (reference filter/json/filterjson.go:21-24,60-95)."""
+        df = spark.createDataFrame(
+            [(1, '{"m":"hello","t":"2017/07/18 13:10:16","x":"y"}')],
+            "id int, text string",
+        )
+        stage = compile_filter(
+            {"type": "json", "source": "text",
+             "schema": "struct<m:string,t:string,x:string>",
+             "message": "m", "timestamp": "t",
+             "timeformat": "2006/01/02 15:04:05",
+             "tag_on_failure": False},
+            ctx(spark),
+        )
+        r = stage(df).collect()[0]
+        assert r["text"] == "hello"
+        assert r["ts"] == datetime.datetime(2017, 7, 18, 13, 10, 16)
+
     def test_kv_quote_aware(self, spark, events):
         stage = compile_filter(
             {
@@ -321,6 +340,29 @@ class TestEnrich:
         got = {r["id"]: r for r in ua(grok(events)).collect()}
         assert got[1]["ua"]["family"] == "curl"
         assert got[1]["ua"]["version"] == "8.5.0"
+
+
+class TestGrokPatternsPath:
+    def test_pattern_file_loaded_and_overridable(self, spark, tmp_path):
+        p = tmp_path / "patterns"
+        p.write_text("MYLEVEL (?:warn|error)\n# comment\nMYLINE lvl=%{MYLEVEL:lvl}\n")
+        df = spark.createDataFrame([(1, "lvl=error")], "id int, text string")
+        stage = compile_filter(
+            {"type": "grok", "match": ["%{MYLINE}"], "patterns_path": str(p),
+             "use_pandas": False, "tag_on_failure": False},
+            ctx(spark, base=str(tmp_path)),
+        )
+        assert stage(df).collect()[0]["lvl"] == "error"
+        # explicit patterns win over the file
+        stage2 = compile_filter(
+            {"type": "grok", "match": ["%{MYLINE}"], "patterns_path": str(p),
+             "patterns": {"MYLEVEL": r"(?:info)"},
+             "use_pandas": False, "tag_on_failure": False},
+            ctx(spark, base=str(tmp_path)),
+        )
+        r = stage2(df).collect()[0]
+        assert r["lvl"] is None
+        assert "gogstash_filter_grok_error" in list(r["tags"])
 
 
 class TestGrokRemoveEmpty:
