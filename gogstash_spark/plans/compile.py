@@ -33,6 +33,9 @@ class Route:
     # document_id renders a per-event id used to dedup on write.
     index_template: str | None = None
     doc_id_template: str | None = None
+    # raw output spec for protocol sinks (http/socket/gelf) — the runner
+    # dispatches these through outputs.emit instead of a parquet write
+    out_cfg: dict | None = None
 
 
 DOC_ID = "_doc_id"
@@ -95,6 +98,7 @@ def flatten_outputs(outputs: list[dict], parent_pred: str = "true") -> list[Rout
                 pred_sql=pred,
                 index_template=out.get("index"),
                 doc_id_template=out.get("document_id"),
+                out_cfg=dict(out) if typ in ("http", "socket", "gelf") else None,
             ))
     return routes
 

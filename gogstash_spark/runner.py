@@ -152,7 +152,8 @@ def run_pipeline(
             ledger.committed("__partitioned__")
             if write_mode == "partitioned"
             else all(
-                ledger.committed(r.sink) and os.path.exists(os.path.join(out_dir, r.sink))
+                ledger.committed(r.sink)
+                and (r.out_cfg is not None or os.path.exists(os.path.join(out_dir, r.sink)))
                 for r in plan.routes
             )
         )
@@ -275,13 +276,25 @@ def run_pipeline(
         for route in routes_to_write:
             sink = route.sink
             sink_dir = os.path.join(out_dir, sink)
-            if resume and ledger.committed(sink) and os.path.exists(sink_dir):
+            if resume and ledger.committed(sink) and (
+                route.out_cfg is not None or os.path.exists(sink_dir)
+            ):
                 result.skipped_sinks.append(sink)
                 result.sink_rows[sink] = ledger.state["sinks"][sink]["rows"]
                 continue
             sink_df = routed.filter(F.array_contains(F.col(ROUTES), sink)).drop(ROUTES)
             if route.doc_id_template and DOC_ID in sink_df.columns:
                 sink_df = sink_df.dropDuplicates([DOC_ID])
+            if route.out_cfg is not None:
+                # protocol sink: stream out via foreachPartition, count
+                # task-side, commit by count (no directory to rename)
+                from gogstash_spark.outputs import emit
+
+                rows = emit(sink_df, route.out_cfg)
+                result.sink_rows[sink] = rows
+                ledger.commit(sink, rows)
+                result.metrics[sink] = {"rows": rows}
+                continue
             sink_obs = Observation("sink_%s" % sink)
             sink_df = sink_df.observe(sink_obs, F.count(F.lit(1)).alias("rows"))
             tmp_dir = sink_dir + ".__tmp__"

@@ -67,6 +67,38 @@ class TestStreaming:
         wb(df, 1)  # a genuinely new epoch appends
         assert spark.read.parquet(os.path.join(out, "s_user")).count() == 10
 
+    def test_stateful_dedup_across_microbatches(self, spark, tmp_path):
+        """applyInPandasWithState: first event per key wins, duplicates
+        in LATER microbatches are dropped by keyed state."""
+        from gogstash_spark.streaming.stateful import dedup_stream
+
+        src_dir = str(tmp_path / "src")
+        # two files -> two microbatches (maxFilesPerTrigger=1)
+        spark.createDataFrame(
+            [("k1", "first"), ("k2", "first")], "k string, v string"
+        ).coalesce(1).write.mode("overwrite").parquet(src_dir)
+        spark.createDataFrame(
+            [("k1", "dup"), ("k3", "first")], "k string, v string"
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+
+        schema = spark.read.parquet(src_dir).schema
+        stream = (
+            spark.readStream.format("parquet").schema(schema)
+            .option("maxFilesPerTrigger", 1).load(src_dir)
+        )
+        q = (
+            dedup_stream(stream, ["k"])
+            .writeStream.outputMode("append").format("memory")
+            .queryName("dedup_state_test").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        got = {
+            r["k"]: r["v"]
+            for r in spark.sql("SELECT * FROM dedup_state_test").collect()
+        }
+        assert set(got) == {"k1", "k2", "k3"}
+        assert got["k2"] == "first" and got["k3"] == "first"
+
     def test_windowed_counts_with_watermark(self, spark, sf_data_dir):
         got = windowed_counts(
             spark, os.path.join(sf_data_dir, "transcripts"),
