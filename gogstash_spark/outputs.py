@@ -177,7 +177,65 @@ def gelf_output(
     return int(sent.value)
 
 
-NET_OUTPUTS = {"http": http_output, "socket": socket_output, "gelf": gelf_output}
+def loki_output(
+    df: DataFrame,
+    url: str,
+    labels: dict[str, str] | None = None,
+    batch_size: int = 500,
+    timeout: float = 10.0,
+) -> int:
+    """Grafana Loki push API: POST {streams: [{stream: labels,
+    values: [[ns_epoch, line], ...]}]} per task batch (reference
+    output/loki maps events to the same payload). Events without ts
+    stamp 0 (Loki rejects those in production — upstream date parse is
+    the fix, same as the reference)."""
+    sc = df.sparkSession.sparkContext
+    sent = sc.accumulator(0)
+    lbls = labels or {"job": "gogstash_spark"}
+
+    from gogstash_spark.codecs import encode_json
+
+    ns_col = (
+        (F.coalesce(F.unix_micros(F.col(logevent.TS)), F.lit(0)) * F.lit(1000))
+        if logevent.TS in df.columns
+        else F.lit(0).cast("long")
+    )
+    enc = encode_json(df).select(F.col("encoded"), ns_col.alias("ns"))
+
+    def send_partition(rows):
+        import urllib.request
+
+        buf: list[list[str]] = []
+
+        def flush():
+            if not buf:
+                return
+            payload = json.dumps({"streams": [{"stream": lbls, "values": buf}]})
+            req = urllib.request.Request(
+                url, data=payload.encode(),
+                headers={"Content-Type": "application/json"}, method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=timeout):
+                pass
+            sent.add(len(buf))
+            buf.clear()
+
+        for r in rows:
+            buf.append([str(r["ns"]), r["encoded"]])
+            if len(buf) >= batch_size:
+                flush()
+        flush()
+
+    enc.foreachPartition(send_partition)
+    return int(sent.value)
+
+
+NET_OUTPUTS = {
+    "http": http_output,
+    "socket": socket_output,
+    "gelf": gelf_output,
+    "loki": loki_output,
+}
 
 
 def emit(df: DataFrame, cfg: dict) -> int:
@@ -197,5 +255,10 @@ def emit(df: DataFrame, cfg: dict) -> int:
         return gelf_output(
             df, cfg["address"], chunk_size=int(cfg.get("chunk_size", 1420)),
             host=cfg.get("host", "gogstash_spark"),
+        )
+    if typ == "loki":
+        return loki_output(
+            df, cfg["url"], labels=cfg.get("labels"),
+            batch_size=int(cfg.get("batch_size", 500)),
         )
     raise ValueError("unknown protocol output %r" % typ)

@@ -98,7 +98,7 @@ def flatten_outputs(outputs: list[dict], parent_pred: str = "true") -> list[Rout
                 pred_sql=pred,
                 index_template=out.get("index"),
                 doc_id_template=out.get("document_id"),
-                out_cfg=dict(out) if typ in ("http", "socket", "gelf") else None,
+                out_cfg=dict(out) if typ in ("http", "socket", "gelf", "loki") else None,
             ))
     return routes
 

@@ -48,6 +48,93 @@ def exec_input(
     return _lines_df(spark, lines)
 
 
+def _spool_writer(spool_dir: str):
+    """Atomic line-file writer: events land as whole files (tmp +
+    rename) so the Structured Streaming file source never reads a
+    partial write."""
+    import itertools
+    import os
+    import threading
+
+    os.makedirs(spool_dir, exist_ok=True)
+    counter = itertools.count()
+    lock = threading.Lock()
+
+    def write(lines: list[str]) -> None:
+        if not lines:
+            return
+        with lock:
+            i = next(counter)
+        tmp = os.path.join(spool_dir, ".tmp-%d-%d" % (os.getpid(), i))
+        final = os.path.join(spool_dir, "ev-%d-%d.log" % (os.getpid(), i))
+        with open(tmp, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        os.replace(tmp, final)
+
+    return write
+
+
+def httplisten_input(spool_dir: str, host: str = "127.0.0.1", port: int = 0):
+    """HTTP listener -> spool -> stream bridge (reference
+    input/httplisten accepts POSTed events). The listener is a daemon
+    thread appending atomic spool files; `spool_stream` turns the spool
+    into a readStream — the push-daemon half and the distributed half
+    stay decoupled, which is exactly how push inputs scale on a
+    cluster (listeners on edge nodes, Spark reads the spool/object
+    store). Returns (server, 'host:port'); server.shutdown() stops it.
+    """
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    write = _spool_writer(spool_dir)
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(n).decode("utf-8", errors="replace")
+            write([ln for ln in body.splitlines() if ln])
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer((host, port), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, "%s:%d" % srv.server_address
+
+
+def socket_listen_input(spool_dir: str, host: str = "127.0.0.1", port: int = 0):
+    """TCP line listener -> spool -> stream bridge (reference
+    input/socket reads newline-delimited events). Returns
+    (server, 'host:port'); server.shutdown() stops it."""
+    import socketserver
+    import threading
+
+    write = _spool_writer(spool_dir)
+
+    class Handler(socketserver.StreamRequestHandler):
+        def handle(self):
+            for raw in self.rfile:
+                line = raw.decode("utf-8", errors="replace").rstrip("\r\n")
+                if line:
+                    write([line])
+
+    srv = socketserver.ThreadingTCPServer((host, port), Handler)
+    srv.daemon_threads = True
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, "%s:%d" % srv.server_address
+
+
+def spool_stream(spark: SparkSession, spool_dir: str) -> DataFrame:
+    """readStream over a listener spool: one event per line, default
+    codec (value -> text)."""
+    from gogstash_spark.codecs import decode_default
+
+    src = spark.readStream.format("text").load(spool_dir)
+    return decode_default(src, "value").drop("value")
+
+
 def http_input(
     spark: SparkSession,
     url: str,

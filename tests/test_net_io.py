@@ -86,6 +86,74 @@ class TestHttpIO:
         assert res.sink_rows == {"web": 2, "rest": 1}
 
 
+class TestLokiOutput:
+    def test_loki_payload_shape(self, spark, http_server):
+        df = spark.createDataFrame(
+            [("e1",), ("e2",)], "text string"
+        ).withColumn("ts", F.to_timestamp(F.lit("2024-03-01 12:00:00")))
+        sent = outputs.loki_output(df.coalesce(1), http_server, labels={"job": "t"})
+        assert sent == 2
+        payload = json.loads(_HttpRecorder.bodies[-1])
+        stream = payload["streams"][0]
+        assert stream["stream"] == {"job": "t"}
+        assert len(stream["values"]) == 2
+        ns, line = stream["values"][0]
+        assert int(ns) > 1_600_000_000 * 10**9  # ns epoch
+        assert json.loads(line)["message"] in ("e1", "e2")
+
+
+class TestListenerInputs:
+    def test_httplisten_to_stream(self, spark, tmp_path):
+        import urllib.request
+
+        from gogstash_spark.sources.ingest import httplisten_input, spool_stream
+
+        spool = str(tmp_path / "spool_http")
+        srv, addr = httplisten_input(spool)
+        try:
+            req = urllib.request.Request(
+                "http://%s/" % addr, data=b"ev one\nev two\n", method="POST"
+            )
+            urllib.request.urlopen(req, timeout=5).read()
+        finally:
+            srv.shutdown()
+        q = (
+            spool_stream(spark, spool)
+            .writeStream.format("memory").queryName("httplisten_t")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        got = sorted(r["text"] for r in spark.sql("SELECT * FROM httplisten_t").collect())
+        assert got == ["ev one", "ev two"]
+
+    def test_socket_listen_to_stream(self, spark, tmp_path):
+        from gogstash_spark.sources.ingest import socket_listen_input, spool_stream
+
+        spool = str(tmp_path / "spool_sock")
+        srv, addr = socket_listen_input(spool)
+        host, _, port = addr.rpartition(":")
+        try:
+            conn = socket.create_connection((host, int(port)), timeout=5)
+            conn.sendall(b"sock one\nsock two\n")
+            conn.close()
+            import time
+            for _ in range(50):  # listener thread drains asynchronously
+                import os
+                if len([f for f in os.listdir(spool) if not f.startswith(".")]) >= 2:
+                    break
+                time.sleep(0.1)
+        finally:
+            srv.shutdown()
+        q = (
+            spool_stream(spark, spool)
+            .writeStream.format("memory").queryName("socklisten_t")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        got = sorted(r["text"] for r in spark.sql("SELECT * FROM socklisten_t").collect())
+        assert got == ["sock one", "sock two"]
+
+
 class TestExecInput:
     def test_lines_and_prefix(self, spark):
         df = exec_input(spark, "printf", ["a\\nb\\n"], message_prefix="x ")
