@@ -106,13 +106,30 @@ def _remove(col: Column, steps: list[Step]) -> Column:
     )
 
 
+def _dtype_at(dtype, steps: list[Step]):
+    for kind, v in steps:
+        dtype = dtype[v].dataType if kind == "field" else dtype.elementType
+    return dtype
+
+
 def remove_path(df: DataFrame, path: str) -> DataFrame:
     """Remove a nested field / array element. A bare top-level name
-    drops the column."""
+    drops the column. Removing a struct's ONLY field nulls the parent
+    struct (Spark cannot represent a zero-field struct)."""
+    from pyspark.sql.types import StructType
+
     steps = parse_path(path)
     kind, name = steps[0]
     if kind != "field":
         raise ValueError("path must start with a field name: %r" % path)
     if len(steps) == 1:
         return df.drop(name)
+    if steps[-1][0] == "field":
+        parent_steps = steps[1:-1]
+        parent_type = _dtype_at(df.schema[name].dataType, parent_steps)
+        if isinstance(parent_type, StructType) and len(parent_type.fields) == 1:
+            null_parent = F.lit(None).cast(parent_type)
+            if not parent_steps:
+                return df.withColumn(name, null_parent)
+            return df.withColumn(name, _set(F.col(name), parent_steps, null_parent))
     return df.withColumn(name, _remove(F.col(name), steps[1:]))

@@ -80,3 +80,58 @@ class TestCondVsPython:
 
         for i, a, b, c, d in rows:
             assert got[i] == py_eval(a, b, c, d), (i, expr, (a, b, c, d))
+
+
+class TestPathValueRoundtrip:
+    """set-then-get returns the value; remove-then-columns lacks it —
+    over randomized nested struct/array shapes (seeded, one Spark job
+    per batch)."""
+
+    def test_random_paths_roundtrip(self, spark):
+        rng = random.Random(SEED)
+        from gogstash_spark.functions.pathvalue import get_path, remove_path, set_path
+
+        df = spark.createDataFrame(
+            [(1, {"b": [{"c": 1, "d": "x"}, {"c": 2, "d": "y"}, {"c": 3, "d": "z"}],
+                  "e": {"f": 9}})],
+            "id int, a struct<b:array<struct<c:int,d:string>>, e:struct<f:int>>",
+        )
+        paths = ["a.e.f", "a.b[0].c", "a.b[1].d", "a.b[-1].c", "a.b[2].d"]
+        for p in paths:
+            marker = rng.randint(100, 999)
+            out = set_path(df, p, F.lit(marker).cast("int") if p.endswith(".c") or p.endswith(".f")
+                           else F.lit(str(marker)))
+            got = out.select(get_path(out, p).alias("v")).collect()[0]["v"]
+            assert str(got) == str(marker), p
+        # removals: the addressed leaf disappears, siblings survive
+        out = remove_path(df, "a.b[1]")
+        r = out.collect()[0]
+        assert [e["c"] for e in r["a"]["b"]] == [1, 3]
+        # removing a struct's only field nulls the emptied parent
+        out2 = remove_path(df, "a.e.f")
+        assert out2.collect()[0]["a"]["e"] is None
+
+    def test_hash_vectors_match_stdlib(self, spark):
+        """fnv32a/adler32 column arithmetic vs Python reference over
+        random ASCII strings."""
+        import zlib
+
+        def fnv32a(data: bytes) -> int:
+            h = 2166136261
+            for byt in data:
+                h = ((h ^ byt) * 16777619) % 2**32
+            return h
+
+        rng = random.Random(SEED)
+        alphabet = "abcdefghijklmnop qrstuvwxyz0123456789-_/."
+        cases = ["".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40)))
+                 for _ in range(40)]
+        df = spark.createDataFrame([(i, s) for i, s in enumerate(cases)], "id int, x string")
+        f = compile_filter({"type": "hash", "source": ["x"], "algo": "fnv32a",
+                            "target": "hf"}, Context(spark=spark))
+        a = compile_filter({"type": "hash", "source": ["x"], "algo": "adler32",
+                            "target": "ha"}, Context(spark=spark))
+        got = {r["id"]: r for r in a(f(df)).collect()}
+        for i, s in enumerate(cases):
+            assert got[i]["hf"] == "%08x" % fnv32a(s.encode()), s
+            assert got[i]["ha"] == "%08x" % zlib.adler32(s.encode()), s
