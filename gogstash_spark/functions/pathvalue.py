@@ -4,12 +4,18 @@ The reference addresses event fields by path — `a.b[0].c`, negative
 indices count from the end (reference config/logevent/pathvalue.go:
 29-73 GetValue, 150-192 SetValue/RemoveValue). Columnar analog:
 
-- get  -> a Column expression (getField / element_at)
+- get  -> a Column expression (bracket access / element_at)
 - set  -> struct rebuild via Column.withField; array elements rebuilt
-          with a positional transform (only the addressed index changes)
-- remove -> Column.dropFields; array index removal filters by position
+          with a positional transform (only the addressed index
+          changes); MAP parents set via map_filter + map_concat;
+          missing struct fields (and a missing root column) are
+          CREATED like the reference's SetValue
+- remove -> Column.dropFields / map_filter; array index removal
+          filters by position; removing a struct's only field nulls
+          the parent (Spark cannot represent a zero-field struct)
 
 All pure column expressions — Catalyst sees one projection, no UDFs.
+Traversal is schema-aware so struct vs map parents dispatch correctly.
 """
 
 from __future__ import annotations
@@ -18,6 +24,7 @@ import re
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DataType, MapType, StructType
 
 _STEP_RX = re.compile(r"([^.\[\]]+)|\[(-?\d+)\]")
 
@@ -46,7 +53,7 @@ def _idx_get(col: Column, i: int) -> Column:
 
 def _get(col: Column, steps: list[Step]) -> Column:
     for kind, v in steps:
-        col = col.getField(v) if kind == "field" else _idx_get(col, v)
+        col = col[v] if kind == "field" else _idx_get(col, v)
     return col
 
 
@@ -55,6 +62,8 @@ def get_path(df: DataFrame, path: str) -> Column:
     kind, name = steps[0]
     if kind != "field":
         raise ValueError("path must start with a field name: %r" % path)
+    if name not in df.columns:
+        return F.lit(None).cast("string")
     return _get(F.col(name), steps[1:])
 
 
@@ -65,71 +74,117 @@ def _pos_pred(i: int, col: Column):
     return lambda j: j == F.size(col) + F.lit(i)
 
 
-def _set(col: Column, steps: list[Step], value: Column) -> Column:
+def _build(steps: list[Step], value: Column) -> Column:
+    """Create the remaining path as fresh nested structs (the
+    reference's SetValue creates intermediate containers)."""
+    for kind, v in reversed(steps):
+        if kind != "field":
+            raise ValueError("cannot create array elements for a missing path")
+        value = F.struct(value.alias(v))
+    return value
+
+
+def _set(col: Column, dtype: DataType, steps: list[Step], value: Column) -> Column:
     if not steps:
         return value
     kind, v = steps[0]
     if kind == "field":
-        return col.withField(v, _set(col.getField(v), steps[1:], value))
+        if isinstance(dtype, MapType):
+            if steps[1:]:
+                raise ValueError("cannot set below a map value (path %r)" % (v,))
+            kept = F.map_filter(col, lambda k, _: k != F.lit(v))
+            entry = F.create_map(F.lit(v), value.cast(dtype.valueType))
+            return F.map_concat(
+                F.when(col.isNull(), F.create_map().cast(dtype)).otherwise(kept), entry
+            )
+        if not isinstance(dtype, StructType):
+            raise ValueError("cannot set field %r under non-struct %s" % (v, dtype))
+        if v not in dtype.fieldNames():
+            return col.withField(v, _build(steps[1:], value))
+        return col.withField(
+            v, _set(col[v], dtype[v].dataType, steps[1:], value)
+        )
+    if not isinstance(dtype, ArrayType):
+        raise ValueError("cannot index into non-array %s" % dtype)
     pred = _pos_pred(v, col)
     return F.transform(
-        col, lambda x, j: F.when(pred(j), _set(x, steps[1:], value)).otherwise(x)
+        col,
+        lambda x, j: F.when(
+            pred(j), _set(x, dtype.elementType, steps[1:], value)
+        ).otherwise(x),
     )
 
 
 def set_path(df: DataFrame, path: str, value: Column) -> DataFrame:
     """Set a (possibly nested) path to a Column value. A bare top-level
-    name is a plain withColumn; nested paths rebuild only the addressed
-    branch."""
+    name is a plain withColumn; missing struct fields — and a missing
+    root column — are created."""
     steps = parse_path(path)
     kind, name = steps[0]
     if kind != "field":
         raise ValueError("path must start with a field name: %r" % path)
     if len(steps) == 1:
         return df.withColumn(name, value)
-    return df.withColumn(name, _set(F.col(name), steps[1:], value))
+    if name not in df.columns:
+        return df.withColumn(name, _build(steps[1:], value))
+    return df.withColumn(
+        name, _set(F.col(name), df.schema[name].dataType, steps[1:], value)
+    )
 
 
-def _remove(col: Column, steps: list[Step]) -> Column:
+def _remove(col: Column, dtype: DataType, steps: list[Step]) -> Column:
     kind, v = steps[0]
     if len(steps) == 1:
         if kind == "field":
+            if isinstance(dtype, MapType):
+                return F.map_filter(col, lambda k, _: k != F.lit(v))
             return col.dropFields(v)
         pred = _pos_pred(v, col)
         # drop the addressed element: keep every other position
         return F.filter(col, lambda x, j: ~pred(j))
     if kind == "field":
-        return col.withField(v, _remove(col.getField(v), steps[1:]))
+        if isinstance(dtype, MapType):
+            raise ValueError("cannot remove below a map value")
+        return col.withField(v, _remove(col[v], dtype[v].dataType, steps[1:]))
     pred = _pos_pred(v, col)
     return F.transform(
-        col, lambda x, j: F.when(pred(j), _remove(x, steps[1:])).otherwise(x)
+        col,
+        lambda x, j: F.when(pred(j), _remove(x, dtype.elementType, steps[1:])).otherwise(x),
     )
 
 
-def _dtype_at(dtype, steps: list[Step]):
+def _dtype_at(dtype: DataType, steps: list[Step]) -> DataType:
     for kind, v in steps:
-        dtype = dtype[v].dataType if kind == "field" else dtype.elementType
+        if kind == "field":
+            dtype = dtype.valueType if isinstance(dtype, MapType) else dtype[v].dataType
+        else:
+            dtype = dtype.elementType
     return dtype
 
 
 def remove_path(df: DataFrame, path: str) -> DataFrame:
-    """Remove a nested field / array element. A bare top-level name
-    drops the column. Removing a struct's ONLY field nulls the parent
-    struct (Spark cannot represent a zero-field struct)."""
-    from pyspark.sql.types import StructType
-
+    """Remove a nested field / array element / map key. A bare
+    top-level name drops the column. Removing a struct's ONLY field
+    nulls the parent struct (Spark cannot represent a zero-field
+    struct); removing a missing column/path is a no-op like the
+    reference."""
     steps = parse_path(path)
     kind, name = steps[0]
     if kind != "field":
         raise ValueError("path must start with a field name: %r" % path)
+    if name not in df.columns:
+        return df
     if len(steps) == 1:
         return df.drop(name)
+    root_type = df.schema[name].dataType
     if steps[-1][0] == "field":
         parent_steps = steps[1:-1]
-        parent_type = _dtype_at(df.schema[name].dataType, parent_steps)
+        parent_type = _dtype_at(root_type, parent_steps)
         if isinstance(parent_type, StructType) and len(parent_type.fields) == 1:
             null_parent = F.lit(None).cast(parent_type)
             if not parent_steps:
                 return df.withColumn(name, null_parent)
-            return df.withColumn(name, _set(F.col(name), parent_steps, null_parent))
-    return df.withColumn(name, _remove(F.col(name), steps[1:]))
+            return df.withColumn(
+                name, _set(F.col(name), root_type, parent_steps, null_parent)
+            )
+    return df.withColumn(name, _remove(F.col(name), root_type, steps[1:]))

@@ -121,11 +121,19 @@ def decode_image(payload: bytes) -> dict:
     }
 
 
+_IMAGE_MAGICS = (b"\xff\xd8", b"\x89P", b"GI", b"BM")  # jpeg/png/gif/bmp
+
+
 def _try_decode(b) -> dict | None:
     head = bytes(b[:2])
     if head in (b"P5", b"P6"):
         return decode_netpbm(bytes(b))
-    return None  # non-image payload: image features stay null
+    if head in _IMAGE_MAGICS:
+        # a real image format: decode through the PIL probe — raises
+        # NotImplementedError when PIL is absent (loud task failure,
+        # never silently-null features for an actual image)
+        return decode_image(bytes(b))
+    return None  # non-image payload (text/...): image features stay null
 
 
 def extract_features(df: DataFrame) -> DataFrame:

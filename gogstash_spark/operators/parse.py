@@ -576,26 +576,41 @@ def compile_date(cfg: dict, ctx: Context) -> Stage:
                     )
                 )
             else:
-                attempts.append(F.try_to_timestamp(src, F.lit(to_spark_pattern(fmt, joda))))
+                pat = to_spark_pattern(fmt, joda)
+                if compute_year and "y" not in pat:
+                    # anchor YEARLESS formats to a LEAP year so 'Feb 29'
+                    # parses (a 1970/non-leap anchor nulls it out); 1972
+                    # is the year-backfill sentinel below
+                    attempts.append(F.try_to_timestamp(
+                        F.concat(F.lit("1972 "), src), F.lit("yyyy " + pat)
+                    ))
+                else:
+                    attempts.append(F.try_to_timestamp(src, F.lit(pat)))
         parsed = F.coalesce(*attempts) if attempts else F.try_to_timestamp(src)
         if compute_year:
-            # Spark parses yearless patterns into 1970 (its epoch default,
-            # the analog of Go's year-0 sentinel)
             now_col = (
                 F.lit(now_iso).cast("timestamp") if now_iso else F.current_timestamp()
             )
             secs = F.second(parsed) + (F.unix_micros(parsed) % F.lit(1_000_000)) / F.lit(
                 1_000_000.0
             )
-            this_year = F.make_timestamp(
+            # try_make_timestamp: Feb 29 into a non-leap year must yield
+            # null (not an ANSI error) so the coalesce below can fall back
+            this_year = F.try_make_timestamp(
                 F.year(now_col), F.month(parsed), F.day(parsed),
                 F.hour(parsed), F.minute(parsed), secs,
             )
-            backfilled = F.when(this_year > now_col, F.make_timestamp(
+            prev_year = F.try_make_timestamp(
                 F.year(now_col) - 1, F.month(parsed), F.day(parsed),
                 F.hour(parsed), F.minute(parsed), secs,
-            )).otherwise(this_year)
-            parsed = F.when(F.year(parsed) == 1970, backfilled).otherwise(parsed)
+            )
+            # Feb 29 when now's year is not leap: this_year is null ->
+            # fall back to the previous (possibly leap) year
+            backfilled = F.coalesce(
+                F.when(this_year > now_col, prev_year).otherwise(this_year),
+                prev_year,
+            )
+            parsed = F.when(F.year(parsed) == 1972, backfilled).otherwise(parsed)
         df = df.withColumn("__date", parsed)
         applied = F.col("__date").isNotNull()
         df = df.withColumn(

@@ -125,15 +125,24 @@ def _gelf_payload(rec: dict, host: str) -> bytes:
     return gzip.compress(json.dumps(msg).encode())
 
 
+GELF_MAX_CHUNKS = 128  # GELF 1.1 spec limit; servers discard beyond it
+
+
 def gelf_output(
     df: DataFrame,
     address: str,
     chunk_size: int = 1420,
     host: str = "gogstash_spark",
+    on_oversize: str = "error",
 ) -> int:
     """GELF 1.1 over UDP with chunking (reference output/gelf maps
     events to gzip JSON datagrams; payloads over chunk_size split into
-    magic + 8-byte id + seq/total chunks)."""
+    magic + 8-byte id + seq/total chunks; the spec caps a message at
+    128 chunks). on_oversize: 'error' fails the task loudly;
+    'drop' skips the event (the skip count is in the return value
+    deficit vs the input count — never silently sent-and-discarded)."""
+    if on_oversize not in ("error", "drop"):
+        raise ValueError("on_oversize must be 'error' or 'drop'")
     sc = df.sparkSession.sparkContext
     sent = sc.accumulator(0)
     cols = [c for c in df.columns]
@@ -161,11 +170,19 @@ def gelf_output(
             if len(payload) <= chunk_size:
                 sock.sendto(payload, (h, int(port)))
             else:
-                mid = _os.urandom(8)
                 chunks = [
                     payload[i : i + chunk_size]
                     for i in range(0, len(payload), chunk_size)
                 ]
+                if len(chunks) > GELF_MAX_CHUNKS:
+                    if on_oversize == "error":
+                        raise ValueError(
+                            "GELF message needs %d chunks (spec max %d); "
+                            "raise chunk_size or trim the event"
+                            % (len(chunks), GELF_MAX_CHUNKS)
+                        )
+                    continue  # drop: reflected in the returned sent count
+                mid = _os.urandom(8)
                 for i, ck in enumerate(chunks):
                     header = GELF_MAGIC + mid + bytes([i, len(chunks)])
                     sock.sendto(header + ck, (h, int(port)))
@@ -241,24 +258,27 @@ NET_OUTPUTS = {
 def emit(df: DataFrame, cfg: dict) -> int:
     """Dispatch a routed frame to a protocol sink by output spec."""
     typ = cfg.get("type")
+    timeout = float(cfg.get("timeout", 10.0))
     if typ == "http":
         return http_output(
             df, cfg["url"], batch_size=int(cfg.get("batch_size", 100)),
             content_type=cfg.get("content_type", "application/json"),
-            headers=cfg.get("headers"),
+            headers=cfg.get("headers"), timeout=timeout,
         )
     if typ == "socket":
         return socket_output(
-            df, cfg["address"], socket_type=cfg.get("socket", "tcp")
+            df, cfg["address"], socket_type=cfg.get("socket", "tcp"),
+            timeout=timeout,
         )
     if typ == "gelf":
         return gelf_output(
             df, cfg["address"], chunk_size=int(cfg.get("chunk_size", 1420)),
             host=cfg.get("host", "gogstash_spark"),
+            on_oversize=cfg.get("on_oversize", "error"),
         )
     if typ == "loki":
         return loki_output(
             df, cfg["url"], labels=cfg.get("labels"),
-            batch_size=int(cfg.get("batch_size", 500)),
+            batch_size=int(cfg.get("batch_size", 500)), timeout=timeout,
         )
     raise ValueError("unknown protocol output %r" % typ)

@@ -98,10 +98,28 @@ def compute_aggregate(exploded: DataFrame, agg: dict) -> DataFrame:
     return exploded.groupBy(F.col("sink"), *keys).agg(F.count(F.lit(1)).alias("n"))
 
 
+def _hashable_type(dt) -> bool:
+    """xxhash64 rejects MapType anywhere in the type tree."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.StructType):
+        return all(_hashable_type(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _hashable_type(dt.elementType)
+    return True
+
+
 def _salt_col(df: DataFrame, modulus: int):
     """Deterministic row salt from (conv_id, turn_idx) when present
-    (the transcripts key), else from every column."""
-    keys = [c for c in ("conv_id", "turn_idx") if c in df.columns] or df.columns
+    (the transcripts key), else from every hashable column; frames that
+    are ALL maps hash their JSON rendering."""
+    keys = [c for c in ("conv_id", "turn_idx") if c in df.columns]
+    if not keys:
+        keys = [f.name for f in df.schema.fields if _hashable_type(f.dataType)]
+    if not keys:
+        return F.pmod(F.xxhash64(F.to_json(F.struct(*df.columns))), F.lit(modulus))
     return F.pmod(F.xxhash64(*[F.col(c) for c in keys]), F.lit(modulus))
 
 
@@ -150,6 +168,7 @@ def run_pipeline(
     if resume:
         sinks_done = (
             ledger.committed("__partitioned__")
+            and all(ledger.committed(r.sink) for r in plan.routes if r.out_cfg is not None)
             if write_mode == "partitioned"
             else all(
                 ledger.committed(r.sink)
@@ -200,19 +219,35 @@ def run_pipeline(
                 part_dir = os.path.join(out_dir, "by_route")
                 tmp_dir = part_dir + ".__tmp__"
                 exploded = routed.select(F.explode(ROUTES).alias("route"), "*").drop(ROUTES)
-                if DOC_ID in exploded.columns:
+                doc_routes = [r for r in plan.routes if r.doc_id_template]
+                if doc_routes:
+                    from gogstash_spark.logevent import format_expr
+
                     # elastic document_id semantics: one row per (index,
-                    # doc id) — last-write-wins dedup on append. Rows from
-                    # sinks without a doc-id template get a unique
-                    # surrogate so they pass through untouched.
-                    exploded = (
-                        exploded.withColumn(
-                            "__dd",
-                            F.coalesce(
-                                F.col(DOC_ID),
-                                F.monotonically_increasing_id().cast("string"),
-                            ),
+                    # doc id). Dedup applies ONLY to exploded copies whose
+                    # route belongs to a doc-id sink, keyed by THAT sink's
+                    # rendered template — copies routed to plain sinks get
+                    # a unique surrogate and pass through untouched.
+                    dd = None
+                    for r in doc_routes:
+                        rv = (
+                            F.lower(format_expr(exploded, str(r.index_template)))
+                            if r.index_template else F.lit(r.sink)
                         )
+                        rendered = format_expr(exploded, str(r.doc_id_template))
+                        piece = F.when(
+                            (F.col("route") == rv) & rendered.isNotNull(),
+                            F.concat(F.lit("d|"), rendered),
+                        )
+                        dd = piece if dd is None else F.coalesce(dd, piece)
+                    dd = F.coalesce(
+                        dd,
+                        F.concat(
+                            F.lit("r|"), F.monotonically_increasing_id().cast("string")
+                        ),
+                    )
+                    exploded = (
+                        exploded.withColumn("__dd", dd)
                         .dropDuplicates(["route", "__dd"])
                         .drop("__dd")
                     )
@@ -264,6 +299,28 @@ def run_pipeline(
                     sum(result.sink_rows.values()),
                     extra={"route_rows": counts, "lineage_path": lin_dir},
                 )
+            # protocol sinks (http/socket/gelf/loki) emit from the written
+            # columnar output — a pruned per-route scan, committed per sink
+            # so a resumed run replays only the unsent ones
+            for r in plan.routes:
+                if r.out_cfg is None:
+                    continue
+                if resume and ledger.committed(r.sink):
+                    result.skipped_sinks.append(r.sink)
+                    result.sink_rows[r.sink] = ledger.state["sinks"][r.sink]["rows"]
+                    continue
+                from gogstash_spark.outputs import emit
+
+                part_path = os.path.join(out_dir, "by_route")
+                df_r = (
+                    spark.read.parquet(part_path)
+                    .filter(F.col("route") == r.sink)
+                    .drop("route")
+                )
+                rows = emit(df_r, r.out_cfg)
+                result.sink_rows[r.sink] = rows
+                ledger.commit(r.sink, rows)
+                result.metrics[r.sink] = {"rows": rows}
             routes_to_write = []
         else:
             routes_to_write = plan.routes
@@ -283,8 +340,25 @@ def run_pipeline(
                 result.sink_rows[sink] = ledger.state["sinks"][sink]["rows"]
                 continue
             sink_df = routed.filter(F.array_contains(F.col(ROUTES), sink)).drop(ROUTES)
-            if route.doc_id_template and DOC_ID in sink_df.columns:
-                sink_df = sink_df.dropDuplicates([DOC_ID])
+            if route.doc_id_template:
+                from gogstash_spark.logevent import format_expr
+
+                # THIS sink's rendered doc id (the shared _doc_id column
+                # may carry another doc-sink's rendering for co-routed rows)
+                sink_df = sink_df.withColumn(
+                    DOC_ID, format_expr(sink_df, str(route.doc_id_template))
+                )
+                sink_df = (
+                    sink_df.withColumn(
+                        "__dd",
+                        F.coalesce(
+                            F.col(DOC_ID),
+                            F.monotonically_increasing_id().cast("string"),
+                        ),
+                    )
+                    .dropDuplicates(["__dd"])
+                    .drop("__dd")
+                )
             if route.out_cfg is not None:
                 # protocol sink: stream out via foreachPartition, count
                 # task-side, commit by count (no directory to rename)

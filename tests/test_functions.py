@@ -154,6 +154,35 @@ class TestPathValue:
         out2 = remove_path(nested, "a.d")
         assert "d" not in out2.select("a.*").columns
 
+    def test_set_creates_missing_parent_and_field(self, spark):
+        from pyspark.sql import functions as F
+
+        from gogstash_spark.functions.pathvalue import set_path
+
+        df = spark.createDataFrame([(1,)], "id int")
+        out = set_path(df, "geo.city", F.lit("x")).collect()[0]
+        assert out["geo"]["city"] == "x"  # root created
+        df2 = spark.createDataFrame([(1, {"a": 1})], "id int, s struct<a:int>")
+        out2 = set_path(df2, "s.b.c", F.lit(7)).collect()[0]
+        assert out2["s"]["a"] == 1 and out2["s"]["b"]["c"] == 7  # branch created
+
+    def test_map_parent_get_set_remove(self, spark):
+        from pyspark.sql import functions as F
+
+        from gogstash_spark.functions.pathvalue import get_path, remove_path, set_path
+
+        df = spark.createDataFrame(
+            [(1, {"password": "s3cret", "user": "bob"})],
+            "id int, extra map<string,string>",
+        )
+        assert df.select(get_path(df, "extra.user").alias("v")).collect()[0]["v"] == "bob"
+        out = remove_path(df, "extra.password").collect()[0]
+        assert dict(out["extra"]) == {"user": "bob"}
+        out2 = set_path(df, "extra.role", F.lit("admin")).collect()[0]
+        assert dict(out2["extra"])["role"] == "admin"
+        # removing a missing column is a no-op (reference RemoveValue)
+        assert remove_path(df, "nope.x").collect()[0]["id"] == 1
+
     def test_operator_integration(self, spark, nested):
         from gogstash_spark.operators import Context, compile_filter
 

@@ -239,6 +239,11 @@ class TestMultimodal:
             pass
         with pytest.raises(NotImplementedError):
             multimodal.decode_image(b"\x89PNG")
+        # the operator path must be equally loud for real image magics —
+        # never silently-null features for an actual image
+        with pytest.raises(NotImplementedError):
+            multimodal._try_decode(b"\xff\xd8\xff\xe0 jpeg bytes")
+        assert multimodal._try_decode(b"plain text") is None
 
     def test_netpbm_roundtrip(self):
         ppm = multimodal.make_ppm(seed=7, width=4, height=3)

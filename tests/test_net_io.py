@@ -154,6 +154,50 @@ class TestListenerInputs:
         assert got == ["sock one", "sock two"]
 
 
+class TestPartitionedProtocolSink:
+    def test_http_sink_emits_in_partitioned_mode(self, spark, events_df, http_server, tmp_path):
+        res = run_pipeline(
+            spark,
+            {
+                "input": {},
+                "filter": [],
+                "output": [
+                    {"type": "http", "name": "web", "url": http_server,
+                     "condition": "role == 'user'"},
+                    {"type": "table", "name": "rest", "condition": "role != 'user'"},
+                ],
+                "aggregate": [{"name": "counts", "group_by": ["role"]}],
+            },
+            input_df=events_df,
+            out_dir=str(tmp_path / "out"),
+            write_mode="partitioned", resume=False,
+        )
+        assert res.sink_rows["web"] == 2 and res.sink_rows["rest"] == 1
+        lines = b"".join(_HttpRecorder.bodies).decode().strip().splitlines()
+        assert sorted(json.loads(ln)["message"] for ln in lines) == ["e1", "e3"]
+
+
+class TestGelfOversize:
+    def test_oversize_error_and_drop(self, spark):
+        import random
+
+        import string
+
+        rng = random.Random(3)
+        # high-entropy text: gzip stays > 128 chunks * 1420 B
+        huge = "".join(rng.choice(string.ascii_letters + string.digits)
+                       for _ in range(400_000))
+        sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        sock.bind(("127.0.0.1", 0))
+        addr = "127.0.0.1:%d" % sock.getsockname()[1]
+        df = spark.createDataFrame([(huge,)], "text string").coalesce(1)
+        with pytest.raises(Exception, match="chunk"):
+            outputs.gelf_output(df, addr, chunk_size=1420)  # >128 chunks
+        sent = outputs.gelf_output(df, addr, chunk_size=1420, on_oversize="drop")
+        assert sent == 0  # dropped, reflected in the count
+        sock.close()
+
+
 class TestExecInput:
     def test_lines_and_prefix(self, spark):
         df = exec_input(spark, "printf", ["a\\nb\\n"], message_prefix="x ")

@@ -135,6 +135,21 @@ class TestDate:
         assert got[2] == datetime.datetime(2023, 12, 25, 10, 0, 0)  # future: last year
         assert got[3] == datetime.datetime(2024, 6, 1, 0, 0, 0)
 
+    @pytest.mark.parametrize(
+        "now,want_year",
+        [("2024-06-15 12:00:00", 2024),  # leap now-year, past -> this year
+         ("2025-06-15 12:00:00", 2024)],  # non-leap now-year -> previous leap
+    )
+    def test_compute_year_feb29(self, spark, now, want_year):
+        df = spark.createDataFrame([(1, "Feb 29 10:00:00")], "id int, src string")
+        stage = compile_filter(
+            {"type": "date", "source": "src", "format": ["Jan 02 15:04:05"],
+             "compute_year_if_missing": True, "now": now,
+             "target": "t", "tag_on_failure": False},
+            ctx(spark),
+        )
+        assert stage(df).collect()[0]["t"] == datetime.datetime(want_year, 2, 29, 10, 0, 0)
+
 
 class TestJsonKv:
     def test_json_schema_appendkey(self, spark, events):

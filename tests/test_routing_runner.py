@@ -81,6 +81,34 @@ class TestElasticSinkSemantics:
         ids = {r["_doc_id"] for r in got.collect()}
         assert ids == {"C1/1", "C2/2"}
 
+    def test_docid_dedup_does_not_touch_corouted_sinks(self, spark, tmp_path):
+        """A doc-id sink's dedup must not collapse distinct rows in a
+        co-routed archive sink with no document_id."""
+        events = spark.createDataFrame(
+            [("C1", 1, "alice", "m1"), ("C1", 2, "alice", "m2"), ("C2", 3, "bob", "m3")],
+            "conv_id string, turn_idx int, user string, text string",
+        )
+        res = run_pipeline(
+            spark,
+            {
+                "input": {},
+                "filter": [],
+                "output": [
+                    # doc id = user -> alice's two rows collapse to one here
+                    {"type": "elastic", "name": "byuser", "index": "U-%{user}",
+                     "document_id": "%{user}"},
+                    # archive keeps every row
+                    {"type": "table", "name": "archive"},
+                ],
+                "aggregate": [{"name": "counts", "group_by": ["user"]}],
+            },
+            input_df=events,
+            out_dir=str(tmp_path / "out"),
+            write_mode="partitioned", resume=False,
+        )
+        assert res.sink_rows["archive"] == 3  # NO loss in the plain sink
+        assert res.sink_rows["u-alice"] == 1 and res.sink_rows["u-bob"] == 1
+
     def test_dynamic_index_requires_partitioned_mode(self, spark, events, tmp_path):
         with pytest.raises(ValueError, match="partitioned"):
             run_pipeline(
