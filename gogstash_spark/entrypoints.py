@@ -233,6 +233,93 @@ SELECT conv_id, turn_idx, logsource, program, pid, message,
 FROM c"""
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity-gap sessionization over (conv_id, ts) — one shuffle on
+    the key, lag/cumsum windows within partitions."""
+    from gogstash_spark.functions.sessions import sessionize
+
+    df = _tx(spark, sf_dir)
+    return sessionize(df, "conv_id", "ts", "turn_idx", gap_seconds=600).select(
+        "conv_id", "turn_idx", "session_idx", "session_id"
+    )
+
+
+def o_sessionize() -> str:
+    return f"""{TX_CTE}, w AS (
+  SELECT conv_id, turn_idx, ts,
+         lag(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS prev
+  FROM t
+), f AS (
+  SELECT conv_id, turn_idx, ts,
+    CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 600 * 1000000
+         THEN 1 ELSE 0 END AS ns
+  FROM w
+)
+SELECT conv_id, turn_idx,
+  sum(ns) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                ROWS UNBOUNDED PRECEDING) - 1 AS session_idx,
+  conv_id || '#' || CAST(sum(ns) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                ROWS UNBOUNDED PRECEDING) - 1 AS VARCHAR) AS session_id
+FROM f"""
+
+
+def q_agg_pctl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """statsd timer percentiles: p50/p95 latency per role (exact
+    interpolated percentile — matches SQL quantile_cont)."""
+    df = _tx(spark, sf_dir).filter(F.col("text").rlike("^level="))
+    kv = _stage(
+        spark, sf_dir,
+        {"type": "kv", "source": "text",
+         "fields": {"latency_ms": {"key": "latency_ms", "type": "long"}}},
+    )
+    return (
+        kv(df)
+        .groupBy("role")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.percentile(F.col("latency_ms"), F.lit(0.5)), 6).alias("p50_latency_ms"),
+            F.round(F.percentile(F.col("latency_ms"), F.lit(0.95)), 6).alias("p95_latency_ms"),
+        )
+    )
+
+
+def o_agg_pctl() -> str:
+    return f"""{TX_CTE}, x AS (
+  SELECT role,
+    CAST(regexp_extract(text, 'latency_ms=("[^"]*"|\\S+)', 1) AS BIGINT) AS latency_ms
+  FROM t WHERE regexp_matches(text, '^level=')
+)
+SELECT role, count(*) AS n,
+       round(quantile_cont(latency_ms, 0.5), 6) AS p50_latency_ms,
+       round(quantile_cont(latency_ms, 0.95), 6) AS p95_latency_ms
+FROM x GROUP BY role"""
+
+
+def q_top_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """top-k per group: 2 most-used tools per role (ties by tool name)."""
+    from pyspark.sql import Window
+
+    df = _tx(spark, sf_dir)
+    counts = df.groupBy("role", "tool").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("role").orderBy(F.desc("n"), F.asc("tool"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .select("role", "tool", "n", "rk")
+    )
+
+
+def o_top_tools() -> str:
+    return f"""{TX_CTE}, c AS (
+  SELECT role, tool, count(*) AS n FROM t GROUP BY role, tool
+), r AS (
+  SELECT role, tool, n,
+         row_number() OVER (PARTITION BY role ORDER BY n DESC, tool ASC) AS rk
+  FROM c
+)
+SELECT role, tool, n, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 2"""
+
+
 def q_kv_autotype(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kv auto-int typing with string-keep list (reference
     filter/kv/filterkv.go:117-139): int-parsable values become longs in
@@ -815,6 +902,9 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cond_route": q_cond_route,
     "pipeline_e2e": q_pipeline_e2e,
     "agg_report": q_agg_report,
+    "agg_pctl": q_agg_pctl,
+    "sessionize": q_sessionize,
+    "top_tools": q_top_tools,
     "gonx_parse": q_gonx_parse,
     "geoip_enrich": q_geoip_enrich,
     "statsd_agg": q_statsd_agg,
@@ -841,6 +931,9 @@ PIPELINE_ORACLES: dict[str, str | Callable[[], str]] = {
     "cond_route": o_cond_route,
     "pipeline_e2e": o_pipeline_e2e,
     "agg_report": o_agg_report,
+    "agg_pctl": o_agg_pctl,
+    "sessionize": o_sessionize,
+    "top_tools": o_top_tools,
     "gonx_parse": o_gonx_parse,
     "geoip_enrich": o_geoip_enrich,
     "statsd_agg": o_statsd_agg,

@@ -89,8 +89,17 @@ def compute_aggregate(exploded: DataFrame, agg: dict) -> DataFrame:
                 aggs.append(F.count(F.lit(1)).alias("n"))
             else:
                 fn_name, fld = op.split(":", 1)
-                fn = {"sum": F.sum, "avg": F.avg, "max": F.max, "min": F.min}[fn_name]
-                aggs.append(fn(F.col(fld)).alias("%s_%s" % (fn_name, fld)))
+                if fn_name.startswith("p") and fn_name[1:].isdigit():
+                    # pNN percentiles (statsd timer semantics): exact
+                    # interpolated percentile = SQL quantile_cont
+                    q = int(fn_name[1:]) / 100.0
+                    aggs.append(
+                        F.round(F.percentile(F.col(fld), F.lit(q)), 6)
+                        .alias("%s_%s" % (fn_name, fld))
+                    )
+                else:
+                    fn = {"sum": F.sum, "avg": F.avg, "max": F.max, "min": F.min}[fn_name]
+                    aggs.append(fn(F.col(fld)).alias("%s_%s" % (fn_name, fld)))
         return keyed.groupBy("sink", "metric").agg(*aggs)
     keys = [F.col(k) for k in agg.get("group_by", [])]
     if agg.get("time_bucket"):

@@ -85,6 +85,46 @@ class TestStatsdAgg:
         assert got[("s1", "tool.bash")] == (1, 5)
 
 
+class TestSessionize:
+    def test_gap_segmentation_and_stable_ties(self, spark):
+        from gogstash_spark.functions.sessions import sessionize
+
+        rows = [
+            ("c1", 1, "2024-01-01 10:00:00"),
+            ("c1", 2, "2024-01-01 10:05:00"),   # same session (5 min)
+            ("c1", 3, "2024-01-01 11:00:00"),   # new session (55 min gap)
+            ("c1", 4, "2024-01-01 11:00:00"),   # tie on ts -> turn_idx order
+            ("c2", 1, "2024-01-01 10:00:00"),
+        ]
+        df = spark.createDataFrame(rows, "conv_id string, turn_idx int, s string") \
+            .withColumn("ts", F.to_timestamp("s")).drop("s")
+        got = {
+            (r["conv_id"], r["turn_idx"]): (r["session_idx"], r["session_id"])
+            for r in sessionize(df, gap_seconds=1800).collect()
+        }
+        assert got[("c1", 1)] == (0, "c1#0")
+        assert got[("c1", 2)] == (0, "c1#0")
+        assert got[("c1", 3)] == (1, "c1#1")
+        assert got[("c1", 4)] == (1, "c1#1")
+        assert got[("c2", 1)] == (0, "c2#0")
+
+
+class TestPercentileOps:
+    def test_statsd_pnn_ops(self, spark):
+        from gogstash_spark.runner import compute_aggregate
+
+        df = spark.createDataFrame(
+            [("s", "u", float(i)) for i in range(1, 101)],
+            "sink string, role string, latency_ms double",
+        )
+        out = compute_aggregate(
+            df, {"metric_key": "%{role}", "ops": ["count", "p50:latency_ms", "p95:latency_ms"]}
+        ).collect()[0]
+        assert out["n"] == 100
+        assert out["p50_latency_ms"] == 50.5
+        assert abs(out["p95_latency_ms"] - 95.05) < 1e-9
+
+
 class TestPartitionedWrite:
     def test_partitionby_route_matches_per_sink(self, spark, sf_data_dir, tmp_path):
         spec = PipelineSpec.from_dict(
