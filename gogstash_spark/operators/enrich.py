@@ -27,11 +27,39 @@ PRIVATE_IP_RX = (
 )
 
 
+def _ip_long(col):
+    """dotted-quad -> 32-bit integer, null when malformed — native."""
+    ok = col.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+    val = F.aggregate(
+        F.split(col, r"\."),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc * F.lit(256) + x.cast("long"),
+    )
+    return F.when(ok, val)
+
+
+def ip_in_cidrs(col, cidrs: list[str]):
+    """Native CIDR membership: compare the top `bits` of the numeric ip
+    against each network (reference private_net override,
+    filter/geoip2/filtergeoip2.go:216-223)."""
+    import ipaddress
+
+    ip = _ip_long(col)
+    pred = F.lit(False)
+    for c in cidrs:
+        net = ipaddress.ip_network(c, strict=False)
+        shift = 32 - net.prefixlen
+        pred = pred | (
+            F.shiftright(ip, shift) == F.lit(int(net.network_address) >> shift)
+        )
+    return F.coalesce(pred, F.lit(False))
+
+
 def _read_lookup(ctx: Context, cfg: dict) -> DataFrame:
     """Load the lookup table: parquet path, or the reference's
     `key:value` line format (reference filter/lookuptable/lookup.go:106-142).
     """
-    path = cfg["path"]
+    path = cfg.get("path") or cfg["lookup_file"]  # reference key: lookup_file
     if not os.path.isabs(path):
         path = os.path.join(ctx.base_dir, path)
     if path.endswith(".txt"):
@@ -102,12 +130,18 @@ def compile_geoip(cfg: dict, ctx: Context) -> Stage:
     container); the lookup is any table keyed by ip with attribute
     columns — same join shape, broadcast left join.
     """
-    source = cfg.get("source", "clientip")
+    # `ip_field` is the reference's key for the source column
+    # (filter/geoip2/filtergeoip2.go config); `quiet` suppresses the
+    # error tag; `private_net` overrides the private-CIDR skip list;
+    # `flat_format` lifts attributes as top-level `<key>_<attr>` columns
+    source = cfg.get("source") or cfg.get("ip_field", "clientip")
     key = cfg.get("key", "geoip")
     lookup_key = cfg.get("lookup_key", "ip")
     skip_private = cfg.get("skip_private", True)
-    tag_on_miss = cfg.get("tag_on_miss", True)
+    tag_on_miss = cfg.get("tag_on_miss", not cfg.get("quiet", False))
     error_tag = cfg.get("error_tag", GEOIP_ERROR_TAG)
+    private_net = cfg.get("private_net")
+    flat_format = bool(cfg.get("flat_format", False))
 
     def apply(df: DataFrame) -> DataFrame:
         lk = _read_lookup(ctx, cfg)
@@ -117,14 +151,20 @@ def compile_geoip(cfg: dict, ctx: Context) -> Stage:
             F.struct(*[F.col(c) for c in attr_cols]).alias("__geo_rec"),
         ).dropDuplicates(["__geo_key"])  # one record per ip, never fan out
         probe = F.col(source)
-        if skip_private:
+        if skip_private and private_net:
+            probe = F.when(~ip_in_cidrs(F.col(source), private_net), F.col(source))
+        elif skip_private:
             probe = F.when(~F.col(source).rlike(PRIVATE_IP_RX), F.col(source))
         df = df.withColumn("__geo_probe", probe)
         joined = df.join(
             F.broadcast(proj), df["__geo_probe"] == proj["__geo_key"], "left"
         )
         hit = F.col("__geo_key").isNotNull()
-        joined = joined.withColumn(key, F.col("__geo_rec"))
+        if flat_format:
+            for c in attr_cols:
+                joined = joined.withColumn("%s_%s" % (key, c), F.col("__geo_rec")[c])
+        else:
+            joined = joined.withColumn(key, F.col("__geo_rec"))
         if tag_on_miss:
             # miss = public ip that had no record (private skip is not an error)
             miss = (~hit) & F.col("__geo_probe").isNotNull()

@@ -185,7 +185,8 @@ def compile_remove_field(cfg: dict, ctx: Context) -> Stage:
     (reference filter/removefield/filterremovefield.go:56-71).
     """
     fields = cfg.get("fields") or []
-    blank_message = cfg.get("blank_message", False)
+    # reference key: remove_message (filterremovefield.go config)
+    blank_message = cfg.get("blank_message", cfg.get("remove_message", False))
 
     def apply(df: DataFrame) -> DataFrame:
         from gogstash_spark.functions.pathvalue import remove_path

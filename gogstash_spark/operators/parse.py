@@ -297,15 +297,23 @@ def compile_json(cfg: dict, ctx: Context) -> Stage:
     msgfield = cfg.get("message")
     tsfield = cfg.get("timestamp")
     tsformat = cfg.get("timeformat")
+    # reference ignoreextrabytes: parse the leading JSON object and
+    # tolerate trailing garbage (filterjson.go:25 IgnoreExtraBytes)
+    ignore_extra = bool(cfg.get("ignoreextrabytes", False))
 
     def apply(df: DataFrame) -> DataFrame:
         # guard: from_json is permissive (all-null struct) on garbage, so
         # require the row to look like a JSON object at all
-        looks_json = F.col(source).rlike(r"^\s*\{.*\}\s*$")
-        if schema:
-            parsed = F.from_json(F.col(source), schema)
+        if ignore_extra:
+            src_json = F.regexp_extract(F.col(source), r"^[^{]*(\{.*\})", 1)
+            looks_json = src_json != ""
         else:
-            parsed = F.from_json(F.col(source), "map<string,string>")
+            src_json = F.col(source)
+            looks_json = src_json.rlike(r"^\s*\{.*\}\s*$")
+        if schema:
+            parsed = F.from_json(src_json, schema)
+        else:
+            parsed = F.from_json(src_json, "map<string,string>")
         df = df.withColumn("__json", F.when(looks_json, parsed))
         applied = F.col("__json").isNotNull()
         if msgfield:
@@ -369,7 +377,8 @@ def compile_kv(cfg: dict, ctx: Context) -> Stage:
     # `<target>` keeps the string entries, `<target>_num` holds the
     # auto-typed longs; a lifted field may declare type "auto".
     auto_type = bool(cfg.get("auto_type", False))
-    keep_strings = list(cfg.get("keep_strings") or [])
+    # reference key is `strings` (filterkv.go config)
+    keep_strings = list(cfg.get("keep_strings") or cfg.get("strings") or [])
     INT_RX = r"^-?\d+$"
 
     def apply(df: DataFrame) -> DataFrame:
@@ -478,28 +487,86 @@ UA_OS_RULES: list[tuple[str, str]] = [
 ]
 
 
+def load_uap_rules(path: str) -> list[tuple[str, str, str]]:
+    """Minimal uap-core regexes.yaml reader: `user_agent_parsers`
+    entries' regex + family_replacement (reference useragent loads the
+    same file via uap-go). Entries without family_replacement use the
+    regex's first capture group as the family. Single/double-quoted
+    scalars only — the published regexes.yaml is flat enough that a
+    full YAML parser is not needed."""
+    rules: list[tuple[str, str, str]] = []
+    section = None
+    cur_rx: str | None = None
+    cur_fam: str | None = None
+
+    def flush():
+        nonlocal cur_rx, cur_fam
+        if cur_rx is not None:
+            rules.append((cur_rx, cur_fam or "", ""))
+        cur_rx, cur_fam = None, None
+
+    rx_line = re.compile(r"""^\s*-\s*regex:\s*(['"])(.*)\1\s*$""")
+    fam_line = re.compile(r"""^\s*family_replacement:\s*(['"])(.*)\1\s*$""")
+    with open(path) as f:
+        for line in f:
+            s = line.rstrip("\n")
+            if s and not s[0].isspace() and s.endswith(":"):
+                flush()
+                section = s[:-1]
+                continue
+            if section != "user_agent_parsers":
+                continue
+            m = rx_line.match(s)
+            if m:
+                flush()
+                cur_rx = m.group(2).replace("''", "'")
+                continue
+            m = fam_line.match(s)
+            if m:
+                cur_fam = m.group(2).replace("''", "'")
+    flush()
+    return rules
+
+
 @register("useragent")
 def compile_useragent(cfg: dict, ctx: Context) -> Stage:
     """UA parse (reference filter/useragent/filteruseragent.go:81-157).
 
     Default: inline native regexes — with a small ruleset the parse is
-    pure codegen, no extra pass. `dedup_join: true` switches to the
-    dedup-parse-broadcast-join shape (the set-based analog of the
-    reference's LRU cache) — worth it only when the ruleset is large
-    enough that per-row parse cost beats a second scan+shuffle; note it
-    re-evaluates the upstream plan to build the distinct set.
+    pure codegen, no extra pass. `regexes` loads a uap-core
+    regexes.yaml ruleset (the reference's own config knob).
+    `dedup_join: true` switches to the dedup-parse-broadcast-join shape
+    (the set-based analog of the reference's LRU cache) — worth it only
+    when the ruleset is large enough that per-row parse cost beats a
+    second scan+shuffle; note it re-evaluates the upstream plan to
+    build the distinct set.
     """
     source = cfg.get("source", "agent")
     target = cfg.get("target", "ua")
     dedup_join = bool(cfg.get("dedup_join", False))
+    if cfg.get("regexes"):
+        import os
+
+        path = cfg["regexes"]
+        if not os.path.isabs(path):
+            path = os.path.join(ctx.base_dir, path)
+        rules = load_uap_rules(path)
+    else:
+        rules = UA_RULES
 
     def parse_cols(col: Column) -> list[Column]:
         fam = F.coalesce(
-            *[F.when(col.rlike(rx), F.lit(name)) for rx, name, _ in UA_RULES],
+            *[
+                F.when(
+                    col.rlike(rx),
+                    F.lit(name) if name else F.regexp_extract(col, rx, 1),
+                )
+                for rx, name, _ in rules
+            ],
             F.lit("Other"),
         )
         ver = F.coalesce(
-            *[F.when(col.rlike(rx), F.regexp_extract(col, rx, 1)) for rx, _, _ in UA_RULES],
+            *[F.when(col.rlike(rx), F.regexp_extract(col, rx, 1)) for rx, _, _ in rules],
             F.lit(""),
         )
         osf = F.coalesce(

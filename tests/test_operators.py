@@ -357,6 +357,91 @@ class TestEnrich:
         assert got[1]["ua"]["version"] == "8.5.0"
 
 
+class TestReferenceConfigKeys:
+    """Reference config key-name fidelity: a vanilla gogstash config's
+    keys must bind, not silently no-op."""
+
+    def test_kv_strings_alias(self, spark):
+        df = spark.createDataFrame([(1, "n=42 keep=7")], "id int, text string")
+        stage = compile_filter(
+            {"type": "kv", "source": "text", "target": "kv",
+             "auto_type": True, "strings": ["keep"]},
+            ctx(spark),
+        )
+        r = stage(df).collect()[0]
+        assert dict(r["kv"]) == {"keep": "7"} and dict(r["kv_num"]) == {"n": 42}
+
+    def test_removefield_remove_message(self, spark):
+        df = spark.createDataFrame([(1, "msg", "x")], "id int, text string, other string")
+        stage = compile_filter(
+            {"type": "remove_field", "fields": ["other"], "remove_message": True},
+            ctx(spark),
+        )
+        r = stage(df).collect()[0]
+        assert r["text"] == "" and "other" not in r.asDict()
+
+    def test_json_ignoreextrabytes(self, spark):
+        df = spark.createDataFrame(
+            [(1, '{"a":"x"} TRAILING GARBAGE')], "id int, text string"
+        )
+        strict = compile_filter(
+            {"type": "json", "source": "text", "schema": "struct<a:string>",
+             "appendkey": "j", "tag_on_failure": False},
+            ctx(spark),
+        )
+        assert strict(df).collect()[0]["j"] is None
+        lenient = compile_filter(
+            {"type": "json", "source": "text", "schema": "struct<a:string>",
+             "appendkey": "j", "ignoreextrabytes": True, "tag_on_failure": False},
+            ctx(spark),
+        )
+        assert lenient(df).collect()[0]["j"]["a"] == "x"
+
+    def test_geoip_private_net_flat_quiet(self, spark, tmp_path):
+        lk = spark.createDataFrame(
+            [("100.1.1.1", "US", "NYC")], "ip string, country string, city string"
+        )
+        p = str(tmp_path / "geo.parquet")
+        lk.write.mode("overwrite").parquet(p)
+        df = spark.createDataFrame(
+            [(1, "100.1.1.1"), (2, "100.64.0.9"), (3, "8.8.8.8")],
+            "id int, clientip string",
+        )
+        stage = compile_filter(
+            {"type": "geoip", "ip_field": "clientip", "path": p, "key": "geo",
+             "flat_format": True, "quiet": True,
+             "private_net": ["100.64.0.0/10", "127.0.0.0/8"]},
+            ctx(spark),
+        )
+        got = {r["id"]: r for r in stage(df).collect()}
+        assert got[1]["geo_country"] == "US" and got[1]["geo_city"] == "NYC"
+        assert got[2]["geo_country"] is None  # CGNAT range skipped
+        assert got[3]["geo_country"] is None  # public miss
+        assert "tags" not in got[3].asDict()  # quiet: no miss tagging at all
+
+    def test_useragent_uap_regexes_file(self, spark, tmp_path):
+        yml = tmp_path / "regexes.yaml"
+        yml.write_text(
+            "user_agent_parsers:\n"
+            "  - regex: 'MyBrowser/(\\d+)'\n"
+            "    family_replacement: 'MyBrowser'\n"
+            "  - regex: '(Oddball)/\\d+'\n"
+            "os_parsers:\n"
+            "  - regex: 'ignored'\n"
+        )
+        df = spark.createDataFrame(
+            [(1, "MyBrowser/42 linux"), (2, "Oddball/7"), (3, "nothing")],
+            "id int, agent string",
+        )
+        stage = compile_filter(
+            {"type": "useragent", "regexes": str(yml)}, ctx(spark, base=str(tmp_path))
+        )
+        got = {r["id"]: r["ua"] for r in stage(df).collect()}
+        assert got[1]["family"] == "MyBrowser" and got[1]["version"] == "42"
+        assert got[2]["family"] == "Oddball"
+        assert got[3]["family"] == "Other"
+
+
 class TestGrokPatternsPath:
     def test_pattern_file_loaded_and_overridable(self, spark, tmp_path):
         p = tmp_path / "patterns"
