@@ -59,7 +59,8 @@ def _read_lookup(ctx: Context, cfg: dict) -> DataFrame:
     """Load the lookup table: parquet path, or the reference's
     `key:value` line format (reference filter/lookuptable/lookup.go:106-142).
     """
-    path = cfg.get("path") or cfg["lookup_file"]  # reference key: lookup_file
+    # reference keys: lookup_file (lookuptable) / db_path (geoip2 family)
+    path = cfg.get("path") or cfg.get("lookup_file") or cfg["db_path"]
     if not os.path.isabs(path):
         path = os.path.join(ctx.base_dir, path)
     if path.endswith(".txt"):
@@ -121,6 +122,7 @@ def compile_lookuptable(cfg: dict, ctx: Context) -> Stage:
 
 
 @register("geoip")
+@register("geoip2")  # reference ModuleName (filter/geoip2)
 def compile_geoip(cfg: dict, ctx: Context) -> Stage:
     """GeoIP-shaped keyed enrich: ip column -> nested record under `key`
     (reference filter/geoip2/filtergeoip2.go:123-223: city lookup,

@@ -283,7 +283,9 @@ def compile_hash(cfg: dict, ctx: Context) -> Stage:
     silent digest remap).
     """
     sources = cfg.get("source") or [logevent.TEXT]
-    algo = cfg.get("algo", "sha1")
+    if isinstance(sources, str):
+        sources = [sources]
+    algo = cfg.get("algo") or cfg.get("kind", "sha1")  # reference key: kind
     fmt = cfg.get("format", "hex")
     target = cfg.get("target", "hash")
     if algo in _UNSUPPORTED_ALGOS:
@@ -323,6 +325,7 @@ def compile_hash(cfg: dict, ctx: Context) -> Stage:
 
 
 @register("ratelimit")
+@register("rate_limit")  # reference ModuleName (filter/ratelimit)
 def compile_ratelimit(cfg: dict, ctx: Context) -> Stage:
     """Batch analog of the token-bucket throttle
     (reference filter/ratelimit/filterratelimit.go:53-88): deterministic

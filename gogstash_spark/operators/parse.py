@@ -365,11 +365,16 @@ def compile_kv(cfg: dict, ctx: Context) -> Stage:
     `fields` lifts chosen keys to typed top-level columns.
     """
     source = cfg.get("source", logevent.TEXT)
-    target = cfg.get("target")  # map column name; None -> only lifted fields
+    target = cfg.get("target")  # map column name
+    fields_cfg = cfg.get("fields") or {}
+    if not target and not fields_cfg:
+        # a vanilla reference kv config lifts every pair into the event
+        # root; the schema-first analog is the `kv` map column
+        target = "kv"
     # fields: {target_col: "type"} (key == target) or
     #         {target_col: {"key": map_key, "type": "long"}}
     fields: dict[str, dict] = {}
-    for name, v in (cfg.get("fields") or {}).items():
+    for name, v in fields_cfg.items():
         fields[name] = v if isinstance(v, dict) else {"key": name, "type": v}
     pair_rx = r'(\w+)=("[^"]*"|\S+)'
     # reference auto-converts int-parsable values unless the key is

@@ -46,6 +46,101 @@ class PipelineSpec:
         )
 
     @classmethod
+    def from_gogstash(cls, d: dict[str, Any]) -> "PipelineSpec":
+        """Adapt a reference gogstash config (the dict form of its
+        YAML/JSON) to a PipelineSpec, so an existing config runs here
+        with its own key names.
+
+        - filter chain passes through verbatim (module names and config
+          keys are registered 1:1, incl. geoip2/rate_limit aliases)
+        - inputs: file -> batch text read with the file's codec;
+          exec/http pull inputs pass through; broker/daemon inputs
+          raise with the unsupported list (no silent drop)
+        - outputs: elastic/elasticv5 keep index/document_id semantics;
+          clickhouse/file -> table sinks; http/socket/gelf/loki are live
+          protocol sinks; report/statsd become aggregates; stdout and
+          prometheus are no-ops (debug / metrics-endpoint)
+        """
+        unsupported: list[str] = []
+
+        spec_input: dict[str, Any] = {}
+        for i in d.get("input") or []:
+            t = i.get("type")
+            if t == "file":
+                codec = i.get("codec")
+                if isinstance(codec, dict):
+                    codec = codec.get("type", "default")
+                spec_input = {
+                    "type": "text", "path": i.get("path"),
+                    "codec": codec or "default",
+                }
+                break
+            if t in ("exec", "http"):
+                spec_input = dict(i)
+                break
+            unsupported.append("input/%s" % t)
+
+        def adapt_outputs(outs: list[dict]) -> tuple[list[dict], list[dict]]:
+            sinks: list[dict] = []
+            aggs: list[dict] = []
+            for o in outs:
+                t = o.get("type")
+                if t == "cond":
+                    inner, inner_aggs = adapt_outputs(o.get("output") or [])
+                    els, els_aggs = adapt_outputs(o.get("else_output") or [])
+                    sinks.append({
+                        "type": "cond", "condition": o.get("condition"),
+                        "output": inner, "else_output": els,
+                    })
+                    aggs.extend(inner_aggs + els_aggs)
+                elif t in ("elastic", "elasticv5"):
+                    index = o.get("index", "elastic")
+                    name = re.sub(r"[^a-z0-9_-]+", "_", index.lower()).strip("_")
+                    sinks.append({
+                        "type": "elastic", "name": name or "elastic",
+                        "index": index, "document_id": o.get("document_id"),
+                        "condition": o.get("condition"),
+                    })
+                elif t in ("clickhouse", "file"):
+                    name = o.get("table") or o.get("name") or t
+                    sinks.append({"type": "table", "name": name,
+                                  "condition": o.get("condition")})
+                elif t in ("http", "socket", "gelf", "loki"):
+                    s = dict(o)
+                    s.setdefault("name", t)
+                    if t == "http" and isinstance(s.get("urls"), list):
+                        s["url"] = s["urls"][0]
+                    if t == "socket" and "address" not in s and s.get("host"):
+                        s["address"] = s["host"]
+                    sinks.append(s)
+                elif t == "report":
+                    aggs.append({"name": "report", "group_by": [],
+                                 "time_bucket": "minute"})
+                elif t == "statsd":
+                    for tpl in o.get("increment") or []:
+                        aggs.append({"name": "statsd_%d" % len(aggs),
+                                     "metric_key": tpl, "ops": ["count"]})
+                elif t in ("stdout", "prometheus"):
+                    pass  # debug sink / metrics endpoint: observability no-ops
+                else:
+                    unsupported.append("output/%s" % t)
+            return sinks, aggs
+
+        sinks, aggs = adapt_outputs(d.get("output") or [])
+        if unsupported:
+            raise ValueError(
+                "gogstash modules with no Spark mapping here: %s "
+                "(brokers/daemons need their connector jars or an edge "
+                "listener; see OPERATORS.md)" % sorted(set(unsupported))
+            )
+        return cls(
+            input=spec_input,
+            filter=list(d.get("filter") or []),
+            output=sinks,
+            aggregate=aggs,
+        )
+
+    @classmethod
     def load(cls, path: str) -> "PipelineSpec":
         with open(path) as f:
             raw = f.read()

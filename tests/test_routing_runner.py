@@ -117,6 +117,83 @@ class TestElasticSinkSemantics:
             )
 
 
+class TestGogstashConfigAdapter:
+    """A reference gogstash YAML config runs end-to-end through
+    PipelineSpec.from_gogstash with its own module/key names."""
+
+    def test_reference_yaml_runs(self, spark, tmp_path):
+        import yaml
+
+        from gogstash_spark.plans.spec import PipelineSpec
+
+        log = tmp_path / "access.log"
+        log.write_text(
+            '1.1.1.1 - - [18/Jul/2017:16:10:16 +0000] "GET /a HTTP/1.1" 200 10\n'
+            '2.2.2.2 - - [18/Jul/2017:16:10:17 +0000] "POST /b HTTP/1.1" 500 20\n'
+            '1.1.1.1 - - [18/Jul/2017:16:10:18 +0000] "GET /c HTTP/1.1" 503 30\n'
+        )
+        geo = tmp_path / "geo.parquet"
+        spark.createDataFrame(
+            [("1.1.1.1", "AU"), ("2.2.2.2", "DE")], "ip string, country string"
+        ).write.mode("overwrite").parquet(str(geo))
+        cfg = yaml.safe_load(f"""
+input:
+  - type: file
+    path: {log}
+filter:
+  - type: grok
+    match: ["%{{COMMONAPACHELOG}}"]
+  - type: date
+    source: timestamp
+    format: ["02/Jan/2006:15:04:05 -0700"]
+  - type: geoip2
+    db_path: {geo}
+    ip_field: clientip
+    quiet: true
+output:
+  - type: cond
+    condition: "response >= 500"
+    output:
+      - type: elastic
+        index: "Errors-%{{verb}}"
+        document_id: "%{{clientip}}"
+    else_output:
+      - type: file
+        name: access_ok
+  - type: stdout
+  - type: report
+  - type: statsd
+    increment: ["resp.%{{response}}"]
+""")
+        spec = PipelineSpec.from_gogstash(cfg)
+        res = run_pipeline(
+            spark, spec, out_dir=str(tmp_path / "out"),
+            write_mode="partitioned", resume=False,
+        )
+        # 500/503 route to the lowercased dynamic index; doc-id=clientip
+        # is distinct per error row here
+        assert res.sink_rows.get("errors-post") == 1
+        assert res.sink_rows.get("errors-get") == 1
+        assert res.sink_rows.get("access_ok") == 1
+        # report counts per (sink, minute): 3 sinks x 1 bucket
+        assert res.agg_rows.get("report") == 3
+        assert res.agg_rows.get("statsd_1") == 3  # resp.200/500/503
+
+    def test_unsupported_modules_raise(self):
+        from gogstash_spark.plans.spec import PipelineSpec
+
+        with pytest.raises(ValueError, match="kafka"):
+            PipelineSpec.from_gogstash(
+                {"input": [{"type": "kafka"}], "output": [{"type": "stdout"}]}
+            )
+
+    def test_module_name_aliases_registered(self):
+        from gogstash_spark.operators import FILTERS
+
+        assert FILTERS["rate_limit"] is FILTERS["ratelimit"]
+        assert FILTERS["geoip2"] is FILTERS["geoip"]
+
+
 def oracle_routes(pdf: pd.DataFrame) -> dict[str, set]:
     """Pure-pandas oracle of the standard-spec routing (FIXTURES.md §4)."""
     rx_a = re.compile(compile_grok(GROK_MATCHES[0], EXTRA_PATTERNS).positional())
