@@ -304,17 +304,25 @@ def compile_json(cfg: dict, ctx: Context) -> Stage:
     def apply(df: DataFrame) -> DataFrame:
         # guard: from_json is permissive (all-null struct) on garbage, so
         # require the row to look like a JSON object at all
+        sch = schema or "map<string,string>"
         if ignore_extra:
-            src_json = F.regexp_extract(F.col(source), r"^[^{]*(\{.*\})", 1)
-            looks_json = src_json != ""
+            # the reference decodes the LEADING json document and drops
+            # the rest (json.Decoder + IgnoreExtraBytes). Regex cannot
+            # balance braces, so try the shortest candidate (flat object,
+            # any trailing bytes) then the longest (nested object, no
+            # '}' in the trailing bytes) — from_json is null on the
+            # candidate that cut wrong.
+            lazy = F.regexp_extract(F.col(source), r"^\s*(\{.*?\})", 1)
+            greedy = F.regexp_extract(F.col(source), r"^\s*(\{.*\})", 1)
+            parsed = F.coalesce(
+                F.from_json(F.nullif(lazy, F.lit("")), sch),
+                F.from_json(F.nullif(greedy, F.lit("")), sch),
+            )
+            df = df.withColumn("__json", parsed)
         else:
             src_json = F.col(source)
             looks_json = src_json.rlike(r"^\s*\{.*\}\s*$")
-        if schema:
-            parsed = F.from_json(src_json, schema)
-        else:
-            parsed = F.from_json(src_json, "map<string,string>")
-        df = df.withColumn("__json", F.when(looks_json, parsed))
+            df = df.withColumn("__json", F.when(looks_json, F.from_json(src_json, sch)))
         applied = F.col("__json").isNotNull()
         if msgfield:
             df = df.withColumn(
@@ -549,7 +557,8 @@ def compile_useragent(cfg: dict, ctx: Context) -> Stage:
     source = cfg.get("source", "agent")
     target = cfg.get("target", "ua")
     dedup_join = bool(cfg.get("dedup_join", False))
-    if cfg.get("regexes"):
+    uap_mode = bool(cfg.get("regexes"))
+    if uap_mode:
         import os
 
         path = cfg["regexes"]
@@ -560,20 +569,29 @@ def compile_useragent(cfg: dict, ctx: Context) -> Stage:
         rules = UA_RULES
 
     def parse_cols(col: Column) -> list[Column]:
-        fam = F.coalesce(
-            *[
-                F.when(
-                    col.rlike(rx),
-                    F.lit(name) if name else F.regexp_extract(col, rx, 1),
+        fam_parts: list[Column] = []
+        ver_parts: list[Column] = []
+        for rx, name, _ in rules:
+            ngroups = re.compile(rx).groups
+            if uap_mode:
+                # uap-core conventions: group 1 = family (unless
+                # family_replacement), group 2 = major version
+                fam = (
+                    F.lit(name) if name
+                    else F.regexp_extract(col, rx, 1) if ngroups >= 1
+                    else F.lit("Other")
                 )
-                for rx, name, _ in rules
-            ],
-            F.lit("Other"),
-        )
-        ver = F.coalesce(
-            *[F.when(col.rlike(rx), F.regexp_extract(col, rx, 1)) for rx, _, _ in rules],
-            F.lit(""),
-        )
+                ver = (
+                    F.regexp_extract(col, rx, 2) if ngroups >= 2 else F.lit("")
+                )
+            else:
+                # builtin ruleset: one group = the version, family named
+                fam = F.lit(name)
+                ver = F.regexp_extract(col, rx, 1) if ngroups >= 1 else F.lit("")
+            fam_parts.append(F.when(col.rlike(rx), fam))
+            ver_parts.append(F.when(col.rlike(rx), ver))
+        fam = F.coalesce(*fam_parts, F.lit("Other"))
+        ver = F.coalesce(*ver_parts, F.lit(""))
         osf = F.coalesce(
             *[F.when(col.rlike(rx), F.lit(name)) for rx, name in UA_OS_RULES],
             F.lit("Other"),

@@ -63,70 +63,119 @@ class PipelineSpec:
         """
         unsupported: list[str] = []
 
-        spec_input: dict[str, Any] = {}
+        inputs: list[dict[str, Any]] = []
         for i in d.get("input") or []:
             t = i.get("type")
             if t == "file":
                 codec = i.get("codec")
                 if isinstance(codec, dict):
                     codec = codec.get("type", "default")
-                spec_input = {
+                inputs.append({
                     "type": "text", "path": i.get("path"),
                     "codec": codec or "default",
-                }
-                break
-            if t in ("exec", "http"):
-                spec_input = dict(i)
-                break
-            unsupported.append("input/%s" % t)
+                })
+            elif t in ("exec", "http"):
+                inputs.append(dict(i))
+            else:
+                unsupported.append("input/%s" % t)
+        if len(inputs) == 1:
+            spec_input: dict[str, Any] = inputs[0]
+        elif inputs:
+            spec_input = {"type": "multi", "inputs": inputs}
+        else:
+            spec_input = {}
 
-        def adapt_outputs(outs: list[dict]) -> tuple[list[dict], list[dict]]:
+        used_names: set[str] = set()
+        aggs: list[dict] = []
+
+        def uniq(base: str) -> str:
+            name, k = base, 1
+            while name in used_names:
+                name = "%s_%d" % (base, k)
+                k += 1
+            used_names.add(name)
+            return name
+
+        _FIELD_TPL = re.compile(r"^%\{([A-Za-z_][A-Za-z0-9_.]*)\}$")
+
+        def add_metric_aggs(o: dict, cond: str | None) -> None:
+            """statsd metric lists -> aggregates. increment counts;
+            count -> sum of the value field; gauge -> avg; timing ->
+            avg + p50/p95/p99 (the statsd timer digest). Value templates
+            must be a plain %{field} — anything else is unsupported."""
+            for tpl in o.get("increment") or []:
+                aggs.append({"name": uniq("statsd"), "metric_key": tpl,
+                             "ops": ["count"], "condition": cond})
+            mapping = {"count": ["sum:%s"], "gauge": ["avg:%s"],
+                       "timing": ["avg:%s", "p50:%s", "p95:%s", "p99:%s"]}
+            for kind, op_fmts in mapping.items():
+                for nv in o.get(kind) or []:
+                    m = _FIELD_TPL.match(str(nv.get("value", "")))
+                    if not m:
+                        unsupported.append("output/statsd/%s=%r" % (kind, nv.get("value")))
+                        continue
+                    fld = m.group(1)
+                    aggs.append({
+                        "name": uniq("statsd_%s" % kind),
+                        "metric_key": nv.get("name", fld),
+                        "ops": ["count"] + [f % fld for f in op_fmts],
+                        "condition": cond,
+                    })
+
+        def adapt_outputs(outs: list[dict], cond: str | None = None) -> list[dict]:
             sinks: list[dict] = []
-            aggs: list[dict] = []
             for o in outs:
                 t = o.get("type")
+                own = o.get("condition")
+                branch_cond = (
+                    own if cond is None
+                    else cond if own is None
+                    else "(%s) && (%s)" % (cond, own)
+                )
                 if t == "cond":
-                    inner, inner_aggs = adapt_outputs(o.get("output") or [])
-                    els, els_aggs = adapt_outputs(o.get("else_output") or [])
                     sinks.append({
-                        "type": "cond", "condition": o.get("condition"),
-                        "output": inner, "else_output": els,
+                        "type": "cond", "condition": own,
+                        "output": adapt_outputs(o.get("output") or [], branch_cond),
+                        "else_output": adapt_outputs(
+                            o.get("else_output") or [],
+                            cond if own is None else
+                            ("(%s) && !(%s)" % (cond, own) if cond else "!(%s)" % own),
+                        ),
                     })
-                    aggs.extend(inner_aggs + els_aggs)
                 elif t in ("elastic", "elasticv5"):
                     index = o.get("index", "elastic")
-                    name = re.sub(r"[^a-z0-9_-]+", "_", index.lower()).strip("_")
+                    base = re.sub(r"[^a-z0-9_-]+", "_", index.lower()).strip("_")
                     sinks.append({
-                        "type": "elastic", "name": name or "elastic",
+                        "type": "elastic", "name": uniq(base or "elastic"),
                         "index": index, "document_id": o.get("document_id"),
-                        "condition": o.get("condition"),
+                        "condition": own,
                     })
                 elif t in ("clickhouse", "file"):
-                    name = o.get("table") or o.get("name") or t
-                    sinks.append({"type": "table", "name": name,
-                                  "condition": o.get("condition")})
+                    base = o.get("table") or o.get("name")
+                    if not base and o.get("path"):
+                        base = re.sub(r"[^A-Za-z0-9_-]+", "_", str(o["path"])).strip("_")
+                    sinks.append({"type": "table", "name": uniq(base or t),
+                                  "condition": own})
                 elif t in ("http", "socket", "gelf", "loki"):
                     s = dict(o)
-                    s.setdefault("name", t)
+                    s["name"] = uniq(s.get("name", t))
                     if t == "http" and isinstance(s.get("urls"), list):
                         s["url"] = s["urls"][0]
                     if t == "socket" and "address" not in s and s.get("host"):
                         s["address"] = s["host"]
                     sinks.append(s)
                 elif t == "report":
-                    aggs.append({"name": "report", "group_by": [],
-                                 "time_bucket": "minute"})
+                    aggs.append({"name": uniq("report"), "group_by": [],
+                                 "time_bucket": "minute", "condition": cond})
                 elif t == "statsd":
-                    for tpl in o.get("increment") or []:
-                        aggs.append({"name": "statsd_%d" % len(aggs),
-                                     "metric_key": tpl, "ops": ["count"]})
+                    add_metric_aggs(o, cond)
                 elif t in ("stdout", "prometheus"):
                     pass  # debug sink / metrics endpoint: observability no-ops
                 else:
                     unsupported.append("output/%s" % t)
-            return sinks, aggs
+            return sinks
 
-        sinks, aggs = adapt_outputs(d.get("output") or [])
+        sinks = adapt_outputs(d.get("output") or [])
         if unsupported:
             raise ValueError(
                 "gogstash modules with no Spark mapping here: %s "

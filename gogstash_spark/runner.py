@@ -76,9 +76,15 @@ def compute_aggregate(exploded: DataFrame, agg: dict) -> DataFrame:
 
     report shape: group_by cols + optional time_bucket -> count
     (reference output/report/outputreport.go:80-92); statsd shape:
-    %{}-template metric key + count/sum/avg/max/min ops
-    (reference output/statsd/outputstatsd.go:267-331).
+    %{}-template metric key + count/sum/avg/max/min/pNN ops
+    (reference output/statsd/outputstatsd.go:267-331). `condition`
+    restricts the aggregate to matching events (a report/statsd nested
+    under a cond output aggregates only its branch).
     """
+    if agg.get("condition"):
+        from gogstash_spark.functions.conds import cond_to_sql
+
+        exploded = exploded.filter("coalesce(%s, false)" % cond_to_sql(agg["condition"]))
     if agg.get("metric_key"):
         from gogstash_spark.logevent import format_expr
 
@@ -90,9 +96,10 @@ def compute_aggregate(exploded: DataFrame, agg: dict) -> DataFrame:
             else:
                 fn_name, fld = op.split(":", 1)
                 if fn_name.startswith("p") and fn_name[1:].isdigit():
-                    # pNN percentiles (statsd timer semantics): exact
-                    # interpolated percentile = SQL quantile_cont
-                    q = int(fn_name[1:]) / 100.0
+                    # pNN percentiles (statsd timer naming): p50=0.5,
+                    # p95=0.95, p999=0.999 — digits / 10^len
+                    digits = fn_name[1:]
+                    q = int(digits) / (10 ** len(digits))
                     aggs.append(
                         F.round(F.percentile(F.col(fld), F.lit(q)), 6)
                         .alias("%s_%s" % (fn_name, fld))
@@ -159,6 +166,14 @@ def run_pipeline(
         spec = PipelineSpec.from_dict(spec)
     ctx = Context(spark=spark, base_dir=base_dir)
     plan: CompiledPipeline = compile_pipeline(spec, ctx)
+    # duplicate sink / aggregate names silently merge routes and make the
+    # resume ledger skip work — always a config bug, fail at plan time
+    sink_names = [r.sink for r in plan.routes]
+    if len(sink_names) != len(set(sink_names)):
+        raise ValueError("duplicate sink names in output spec: %s" % sorted(sink_names))
+    agg_names = [a["name"] for a in (spec.aggregate or [])]
+    if len(agg_names) != len(set(agg_names)):
+        raise ValueError("duplicate aggregate names: %s" % sorted(agg_names))
 
     t0 = time.time()
     if input_df is None:

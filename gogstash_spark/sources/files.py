@@ -22,6 +22,29 @@ def read_input(spark: SparkSession, inp: dict) -> DataFrame:
     given as DDL via `schema`); csv honors `header`/`sep`.
     """
     typ = inp.get("type", "parquet")
+    if typ == "multi":
+        # several inputs union into one frame (a gogstash config may
+        # declare many inputs feeding the same filter chain)
+        parts = [read_input(spark, sub) for sub in inp.get("inputs") or []]
+        if not parts:
+            raise ValueError("multi input with no inputs")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
+    if typ == "exec":
+        from gogstash_spark.sources.ingest import exec_input
+
+        return exec_input(
+            spark, inp["command"], inp.get("args"),
+            message_trim=inp.get("message_trim", " \t\r\n"),
+            message_prefix=inp.get("message_prefix", ""),
+            message_type=inp.get("message_type", "text"),
+        )
+    if typ == "http":
+        from gogstash_spark.sources.ingest import http_input
+
+        return http_input(spark, inp["url"], method=inp.get("method", "GET"))
     path = inp.get("path")
     if not path:
         raise ValueError("spec.input.path required")

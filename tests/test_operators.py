@@ -382,7 +382,13 @@ class TestReferenceConfigKeys:
 
     def test_json_ignoreextrabytes(self, spark):
         df = spark.createDataFrame(
-            [(1, '{"a":"x"} TRAILING GARBAGE')], "id int, text string"
+            [
+                (1, '{"a":"x"} TRAILING GARBAGE'),
+                (2, '{"a":"y"}{"a":"z"}'),       # concatenated docs
+                (3, '{"a":"n"} closes}'),         # '}' in the garbage
+                (4, 'leading junk {"a":"no"}'),   # reference rejects this
+            ],
+            "id int, text string",
         )
         strict = compile_filter(
             {"type": "json", "source": "text", "schema": "struct<a:string>",
@@ -395,7 +401,11 @@ class TestReferenceConfigKeys:
              "appendkey": "j", "ignoreextrabytes": True, "tag_on_failure": False},
             ctx(spark),
         )
-        assert lenient(df).collect()[0]["j"]["a"] == "x"
+        got = {r["id"]: r["j"] for r in lenient(df).collect()}
+        assert got[1]["a"] == "x"
+        assert got[2]["a"] == "y"   # leading document wins
+        assert got[3]["a"] == "n"
+        assert got[4] is None       # leading garbage still rejected
 
     def test_geoip_private_net_flat_quiet(self, spark, tmp_path):
         lk = spark.createDataFrame(
@@ -423,23 +433,26 @@ class TestReferenceConfigKeys:
         yml = tmp_path / "regexes.yaml"
         yml.write_text(
             "user_agent_parsers:\n"
-            "  - regex: 'MyBrowser/(\\d+)'\n"
-            "    family_replacement: 'MyBrowser'\n"
-            "  - regex: '(Oddball)/\\d+'\n"
+            "  - regex: '(MyBrowser)/(\\d+)'\n"     # uap: g1 family, g2 version
+            "    family_replacement: 'NiceBrowser'\n"
+            "  - regex: '(Oddball)/\\d+'\n"         # family from g1, no version
+            "  - regex: 'Plainthing'\n"             # zero groups: must not crash
             "os_parsers:\n"
             "  - regex: 'ignored'\n"
         )
         df = spark.createDataFrame(
-            [(1, "MyBrowser/42 linux"), (2, "Oddball/7"), (3, "nothing")],
+            [(1, "MyBrowser/42 linux"), (2, "Oddball/7"), (3, "Plainthing x"),
+             (4, "nothing")],
             "id int, agent string",
         )
         stage = compile_filter(
             {"type": "useragent", "regexes": str(yml)}, ctx(spark, base=str(tmp_path))
         )
         got = {r["id"]: r["ua"] for r in stage(df).collect()}
-        assert got[1]["family"] == "MyBrowser" and got[1]["version"] == "42"
-        assert got[2]["family"] == "Oddball"
-        assert got[3]["family"] == "Other"
+        assert got[1]["family"] == "NiceBrowser" and got[1]["version"] == "42"
+        assert got[2]["family"] == "Oddball" and got[2]["version"] == ""
+        assert got[3]["family"] == "Other" and got[3]["version"] == ""
+        assert got[4]["family"] == "Other"
 
 
 class TestGrokPatternsPath:

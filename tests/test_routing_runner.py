@@ -177,7 +177,107 @@ output:
         assert res.sink_rows.get("access_ok") == 1
         # report counts per (sink, minute): 3 sinks x 1 bucket
         assert res.agg_rows.get("report") == 3
-        assert res.agg_rows.get("statsd_1") == 3  # resp.200/500/503
+        assert res.agg_rows.get("statsd") == 3  # resp.200/500/503
+
+    def test_multi_file_inputs_union(self, spark, tmp_path):
+        from gogstash_spark.plans.spec import PipelineSpec
+        from gogstash_spark.sources.files import read_input
+
+        (tmp_path / "a.log").write_text("a1\na2\n")
+        (tmp_path / "b.log").write_text("b1\n")
+        spec = PipelineSpec.from_gogstash({
+            "input": [
+                {"type": "file", "path": str(tmp_path / "a.log")},
+                {"type": "file", "path": str(tmp_path / "b.log")},
+            ],
+            "output": [{"type": "file", "path": "/var/out.log"}],
+        })
+        df = read_input(spark, spec.input)
+        assert sorted(r["text"] for r in df.collect()) == ["a1", "a2", "b1"]
+
+    def test_exec_input_wired_through_spec(self, spark):
+        from gogstash_spark.plans.spec import PipelineSpec
+        from gogstash_spark.sources.files import read_input
+
+        spec = PipelineSpec.from_gogstash({
+            "input": [{"type": "exec", "command": "printf", "args": ["x\\ny\\n"]}],
+            "output": [{"type": "stdout"}],
+        })
+        df = read_input(spark, spec.input)
+        assert sorted(r["text"] for r in df.collect()) == ["x", "y"]
+
+    def test_duplicate_outputs_get_unique_names(self):
+        from gogstash_spark.plans.spec import PipelineSpec
+
+        spec = PipelineSpec.from_gogstash({
+            "input": [],
+            "output": [
+                {"type": "file", "path": "/log/a"},
+                {"type": "file", "path": "/log/a"},  # same path twice
+                {"type": "report"},
+                {"type": "report"},
+            ],
+        })
+        names = [o["name"] for o in spec.output]
+        assert len(names) == len(set(names))
+        agg_names = [a["name"] for a in spec.aggregate]
+        assert len(agg_names) == len(set(agg_names)) == 2
+
+    def test_statsd_metric_kinds_and_branch_condition(self):
+        from gogstash_spark.plans.spec import PipelineSpec
+
+        spec = PipelineSpec.from_gogstash({
+            "input": [],
+            "output": [{
+                "type": "cond", "condition": "response >= 500",
+                "output": [
+                    {"type": "report"},
+                    {"type": "statsd",
+                     "timing": [{"name": "lat", "value": "%{latency_ms}"}],
+                     "gauge": [{"name": "g", "value": "%{queue_len}"}]},
+                ],
+            }],
+        })
+        by_name = {a["name"]: a for a in spec.aggregate}
+        assert by_name["report"]["condition"] == "response >= 500"
+        t = by_name["statsd_timing"]
+        assert t["condition"] == "response >= 500"
+        assert "p95:latency_ms" in t["ops"] and "avg:latency_ms" in t["ops"]
+        assert by_name["statsd_gauge"]["ops"] == ["count", "avg:queue_len"]
+
+    def test_statsd_non_field_template_unsupported(self):
+        from gogstash_spark.plans.spec import PipelineSpec
+
+        with pytest.raises(ValueError, match="statsd"):
+            PipelineSpec.from_gogstash({
+                "input": [],
+                "output": [{"type": "statsd",
+                            "timing": [{"name": "x", "value": "fixed-%{a}-%{b}"}]}],
+            })
+
+    def test_duplicate_sink_names_rejected_by_runner(self, spark, tmp_path):
+        df = spark.createDataFrame([(1,)], "id int")
+        with pytest.raises(ValueError, match="duplicate sink"):
+            run_pipeline(
+                spark,
+                {"input": {}, "filter": [],
+                 "output": [{"type": "table", "name": "s"},
+                            {"type": "table", "name": "s"}]},
+                input_df=df, out_dir=str(tmp_path / "o"), resume=False,
+            )
+
+    def test_p999_percentile_op(self, spark):
+        from gogstash_spark.runner import compute_aggregate
+        from pyspark.sql import functions as SF
+
+        df = spark.createDataFrame(
+            [("s", "u", float(i)) for i in range(1, 1001)],
+            "sink string, role string, v double",
+        )
+        out = compute_aggregate(
+            df, {"metric_key": "%{role}", "ops": ["p999:v"]}
+        ).collect()[0]
+        assert abs(out["p999_v"] - 999.001) < 1e-6
 
     def test_unsupported_modules_raise(self):
         from gogstash_spark.plans.spec import PipelineSpec
