@@ -117,6 +117,34 @@ class TestElasticSinkSemantics:
             )
 
 
+class TestSkewSalting:
+    def test_hot_conversation_spreads_over_partitions(self, spark):
+        """One conversation holding 50% of all turns must spread over
+        ~n_salts partitions after salted repartition (a plain hash on
+        conv_id would put it in ONE partition — the straggler that kills
+        a 1000-executor job)."""
+        from gogstash_spark.runner import salted_repartition
+
+        hot = spark.range(10_000).selectExpr(
+            "'hot-conv' AS conv_id", "CAST(id AS INT) AS turn_idx"
+        )
+        cold = spark.range(10_000).selectExpr(
+            "concat('c', CAST(id % 500 AS STRING)) AS conv_id",
+            "CAST(id AS INT) AS turn_idx",
+        )
+        df = salted_repartition(hot.unionByName(cold), n_partitions=32)
+        per_part = (
+            df.filter("conv_id = 'hot-conv'")
+            .groupBy(F.spark_partition_id().alias("p"))
+            .count()
+            .collect()
+        )
+        n_parts = len(per_part)
+        biggest = max(r["count"] for r in per_part)
+        assert n_parts >= 8        # hot key spread over many partitions
+        assert biggest <= 10_000 * 0.25  # no partition holds the bulk
+
+
 class TestGogstashConfigAdapter:
     """A reference gogstash YAML config runs end-to-end through
     PipelineSpec.from_gogstash with its own module/key names."""
