@@ -51,9 +51,24 @@ def _idx_get(col: Column, i: int) -> Column:
     return F.element_at(col, i + 1 if i >= 0 else i)
 
 
-def _get(col: Column, steps: list[Step]) -> Column:
+def _get(col: Column, dtype: DataType | None, steps: list[Step]) -> Column:
+    """Schema-aware get: a missing struct field resolves to a typed null
+    instead of an AnalysisException (map keys and array indices already
+    null at runtime when absent)."""
     for kind, v in steps:
-        col = col[v] if kind == "field" else _idx_get(col, v)
+        if kind == "field":
+            if isinstance(dtype, StructType):
+                if v not in dtype.fieldNames():
+                    return F.lit(None).cast("string")
+                dtype = dtype[v].dataType
+            elif isinstance(dtype, MapType):
+                dtype = dtype.valueType
+            else:
+                dtype = None
+            col = col[v]
+        else:
+            dtype = dtype.elementType if isinstance(dtype, ArrayType) else None
+            col = _idx_get(col, v)
     return col
 
 
@@ -64,7 +79,7 @@ def get_path(df: DataFrame, path: str) -> Column:
         raise ValueError("path must start with a field name: %r" % path)
     if name not in df.columns:
         return F.lit(None).cast("string")
-    return _get(F.col(name), steps[1:])
+    return _get(F.col(name), df.schema[name].dataType, steps[1:])
 
 
 def _pos_pred(i: int, col: Column):
@@ -99,10 +114,17 @@ def _set(col: Column, dtype: DataType, steps: list[Step], value: Column) -> Colu
             )
         if not isinstance(dtype, StructType):
             raise ValueError("cannot set field %r under non-struct %s" % (v, dtype))
+        # withField on a NULL struct returns null (the set would be
+        # swallowed): materialize an all-null struct first so creation
+        # semantics hold on null parents too
+        null_struct = F.struct(*[
+            F.lit(None).cast(f.dataType).alias(f.name) for f in dtype.fields
+        ])
+        base = F.coalesce(col, null_struct) if dtype.fields else col
         if v not in dtype.fieldNames():
-            return col.withField(v, _build(steps[1:], value))
-        return col.withField(
-            v, _set(col[v], dtype[v].dataType, steps[1:], value)
+            return base.withField(v, _build(steps[1:], value))
+        return base.withField(
+            v, _set(base[v], dtype[v].dataType, steps[1:], value)
         )
     if not isinstance(dtype, ArrayType):
         raise ValueError("cannot index into non-array %s" % dtype)
@@ -138,6 +160,8 @@ def _remove(col: Column, dtype: DataType, steps: list[Step]) -> Column:
         if kind == "field":
             if isinstance(dtype, MapType):
                 return F.map_filter(col, lambda k, _: k != F.lit(v))
+            if isinstance(dtype, StructType) and v not in dtype.fieldNames():
+                return col  # missing field: no-op like the reference
             return col.dropFields(v)
         pred = _pos_pred(v, col)
         # drop the addressed element: keep every other position
@@ -145,6 +169,8 @@ def _remove(col: Column, dtype: DataType, steps: list[Step]) -> Column:
     if kind == "field":
         if isinstance(dtype, MapType):
             raise ValueError("cannot remove below a map value")
+        if v not in dtype.fieldNames():
+            return col  # missing intermediate: no-op
         return col.withField(v, _remove(col[v], dtype[v].dataType, steps[1:]))
     pred = _pos_pred(v, col)
     return F.transform(
@@ -153,12 +179,20 @@ def _remove(col: Column, dtype: DataType, steps: list[Step]) -> Column:
     )
 
 
-def _dtype_at(dtype: DataType, steps: list[Step]) -> DataType:
+def _dtype_at(dtype: DataType, steps: list[Step]) -> DataType | None:
+    """Resolve the type at a path, None when any element is missing."""
     for kind, v in steps:
         if kind == "field":
-            dtype = dtype.valueType if isinstance(dtype, MapType) else dtype[v].dataType
-        else:
+            if isinstance(dtype, MapType):
+                dtype = dtype.valueType
+            elif isinstance(dtype, StructType) and v in dtype.fieldNames():
+                dtype = dtype[v].dataType
+            else:
+                return None
+        elif isinstance(dtype, ArrayType):
             dtype = dtype.elementType
+        else:
+            return None
     return dtype
 
 
@@ -177,10 +211,19 @@ def remove_path(df: DataFrame, path: str) -> DataFrame:
     if len(steps) == 1:
         return df.drop(name)
     root_type = df.schema[name].dataType
+    if _dtype_at(root_type, steps[1:]) is None and steps[-1][0] == "field":
+        # tolerate a missing LEAF (struct no-op handled in _remove); a
+        # missing intermediate makes the whole removal a no-op
+        if _dtype_at(root_type, steps[1:-1]) is None:
+            return df
     if steps[-1][0] == "field":
         parent_steps = steps[1:-1]
         parent_type = _dtype_at(root_type, parent_steps)
-        if isinstance(parent_type, StructType) and len(parent_type.fields) == 1:
+        if (
+            isinstance(parent_type, StructType)
+            and len(parent_type.fields) == 1
+            and steps[-1][1] == parent_type.fields[0].name
+        ):
             null_parent = F.lit(None).cast(parent_type)
             if not parent_steps:
                 return df.withColumn(name, null_parent)

@@ -121,14 +121,16 @@ def decode_image(payload: bytes) -> dict:
     }
 
 
-_IMAGE_MAGICS = (b"\xff\xd8", b"\x89P", b"GI", b"BM")  # jpeg/png/gif/bmp
+# unambiguous (>= 3 byte) magics only: two-byte ASCII prefixes like
+# 'BM' (bmp) or 'GI' would misclassify ordinary text as images
+_IMAGE_MAGICS = (b"\xff\xd8\xff", b"\x89PNG", b"GIF8")
 
 
 def _try_decode(b) -> dict | None:
-    head = bytes(b[:2])
-    if head in (b"P5", b"P6"):
+    head = bytes(b[:4])
+    if head[:2] in (b"P5", b"P6"):
         return decode_netpbm(bytes(b))
-    if head in _IMAGE_MAGICS:
+    if any(head.startswith(m) for m in _IMAGE_MAGICS):
         # a real image format: decode through the PIL probe — raises
         # NotImplementedError when PIL is absent (loud task failure,
         # never silently-null features for an actual image)

@@ -648,8 +648,27 @@ def compile_date(cfg: dict, ctx: Context) -> Stage:
     compute_year = bool(cfg.get("compute_year_if_missing", False))
     now_iso = cfg.get("now")
 
+    def _backfill(p: Column, now_col: Column) -> Column:
+        """Replace a leap-anchored parse's year with now's year, minus
+        one when that lands in the future. try_make_timestamp: Feb 29
+        into a non-leap year yields null (not an ANSI error) so the
+        coalesce can fall back to the previous (possibly leap) year."""
+        secs = F.second(p) + (F.unix_micros(p) % F.lit(1_000_000)) / F.lit(1_000_000.0)
+        this_year = F.try_make_timestamp(
+            F.year(now_col), F.month(p), F.day(p), F.hour(p), F.minute(p), secs
+        )
+        prev_year = F.try_make_timestamp(
+            F.year(now_col) - 1, F.month(p), F.day(p), F.hour(p), F.minute(p), secs
+        )
+        return F.when(p.isNotNull(), F.coalesce(
+            F.when(this_year > now_col, prev_year).otherwise(this_year), prev_year
+        ))
+
     def apply(df: DataFrame) -> DataFrame:
         src = F.col(source).cast("string")
+        now_col = (
+            F.lit(now_iso).cast("timestamp") if now_iso else F.current_timestamp()
+        )
         attempts: list[Column] = []
         for fmt in formats:
             if fmt == "UNIX":
@@ -668,39 +687,17 @@ def compile_date(cfg: dict, ctx: Context) -> Stage:
             else:
                 pat = to_spark_pattern(fmt, joda)
                 if compute_year and "y" not in pat:
-                    # anchor YEARLESS formats to a LEAP year so 'Feb 29'
-                    # parses (a 1970/non-leap anchor nulls it out); 1972
-                    # is the year-backfill sentinel below
-                    attempts.append(F.try_to_timestamp(
+                    # YEARLESS format: anchor to a LEAP year so 'Feb 29'
+                    # parses, then backfill THIS attempt immediately —
+                    # no sentinel year, so genuinely 1972-dated (or any
+                    # other yearful) attempts are never rewritten
+                    p = F.try_to_timestamp(
                         F.concat(F.lit("1972 "), src), F.lit("yyyy " + pat)
-                    ))
+                    )
+                    attempts.append(_backfill(p, now_col))
                 else:
                     attempts.append(F.try_to_timestamp(src, F.lit(pat)))
         parsed = F.coalesce(*attempts) if attempts else F.try_to_timestamp(src)
-        if compute_year:
-            now_col = (
-                F.lit(now_iso).cast("timestamp") if now_iso else F.current_timestamp()
-            )
-            secs = F.second(parsed) + (F.unix_micros(parsed) % F.lit(1_000_000)) / F.lit(
-                1_000_000.0
-            )
-            # try_make_timestamp: Feb 29 into a non-leap year must yield
-            # null (not an ANSI error) so the coalesce below can fall back
-            this_year = F.try_make_timestamp(
-                F.year(now_col), F.month(parsed), F.day(parsed),
-                F.hour(parsed), F.minute(parsed), secs,
-            )
-            prev_year = F.try_make_timestamp(
-                F.year(now_col) - 1, F.month(parsed), F.day(parsed),
-                F.hour(parsed), F.minute(parsed), secs,
-            )
-            # Feb 29 when now's year is not leap: this_year is null ->
-            # fall back to the previous (possibly leap) year
-            backfilled = F.coalesce(
-                F.when(this_year > now_col, prev_year).otherwise(this_year),
-                prev_year,
-            )
-            parsed = F.when(F.year(parsed) == 1972, backfilled).otherwise(parsed)
         df = df.withColumn("__date", parsed)
         applied = F.col("__date").isNotNull()
         df = df.withColumn(

@@ -41,6 +41,18 @@ class Route:
 DOC_ID = "_doc_id"
 
 
+def route_value_expr(df: DataFrame, route: "Route"):
+    """The per-event route value for a sink: the lowercased rendered
+    %{} index template, or the static sink name. THE single source of
+    truth — with_routes and the runner's doc-id scoping must agree
+    byte-for-byte or dedup silently stops matching."""
+    from gogstash_spark.logevent import format_expr
+
+    if route.index_template:
+        return F.lower(format_expr(df, str(route.index_template)))
+    return F.lit(route.sink)
+
+
 @dataclass
 class CompiledPipeline:
     spec: PipelineSpec
@@ -54,14 +66,12 @@ class CompiledPipeline:
 
         if not self.routes:
             return df.withColumn(ROUTES, F.array().cast("array<string>"))
-        entries = []
-        for r in self.routes:
-            val = (
-                F.lower(format_expr(df, str(r.index_template)))
-                if r.index_template
-                else F.lit(r.sink)
+        entries = [
+            F.when(
+                F.expr("coalesce(%s, false)" % r.pred_sql), route_value_expr(df, r)
             )
-            entries.append(F.when(F.expr("coalesce(%s, false)" % r.pred_sql), val))
+            for r in self.routes
+        ]
         df = df.withColumn(ROUTES, F.array_compact(F.array(*entries)))
         doc_routes = [r for r in self.routes if r.doc_id_template]
         if doc_routes:

@@ -246,32 +246,32 @@ def run_pipeline(
                 doc_routes = [r for r in plan.routes if r.doc_id_template]
                 if doc_routes:
                     from gogstash_spark.logevent import format_expr
+                    from gogstash_spark.plans.compile import route_value_expr
 
                     # elastic document_id semantics: one row per (index,
                     # doc id). Dedup applies ONLY to exploded copies whose
                     # route belongs to a doc-id sink, keyed by THAT sink's
                     # rendered template — copies routed to plain sinks get
-                    # a unique surrogate and pass through untouched.
-                    dd = None
+                    # a unique surrogate and pass through untouched. The
+                    # shared _doc_id column is also rewritten per copy so
+                    # each route partition carries ITS sink's doc ids.
+                    pieces = []
                     for r in doc_routes:
-                        rv = (
-                            F.lower(format_expr(exploded, str(r.index_template)))
-                            if r.index_template else F.lit(r.sink)
-                        )
+                        rv = route_value_expr(exploded, r)
                         rendered = format_expr(exploded, str(r.doc_id_template))
-                        piece = F.when(
-                            (F.col("route") == rv) & rendered.isNotNull(),
-                            F.concat(F.lit("d|"), rendered),
-                        )
-                        dd = piece if dd is None else F.coalesce(dd, piece)
+                        pieces.append(F.when(
+                            (F.col("route") == rv) & rendered.isNotNull(), rendered
+                        ))
+                    per_route_id = F.coalesce(*pieces) if len(pieces) > 1 else pieces[0]
                     dd = F.coalesce(
-                        dd,
+                        F.concat(F.lit("d|"), per_route_id),
                         F.concat(
                             F.lit("r|"), F.monotonically_increasing_id().cast("string")
                         ),
                     )
                     exploded = (
-                        exploded.withColumn("__dd", dd)
+                        exploded.withColumn(DOC_ID, per_route_id)
+                        .withColumn("__dd", dd)
                         .dropDuplicates(["route", "__dd"])
                         .drop("__dd")
                     )
@@ -339,7 +339,7 @@ def run_pipeline(
                 df_r = (
                     spark.read.parquet(part_path)
                     .filter(F.col("route") == r.sink)
-                    .drop("route")
+                    .drop("route", DOC_ID)  # internal cols never leave the engine
                 )
                 rows = emit(df_r, r.out_cfg)
                 result.sink_rows[r.sink] = rows
@@ -388,7 +388,7 @@ def run_pipeline(
                 # task-side, commit by count (no directory to rename)
                 from gogstash_spark.outputs import emit
 
-                rows = emit(sink_df, route.out_cfg)
+                rows = emit(sink_df.drop(DOC_ID), route.out_cfg)
                 result.sink_rows[sink] = rows
                 ledger.commit(sink, rows)
                 result.metrics[sink] = {"rows": rows}

@@ -183,6 +183,38 @@ class TestPathValue:
         # removing a missing column is a no-op (reference RemoveValue)
         assert remove_path(df, "nope.x").collect()[0]["id"] == 1
 
+    def test_missing_paths_are_safe(self, spark):
+        from pyspark.sql import functions as F
+
+        from gogstash_spark.functions.pathvalue import get_path, remove_path, set_path
+
+        df = spark.createDataFrame(
+            [(1, {"a": 5, "b": 6}, {"z": 1})],
+            "id int, s struct<a:int,b:int>, single struct<z:int>",
+        )
+        # removing a missing leaf / intermediate is a no-op
+        assert remove_path(df, "s.missing").collect()[0]["s"]["a"] == 5
+        assert remove_path(df, "s.missing.x").collect()[0]["s"]["b"] == 6
+        # removing a missing field from a single-field struct must NOT
+        # null the sibling
+        assert remove_path(df, "single.bogus").collect()[0]["single"]["z"] == 1
+        assert remove_path(df, "single.z").collect()[0]["single"] is None
+        # getting a missing nested field is a typed null, not an error
+        assert df.select(get_path(df, "s.missing").alias("v")).collect()[0]["v"] is None
+        # setting through a NULL struct parent materializes it
+        df2 = spark.createDataFrame([(1, None)], "id int, geo struct<city:string>")
+        assert set_path(df2, "geo.city", F.lit("x")).collect()[0]["geo"]["city"] == "x"
+
+    def test_add_field_no_overwrite_on_missing_nested(self, spark):
+        from gogstash_spark.operators import Context, compile_filter
+
+        df = spark.createDataFrame([(1, {"a": 5, "b": 6})], "id int, s struct<a:int,b:int>")
+        add = compile_filter(
+            {"type": "add_field", "key": "s.c", "value": "v", "overwrite": False},
+            Context(spark=spark),
+        )
+        assert add(df).collect()[0]["s"]["c"] == "v"
+
     def test_operator_integration(self, spark, nested):
         from gogstash_spark.operators import Context, compile_filter
 

@@ -244,6 +244,9 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError):
             multimodal._try_decode(b"\xff\xd8\xff\xe0 jpeg bytes")
         assert multimodal._try_decode(b"plain text") is None
+        # 2-byte ASCII prefixes must NOT be mistaken for images
+        assert multimodal._try_decode(b"GIT fetch failed") is None
+        assert multimodal._try_decode(b"BMC alert: fan 2") is None
 
     def test_netpbm_roundtrip(self):
         ppm = multimodal.make_ppm(seed=7, width=4, height=3)

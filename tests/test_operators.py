@@ -150,6 +150,23 @@ class TestDate:
         )
         assert stage(df).collect()[0]["t"] == datetime.datetime(want_year, 2, 29, 10, 0, 0)
 
+    def test_compute_year_does_not_rewrite_real_1972_dates(self, spark):
+        """a YEARFUL format that genuinely parses 1972 must pass through
+        untouched (no sentinel-year collision)."""
+        df = spark.createDataFrame(
+            [(1, "1972-03-05 10:00:00"), (2, "Mar 05 10:00:00")], "id int, src string"
+        )
+        stage = compile_filter(
+            {"type": "date", "source": "src",
+             "format": ["2006-01-02 15:04:05", "Jan 02 15:04:05"],
+             "compute_year_if_missing": True, "now": "2024-06-15 12:00:00",
+             "target": "t", "tag_on_failure": False},
+            ctx(spark),
+        )
+        got = {r["id"]: r["t"] for r in stage(df).collect()}
+        assert got[1] == datetime.datetime(1972, 3, 5, 10, 0, 0)  # kept
+        assert got[2] == datetime.datetime(2024, 3, 5, 10, 0, 0)  # backfilled
+
 
 class TestJsonKv:
     def test_json_schema_appendkey(self, spark, events):

@@ -109,6 +109,32 @@ class TestElasticSinkSemantics:
         assert res.sink_rows["archive"] == 3  # NO loss in the plain sink
         assert res.sink_rows["u-alice"] == 1 and res.sink_rows["u-bob"] == 1
 
+    def test_two_doc_sinks_keep_their_own_doc_ids(self, spark, tmp_path):
+        """Co-routed rows written under each doc-sink's partition must
+        carry THAT sink's rendered doc id, not the first sink's."""
+        events = spark.createDataFrame(
+            [("C1", 1, "alice")], "conv_id string, turn_idx int, user string"
+        )
+        res = run_pipeline(
+            spark,
+            {
+                "input": {}, "filter": [],
+                "output": [
+                    {"type": "elastic", "name": "by_user", "index": "byuser",
+                     "document_id": "%{user}"},
+                    {"type": "elastic", "name": "by_turn", "index": "byturn",
+                     "document_id": "%{conv_id}/%{turn_idx}"},
+                ],
+                "aggregate": [{"name": "counts", "group_by": ["user"]}],
+            },
+            input_df=events, out_dir=str(tmp_path / "out"),
+            write_mode="partitioned", resume=False,
+        )
+        assert res.sink_rows == {"byuser": 1, "byturn": 1}
+        got = spark.read.parquet(str(tmp_path / "out" / "by_route"))
+        ids = {r["route"]: r["_doc_id"] for r in got.collect()}
+        assert ids == {"byuser": "alice", "byturn": "C1/1"}
+
     def test_dynamic_index_requires_partitioned_mode(self, spark, events, tmp_path):
         with pytest.raises(ValueError, match="partitioned"):
             run_pipeline(
