@@ -72,6 +72,8 @@ def main() -> None:
         "ann_topk_lsh",
         "text_quality",
         "token_count",
+        "sessionize",
+        "syslog_parse",
     ]:
         if name not in qs:
             continue

@@ -320,6 +320,42 @@ def o_top_tools() -> str:
 SELECT role, tool, n, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 2"""
 
 
+def q_conv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level rollup (the north-star per-conv aggregate):
+    turns, sessions, span, distinct tools — one shuffle on conv_id
+    shared by the window and the aggregate."""
+    from gogstash_spark.functions.sessions import sessionize
+
+    df = sessionize(_tx(spark, sf_dir), "conv_id", "ts", "turn_idx", gap_seconds=600)
+    return df.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        (F.max("session_idx") + 1).alias("n_sessions"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.countDistinct("tool").alias("n_tools"),
+    )
+
+
+def o_conv_rollup() -> str:
+    return f"""{TX_CTE}, w AS (
+  SELECT conv_id, turn_idx, ts, tool,
+         lag(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS prev
+  FROM t
+), f AS (
+  SELECT conv_id, ts, tool,
+    CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 600 * 1000000
+         THEN 1 ELSE 0 END AS ns
+  FROM w
+)
+SELECT conv_id,
+       count(*) AS n_turns,
+       sum(ns) AS n_sessions,
+       min(ts) AS first_ts,
+       max(ts) AS last_ts,
+       count(DISTINCT tool) AS n_tools
+FROM f GROUP BY conv_id"""
+
+
 def q_kv_autotype(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kv auto-int typing with string-keep list (reference
     filter/kv/filterkv.go:117-139): int-parsable values become longs in
@@ -904,6 +940,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_report": q_agg_report,
     "agg_pctl": q_agg_pctl,
     "sessionize": q_sessionize,
+    "conv_rollup": q_conv_rollup,
     "top_tools": q_top_tools,
     "gonx_parse": q_gonx_parse,
     "geoip_enrich": q_geoip_enrich,
@@ -933,6 +970,7 @@ PIPELINE_ORACLES: dict[str, str | Callable[[], str]] = {
     "agg_report": o_agg_report,
     "agg_pctl": o_agg_pctl,
     "sessionize": o_sessionize,
+    "conv_rollup": o_conv_rollup,
     "top_tools": o_top_tools,
     "gonx_parse": o_gonx_parse,
     "geoip_enrich": o_geoip_enrich,
