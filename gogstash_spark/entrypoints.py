@@ -233,28 +233,38 @@ SELECT conv_id, turn_idx, logsource, program, pid, message,
 FROM c"""
 
 
+SESSION_GAP_SECONDS = 600
+
+
+def _session_cte() -> str:
+    """Shared lag/gap sessionization fragment (CTE `f` with a new-session
+    flag `ns`) — ONE source of truth for the gap constant and the
+    (ts, turn_idx) tie order across every session oracle."""
+    return f"""{TX_CTE}, w AS (
+  SELECT conv_id, turn_idx, ts, tool,
+         lag(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS prev
+  FROM t
+), f AS (
+  SELECT conv_id, turn_idx, ts, tool,
+    CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > {SESSION_GAP_SECONDS} * 1000000
+         THEN 1 ELSE 0 END AS ns
+  FROM w
+)"""
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inactivity-gap sessionization over (conv_id, ts) — one shuffle on
     the key, lag/cumsum windows within partitions."""
     from gogstash_spark.functions.sessions import sessionize
 
     df = _tx(spark, sf_dir)
-    return sessionize(df, "conv_id", "ts", "turn_idx", gap_seconds=600).select(
-        "conv_id", "turn_idx", "session_idx", "session_id"
-    )
+    return sessionize(
+        df, "conv_id", "ts", "turn_idx", gap_seconds=SESSION_GAP_SECONDS
+    ).select("conv_id", "turn_idx", "session_idx", "session_id")
 
 
 def o_sessionize() -> str:
-    return f"""{TX_CTE}, w AS (
-  SELECT conv_id, turn_idx, ts,
-         lag(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS prev
-  FROM t
-), f AS (
-  SELECT conv_id, turn_idx, ts,
-    CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 600 * 1000000
-         THEN 1 ELSE 0 END AS ns
-  FROM w
-)
+    return f"""{_session_cte()}
 SELECT conv_id, turn_idx,
   sum(ns) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
                 ROWS UNBOUNDED PRECEDING) - 1 AS session_idx,
@@ -326,7 +336,10 @@ def q_conv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared by the window and the aggregate."""
     from gogstash_spark.functions.sessions import sessionize
 
-    df = sessionize(_tx(spark, sf_dir), "conv_id", "ts", "turn_idx", gap_seconds=600)
+    df = sessionize(
+        _tx(spark, sf_dir), "conv_id", "ts", "turn_idx",
+        gap_seconds=SESSION_GAP_SECONDS,
+    )
     return df.groupBy("conv_id").agg(
         F.count(F.lit(1)).alias("n_turns"),
         (F.max("session_idx") + 1).alias("n_sessions"),
@@ -337,16 +350,7 @@ def q_conv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def o_conv_rollup() -> str:
-    return f"""{TX_CTE}, w AS (
-  SELECT conv_id, turn_idx, ts, tool,
-         lag(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS prev
-  FROM t
-), f AS (
-  SELECT conv_id, ts, tool,
-    CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 600 * 1000000
-         THEN 1 ELSE 0 END AS ns
-  FROM w
-)
+    return f"""{_session_cte()}
 SELECT conv_id,
        count(*) AS n_turns,
        sum(ns) AS n_sessions,

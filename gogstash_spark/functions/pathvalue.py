@@ -99,7 +99,9 @@ def _build(steps: list[Step], value: Column) -> Column:
     return value
 
 
-def _set(col: Column, dtype: DataType, steps: list[Step], value: Column) -> Column:
+def _set(
+    col: Column, dtype: DataType, steps: list[Step], value: Column, create: bool = True
+) -> Column:
     if not steps:
         return value
     kind, v = steps[0]
@@ -114,17 +116,20 @@ def _set(col: Column, dtype: DataType, steps: list[Step], value: Column) -> Colu
             )
         if not isinstance(dtype, StructType):
             raise ValueError("cannot set field %r under non-struct %s" % (v, dtype))
-        # withField on a NULL struct returns null (the set would be
-        # swallowed): materialize an all-null struct first so creation
-        # semantics hold on null parents too
-        null_struct = F.struct(*[
-            F.lit(None).cast(f.dataType).alias(f.name) for f in dtype.fields
-        ])
-        base = F.coalesce(col, null_struct) if dtype.fields else col
+        base = col
+        if create and dtype.fields:
+            # withField on a NULL struct returns null (the set would be
+            # swallowed): materialize an all-null struct first so
+            # CREATION semantics hold on null parents. Removal-driven
+            # writes (create=False) must NOT resurrect null ancestors.
+            null_struct = F.struct(*[
+                F.lit(None).cast(f.dataType).alias(f.name) for f in dtype.fields
+            ])
+            base = F.coalesce(col, null_struct)
         if v not in dtype.fieldNames():
             return base.withField(v, _build(steps[1:], value))
         return base.withField(
-            v, _set(base[v], dtype[v].dataType, steps[1:], value)
+            v, _set(base[v], dtype[v].dataType, steps[1:], value, create)
         )
     if not isinstance(dtype, ArrayType):
         raise ValueError("cannot index into non-array %s" % dtype)
@@ -132,7 +137,7 @@ def _set(col: Column, dtype: DataType, steps: list[Step], value: Column) -> Colu
     return F.transform(
         col,
         lambda x, j: F.when(
-            pred(j), _set(x, dtype.elementType, steps[1:], value)
+            pred(j), _set(x, dtype.elementType, steps[1:], value, create)
         ).otherwise(x),
     )
 
@@ -227,7 +232,8 @@ def remove_path(df: DataFrame, path: str) -> DataFrame:
             null_parent = F.lit(None).cast(parent_type)
             if not parent_steps:
                 return df.withColumn(name, null_parent)
+            # create=False: removal must not materialize null ancestors
             return df.withColumn(
-                name, _set(F.col(name), root_type, parent_steps, null_parent)
+                name, _set(F.col(name), root_type, parent_steps, null_parent, create=False)
             )
     return df.withColumn(name, _remove(F.col(name), root_type, steps[1:]))

@@ -121,16 +121,22 @@ def decode_image(payload: bytes) -> dict:
     }
 
 
-# unambiguous (>= 3 byte) magics only: two-byte ASCII prefixes like
-# 'BM' (bmp) or 'GI' would misclassify ordinary text as images
+# unambiguous (>= 3 byte) magics: two-byte ASCII prefixes like 'GI'
+# would misclassify ordinary text as images
 _IMAGE_MAGICS = (b"\xff\xd8\xff", b"\x89PNG", b"GIF8")
 
 
+def _looks_bmp(b: bytes) -> bool:
+    """BMP's magic is just ASCII 'BM' — disambiguate from text via the
+    header's reserved bytes (6..9 must be zero, never true for text)."""
+    return len(b) >= 14 and b[:2] == b"BM" and b[6:10] == b"\x00\x00\x00\x00"
+
+
 def _try_decode(b) -> dict | None:
-    head = bytes(b[:4])
+    head = bytes(b[:14])
     if head[:2] in (b"P5", b"P6"):
         return decode_netpbm(bytes(b))
-    if any(head.startswith(m) for m in _IMAGE_MAGICS):
+    if any(head.startswith(m) for m in _IMAGE_MAGICS) or _looks_bmp(head):
         # a real image format: decode through the PIL probe — raises
         # NotImplementedError when PIL is absent (loud task failure,
         # never silently-null features for an actual image)

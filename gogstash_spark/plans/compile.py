@@ -60,10 +60,10 @@ class CompiledPipeline:
     routes: list[Route] = field(default_factory=list)
 
     def with_routes(self, df: DataFrame) -> DataFrame:
-        """Materialize the routes array column (and _doc_id if any sink
-        declares a document_id template)."""
-        from gogstash_spark.logevent import format_expr
-
+        """Materialize the routes array column. Doc ids are NOT computed
+        here: each sink's document_id template renders per sink in the
+        runner (a shared column would carry the wrong sink's id on
+        co-routed rows and leak into plain sinks' output)."""
         if not self.routes:
             return df.withColumn(ROUTES, F.array().cast("array<string>"))
         entries = [
@@ -72,20 +72,7 @@ class CompiledPipeline:
             )
             for r in self.routes
         ]
-        df = df.withColumn(ROUTES, F.array_compact(F.array(*entries)))
-        doc_routes = [r for r in self.routes if r.doc_id_template]
-        if doc_routes:
-            df = df.withColumn(
-                DOC_ID,
-                F.coalesce(*[
-                    F.when(
-                        F.expr("coalesce(%s, false)" % r.pred_sql),
-                        format_expr(df, str(r.doc_id_template)),
-                    )
-                    for r in doc_routes
-                ]),
-            )
-        return df
+        return df.withColumn(ROUTES, F.array_compact(F.array(*entries)))
 
     def run(self, df: DataFrame) -> DataFrame:
         return self.with_routes(self.transform(df))

@@ -253,8 +253,9 @@ def run_pipeline(
                     # route belongs to a doc-id sink, keyed by THAT sink's
                     # rendered template — copies routed to plain sinks get
                     # a unique surrogate and pass through untouched. The
-                    # shared _doc_id column is also rewritten per copy so
-                    # each route partition carries ITS sink's doc ids.
+                    # _doc_id column is computed HERE per exploded copy so
+                    # each route partition carries ITS sink's doc ids
+                    # (plain sinks in per_sink mode never see it at all).
                     pieces = []
                     for r in doc_routes:
                         rv = route_value_expr(exploded, r)
