@@ -206,6 +206,39 @@ def lsh_topk(
     )
 
 
+def l2_normalize(
+    emb: DataFrame, vec_col: str = "embedding", target: str = "embedding_norm"
+) -> DataFrame:
+    """Unit-normalize an embedding column (zip arithmetic, codegen).
+    Zero vectors stay zero (no NaN)."""
+    v = F.col(vec_col)
+    norm = F.sqrt(F.aggregate(
+        v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    ))
+    return emb.withColumn(
+        target,
+        F.when(norm > 0, F.transform(v, lambda x: F.round(x.cast("double") / norm, 6)))
+        .otherwise(F.transform(v, lambda x: x.cast("double"))),
+    )
+
+
+def quantize_int8(
+    emb: DataFrame, vec_col: str = "embedding",
+    target: str = "embedding_q", scale_col: str = "q_scale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization (the storage/serving
+    compression step of an embedding pipeline): scale = max|x| / 127,
+    q_i = floor(x_i / scale + 0.5) (half-up — identical in every engine,
+    unlike bankers'-rounding variants). Dequantize as q_i * scale."""
+    v = F.col(vec_col)
+    max_abs = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = F.when(max_abs > 0, max_abs / F.lit(127.0)).otherwise(F.lit(1.0))
+    return emb.withColumn(scale_col, F.round(scale, 9)).withColumn(
+        target,
+        F.transform(v, lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast("int")),
+    )
+
+
 def cosine_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,

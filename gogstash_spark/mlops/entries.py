@@ -395,6 +395,95 @@ SELECT doc_id,
 FROM w"""
 
 
+def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction sweep: synthesize deterministic PII onto each doc
+    (email + ip + card-ish digits), scrub, count replacements."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0.0."), (F.col("doc_id") % 255).cast("string"),
+            F.lit(" card 4111 1111 1111 1111"),
+        ),
+    )
+    out = textops.redact_pii(docs, "text")
+    return out.select(
+        "doc_id", "n_redactions", F.md5(F.col("text")).alias("redacted_md5")
+    )
+
+
+def o_text_redact() -> str:
+    # build the nested regexp_replace chain in DuckDB (global flag 'g';
+    # Spark's regexp_replace is global by default)
+    expr = "t2"
+    for rx, token in textops.PII_PATTERNS:
+        expr = "regexp_replace(%s, '%s', '%s', 'g')" % (
+            expr, rx.replace("'", "''"), token
+        )
+    return f"""WITH d AS (
+  SELECT doc_id,
+    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.0.'
+         || CAST(doc_id % 255 AS VARCHAR) || ' card 4111 1111 1111 1111' AS t2
+  FROM documents
+), r AS (
+  SELECT doc_id, {expr} AS red FROM d
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(red, '<(?:EMAIL|CARD|IP|PHONE)>')) AS INTEGER) AS n_redactions,
+  md5(red) AS redacted_md5
+FROM r"""
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l2-normalize + symmetric int8 quantization: the storage path of
+    an embedding pipeline (arrays summarized scalar-wise for the gate)."""
+    out = ann.quantize_int8(ann.l2_normalize(_emb(spark, sf_dir)), "embedding_norm")
+    return out.select(
+        "vec_id",
+        F.round(F.col("q_scale"), 9).alias("q_scale"),
+        F.aggregate(
+            F.col("embedding_q"), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("q_sum"),
+        F.array_max("embedding_q").alias("q_max"),
+        F.round(
+            F.aggregate(
+                F.col("embedding_norm"), F.lit(0.0), lambda a, x: a + x * x
+            ), 3,
+        ).alias("norm_sq"),
+    )
+
+
+def o_embedding_quantize() -> str:
+    # mirror the exact arithmetic: norm via left-fold, per-element
+    # round(x/norm, 6), scale = max|n|/127, q = floor(n/scale + 0.5)
+    return """WITH n AS (
+  SELECT vec_id,
+    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+         [x::DOUBLE * x::DOUBLE FOR x IN embedding]), (a, b) -> a + b)) AS nrm,
+    embedding
+  FROM embeddings
+), nv AS (
+  SELECT vec_id,
+    CASE WHEN nrm > 0
+         THEN [round(x::DOUBLE / nrm, 6) FOR x IN embedding]
+         ELSE [x::DOUBLE FOR x IN embedding] END AS en
+  FROM n
+), s AS (
+  SELECT vec_id, en,
+    CASE WHEN list_max([abs(x) FOR x IN en]) > 0
+         THEN list_max([abs(x) FOR x IN en]) / 127.0 ELSE 1.0 END AS scale
+  FROM nv
+)
+SELECT vec_id,
+  round(scale, 9) AS q_scale,
+  CAST(list_reduce(list_prepend(0::BIGINT,
+       [CAST(floor(x / scale + 0.5) AS BIGINT) FOR x IN en]), (a, b) -> a + b) AS BIGINT) AS q_sum,
+  CAST(list_max([CAST(floor(x / scale + 0.5) AS INTEGER) FOR x IN en]) AS INTEGER) AS q_max,
+  round(list_reduce(list_prepend(0.0::DOUBLE, [x * x FOR x IN en]), (a, b) -> a + b), 3) AS norm_sq
+FROM s"""
+
+
 # --------------------------------------------------------------------------
 # multimodal plumbing
 # --------------------------------------------------------------------------
@@ -460,6 +549,8 @@ MLOPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
+    "text_redact": q_text_redact,
+    "embedding_quantize": q_embedding_quantize,
     "multimodal_features": q_multimodal_features,
     "multimodal_decode": q_multimodal_decode,
 }
@@ -478,6 +569,8 @@ MLOPS_ORACLES: dict[str, Callable[[], str]] = {
     "text_quality": o_text_quality,
     "token_count": o_token_count,
     "doc_fingerprint": o_doc_fingerprint,
+    "text_redact": o_text_redact,
+    "embedding_quantize": o_embedding_quantize,
     "multimodal_features": o_multimodal_features,
     "multimodal_decode": o_multimodal_decode,
 }

@@ -93,6 +93,30 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# PII patterns (order matters: cards before generic digit runs).
+# Pure-regex heuristics — the standard first-pass scrub in training-data
+# pipelines; all codegen regexp_replace, no UDFs.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d[ -]?){13,16}\b", "<CARD>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\+?\d{1,3}[ -]?\(?\d{2,4}\)?[ -]?\d{3,4}[ -]?\d{3,4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", target: str | None = None) -> DataFrame:
+    """Replace emails / card-like digit runs / IPv4s / phone-like numbers
+    with typed placeholders, and count the replacements per row
+    (`n_redactions`) so a pipeline can route heavily-redacted documents
+    for review. One codegen regexp_replace chain per pattern."""
+    out_col = target or text_col
+    red = F.col(text_col)
+    for rx, token in PII_PATTERNS:
+        red = F.regexp_replace(red, rx, token)
+    n = F.size(F.regexp_extract_all(red, F.lit(r"<(?:EMAIL|CARD|IP|PHONE)>"), F.lit(0)))
+    return df.withColumn(out_col, red).withColumn("n_redactions", n)
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", n: int = 5) -> DataFrame:
     """Document fingerprint: minimum md5 over word n-gram shingles
     (rolling-hash style winnowing, engine-portable via md5).

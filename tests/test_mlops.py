@@ -193,6 +193,33 @@ class TestTextOps:
         assert fp[1] != fp[4]
 
 
+class TestRedactAndQuantize:
+    def test_pii_redaction(self, spark):
+        df = spark.createDataFrame(
+            [(1, "mail bob@x.co from 10.0.0.1 card 4111 1111 1111 1111 tel +1 212 555 0100"),
+             (2, "clean text with no pii at all")],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in textops.redact_pii(df).collect()}
+        t = got[1]["text"]
+        assert "<EMAIL>" in t and "<IP>" in t and "<CARD>" in t and "<PHONE>" in t
+        assert "bob@x.co" not in t and "4111" not in t
+        assert got[1]["n_redactions"] >= 4
+        assert got[2]["n_redactions"] == 0 and got[2]["text"].startswith("clean")
+
+    def test_l2_normalize_and_quantize(self, spark):
+        df = spark.createDataFrame(
+            [(1, [3.0, 4.0]), (2, [0.0, 0.0])], "vec_id long, embedding array<float>"
+        )
+        out = {r["vec_id"]: r for r in ann.quantize_int8(
+            ann.l2_normalize(df), "embedding_norm").collect()}
+        assert list(out[1]["embedding_norm"]) == [0.6, 0.8]
+        assert out[1]["embedding_q"] == [95, 127]  # 0.6/ (0.8/127), 127
+        assert abs(out[1]["q_scale"] - 0.8 / 127) < 1e-9
+        assert list(out[2]["embedding_norm"]) == [0.0, 0.0]
+        assert out[2]["embedding_q"] == [0, 0]  # zero vector stays zero
+
+
 class TestMultiTableLSH:
     def test_multi_table_recovers_neighbors(self, spark, emb):
         got = {
