@@ -85,6 +85,19 @@ class TestPlanInvariants:
         ]
         assert len(scans) == 1, scans
 
+    def test_conv_rollup_single_shuffle(self, spark, sf_data_dir):
+        """Sessionization window + per-conv aggregate must share ONE
+        conv_id exchange — a second shuffle on the same key is the
+        regression that doubles the most expensive stage at scale."""
+        import re
+
+        import __spark_entry__ as e
+
+        df = e.queries()["conv_rollup"](spark, "/root/testdata/sf0.001")
+        plan = physical_plan(df)
+        exchanges = re.findall(r"Exchange hashpartitioning\(([a-z_]+)", plan)
+        assert exchanges == ["conv_id"], exchanges
+
     def test_native_predicate_pushdown(self, spark, sf_data_dir):
         df = (
             spark.read.parquet(os.path.join(sf_data_dir, "transcripts"))
