@@ -209,16 +209,25 @@ def lsh_topk(
 def l2_normalize(
     emb: DataFrame, vec_col: str = "embedding", target: str = "embedding_norm"
 ) -> DataFrame:
-    """Unit-normalize an embedding column (zip arithmetic, codegen).
-    Zero vectors stay zero (no NaN)."""
+    """Unit-normalize an embedding column. Zero vectors stay zero (no
+    NaN). The norm is STAGED in a temp column before the per-element
+    transform: higher-order-function lambdas re-evaluate their whole
+    body per element (no CSE — they are CodegenFallback), so an inlined
+    norm aggregate would make this O(d^2) per row (measured ~100x at
+    d=1024)."""
     v = F.col(vec_col)
     norm = F.sqrt(F.aggregate(
         v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
     ))
-    return emb.withColumn(
-        target,
-        F.when(norm > 0, F.transform(v, lambda x: F.round(x.cast("double") / norm, 6)))
-        .otherwise(F.transform(v, lambda x: x.cast("double"))),
+    n = F.col("__l2n")
+    return (
+        emb.withColumn("__l2n", norm)
+        .withColumn(
+            target,
+            F.when(n > 0, F.transform(v, lambda x: F.round(x.cast("double") / n, 6)))
+            .otherwise(F.transform(v, lambda x: x.cast("double"))),
+        )
+        .drop("__l2n")
     )
 
 
@@ -229,13 +238,23 @@ def quantize_int8(
     """Symmetric per-vector int8 quantization (the storage/serving
     compression step of an embedding pipeline): scale = max|x| / 127,
     q_i = floor(x_i / scale + 0.5) (half-up — identical in every engine,
-    unlike bankers'-rounding variants). Dequantize as q_i * scale."""
+    unlike bankers'-rounding variants). Dequantize as q_i * scale.
+    The scale is staged in its column BEFORE the quantizing transform —
+    inlining it would re-run the array_max per element (O(d^2))."""
     v = F.col(vec_col)
     max_abs = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
     scale = F.when(max_abs > 0, max_abs / F.lit(127.0)).otherwise(F.lit(1.0))
-    return emb.withColumn(scale_col, F.round(scale, 9)).withColumn(
-        target,
-        F.transform(v, lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast("int")),
+    sc = F.col("__qs")  # exact scale for the division; rounded for output
+    return (
+        emb.withColumn("__qs", scale)
+        .withColumn(scale_col, F.round(sc, 9))
+        .withColumn(
+            target,
+            F.transform(
+                v, lambda x: F.floor(x.cast("double") / sc + F.lit(0.5)).cast("int")
+            ),
+        )
+        .drop("__qs")
     )
 
 

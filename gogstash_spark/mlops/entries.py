@@ -414,25 +414,34 @@ def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def o_text_redact() -> str:
-    # build the nested regexp_replace chain in DuckDB (global flag 'g';
-    # Spark's regexp_replace is global by default)
-    expr = "t2"
-    for rx, token in textops.PII_PATTERNS:
-        expr = "regexp_replace(%s, '%s', '%s', 'g')" % (
-            expr, rx.replace("'", "''"), token
+    # mirror the staged chain: per-pattern counts on the text state
+    # BEFORE that pattern's replace (global 'g' flag; Spark's
+    # regexp_replace is global by default)
+    ctes = ["s0 AS (SELECT doc_id, t2 AS r0 FROM d)"]
+    for i, (rx, token) in enumerate(textops.PII_PATTERNS):
+        rx_sql = rx.replace("'", "''")
+        ctes.append(
+            "s%d AS (SELECT doc_id, "
+            "len(regexp_extract_all(r%d, '%s')) AS c%d, "
+            "regexp_replace(r%d, '%s', '%s', 'g') AS r%d FROM s%d)"
+            % (i + 1, i, rx_sql, i + 1, i, rx_sql, token, i + 1, i)
         )
+    n_pat = len(textops.PII_PATTERNS)
+    # carry counts forward through each stage
+    for i in range(2, n_pat + 1):
+        carried = ", ".join("c%d" % j for j in range(1, i))
+        ctes[i] = ctes[i].replace("SELECT doc_id, ", "SELECT doc_id, %s, " % carried)
+    total = " + ".join("c%d" % j for j in range(1, n_pat + 1))
     return f"""WITH d AS (
   SELECT doc_id,
     text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.0.'
          || CAST(doc_id % 255 AS VARCHAR) || ' card 4111 1111 1111 1111' AS t2
   FROM documents
-), r AS (
-  SELECT doc_id, {expr} AS red FROM d
-)
+), {", ".join(ctes)}
 SELECT doc_id,
-  CAST(len(regexp_extract_all(red, '<(?:EMAIL|CARD|IP|PHONE)>')) AS INTEGER) AS n_redactions,
-  md5(red) AS redacted_md5
-FROM r"""
+  CAST({total} AS INTEGER) AS n_redactions,
+  md5(r{n_pat}) AS redacted_md5
+FROM s{n_pat}"""
 
 
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -441,7 +450,7 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ann.quantize_int8(ann.l2_normalize(_emb(spark, sf_dir)), "embedding_norm")
     return out.select(
         "vec_id",
-        F.round(F.col("q_scale"), 9).alias("q_scale"),
+        "q_scale",
         F.aggregate(
             F.col("embedding_q"), F.lit(0).cast("long"), lambda a, x: a + x
         ).alias("q_sum"),

@@ -95,26 +95,39 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 # PII patterns (order matters: cards before generic digit runs).
 # Pure-regex heuristics — the standard first-pass scrub in training-data
-# pipelines; all codegen regexp_replace, no UDFs.
+# pipelines (biased toward OVER-redaction: e.g. four 4-digit numbers in
+# a row are indistinguishable from a card without a Luhn check); all
+# codegen regexp_replace, no UDFs, RE2-compatible (no lookaround) so
+# the DuckDB oracle runs the same expressions.
 PII_PATTERNS: list[tuple[str, str]] = [
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    (r"\b(?:\d[ -]?){13,16}\b", "<CARD>"),
+    # start AND end on a digit at word boundaries: never eats the
+    # trailing separator, never tail-matches a longer digit run
+    (r"\b\d(?:[ -]?\d){12,15}\b", "<CARD>"),
     (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
-    (r"\+?\d{1,3}[ -]?\(?\d{2,4}\)?[ -]?\d{3,4}[ -]?\d{3,4}\b", "<PHONE>"),
+    # two alternatives so the digits always start at a boundary
+    # (\b before '+' cannot match after a space)
+    (r"\+\d{1,3}[ -]?\(?\d{2,4}\)?[ -]?\d{3,4}[ -]?\d{3,4}\b"
+     r"|\b\d{1,3}[ -]?\(?\d{2,4}\)?[ -]?\d{3,4}[ -]?\d{3,4}\b", "<PHONE>"),
 ]
 
 
 def redact_pii(df: DataFrame, text_col: str = "text", target: str | None = None) -> DataFrame:
     """Replace emails / card-like digit runs / IPv4s / phone-like numbers
-    with typed placeholders, and count the replacements per row
-    (`n_redactions`) so a pipeline can route heavily-redacted documents
-    for review. One codegen regexp_replace chain per pattern."""
+    with typed placeholders, and count the matches per row
+    (`n_redactions`, counted on the INPUT text — pre-existing literal
+    placeholder strings in a document never inflate it) so a pipeline
+    can route heavily-redacted documents for review."""
     out_col = target or text_col
     red = F.col(text_col)
+    n = F.lit(0)
     for rx, token in PII_PATTERNS:
+        # count THIS pattern on the text state before its replace: an
+        # entity consumed by an earlier pattern is never counted twice,
+        # and pre-existing literal placeholders are never counted at all
+        n = n + F.size(F.regexp_extract_all(red, F.lit(rx), F.lit(0)))
         red = F.regexp_replace(red, rx, token)
-    n = F.size(F.regexp_extract_all(red, F.lit(r"<(?:EMAIL|CARD|IP|PHONE)>"), F.lit(0)))
-    return df.withColumn(out_col, red).withColumn("n_redactions", n)
+    return df.withColumn("n_redactions", n).withColumn(out_col, red)
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", n: int = 5) -> DataFrame:

@@ -94,6 +94,8 @@ class TestPlanInvariants:
         import __spark_entry__ as e
 
         df = e.queries()["conv_rollup"](spark, "/root/testdata/sf0.001")
+        # NOTE: queries() maps the testdata sf dir to the generated
+        # transcripts dir itself; keep the driver-contract path here
         plan = physical_plan(df)
         exchanges = re.findall(r"Exchange hashpartitioning\(([a-z_]+)", plan)
         assert exchanges == ["conv_id"], exchanges
