@@ -266,8 +266,8 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def o_sessionize() -> str:
     return f"""{_session_cte()}
 SELECT conv_id, turn_idx,
-  sum(ns) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
-                ROWS UNBOUNDED PRECEDING) - 1 AS session_idx,
+  CAST(sum(ns) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx,
   conv_id || '#' || CAST(sum(ns) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
                 ROWS UNBOUNDED PRECEDING) - 1 AS VARCHAR) AS session_id
 FROM f"""
@@ -353,7 +353,7 @@ def o_conv_rollup() -> str:
     return f"""{_session_cte()}
 SELECT conv_id,
        count(*) AS n_turns,
-       sum(ns) AS n_sessions,
+       CAST(sum(ns) AS BIGINT) AS n_sessions,
        min(ts) AS first_ts,
        max(ts) AS last_ts,
        count(DISTINCT tool) AS n_tools
@@ -882,7 +882,7 @@ kvlat AS (
   FROM t WHERE regexp_matches(text, '^level=')
 )
 SELECT r.sink, r.role || '.' || r.tool AS metric,
-       count(*) AS n, sum(k.latency_ms) AS sum_latency_ms
+       count(*) AS n, CAST(sum(k.latency_ms) AS BIGINT) AS sum_latency_ms
 FROM routes r LEFT JOIN kvlat k
   ON r.conv_id = k.conv_id AND r.turn_idx = k.turn_idx
 GROUP BY 1, 2"""

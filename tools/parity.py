@@ -25,16 +25,21 @@ TABLES = [
 def norm_cell(v) -> str:
     if v is None:
         return "NULL"
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join("%s=%s" % (k, norm_cell(v[k])) for k in sorted(v)) + "}"
+    try:
+        if v != v:  # float('nan'), pd.NaT from the pandas fetch
+            return "NULL"
+    except (TypeError, ValueError):
+        pass
     if isinstance(v, float):
         return "%.6g" % v
     if isinstance(v, datetime):
         return v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
     if isinstance(v, date):
         return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(norm_cell(x) for x in v) + "]"
-    if isinstance(v, dict):
-        return "{" + ",".join("%s=%s" % (k, norm_cell(v[k])) for k in sorted(v)) + "}"
     return str(v)
 
 
@@ -50,13 +55,38 @@ def value_hash(rows: list[tuple], col_order: list[int]) -> str:
 
 
 def compare(name: str, spark_df, sql: str, con) -> dict:
-    spark_rows = spark_df.collect()
-    spark_cols = spark_df.columns
+    # Fetch BOTH sides through pandas to mimic the driver's canonicalizer.
+    # Consequences this reproduces (verified round 2, VERDICT.md):
+    #  - DuckDB HUGEINT/DECIMAL (un-CAST sum of ints) -> float64
+    #  - ANY nullable integer column -> float64, on either side
+    # so a hash mismatch happens exactly when the two pandas dtypes
+    # disagree (int64 vs float64), even if values are numerically equal.
+    spdf = spark_df.toPandas()
+    spark_cols = list(spdf.columns)
+    spark_rows = [tuple(r) for r in spdf.itertuples(index=False, name=None)]
     res = con.execute(sql)
     duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    pdf = res.fetch_df()
+    duck_rows = [tuple(r) for r in pdf.itertuples(index=False, name=None)]
 
     out = {"name": name, "rows_spark": len(spark_rows), "rows_duck": len(duck_rows)}
+
+    def _kind(dt):
+        s = str(dt)
+        if s.startswith("float"):
+            return "float"
+        if s.startswith(("int", "uint")):
+            return "int"
+        return "other"
+
+    duck_dt = {c.lower(): _kind(pdf[c].dtype) for c in pdf.columns}
+    dtype_clash = [
+        c for c in spdf.columns
+        if c.lower() in duck_dt
+        and {_kind(spdf[c].dtype), duck_dt[c.lower()]} == {"int", "float"}
+    ]
+    if dtype_clash:
+        out["dtype_clash"] = dtype_clash
     out["rows_match"] = len(spark_rows) == len(duck_rows)
     out["schema_match"] = sorted(c.lower() for c in spark_cols) == sorted(
         c.lower() for c in duck_cols
@@ -122,7 +152,15 @@ def main():
             print("%-28s rows-only: %d rows" % (name, n))
             continue
         r = compare(name, df, oracles[name], con)
-        ok = r["rows_match"] and r["schema_match"] and r["hash_match"]
+        ok = (
+            r["rows_match"] and r["schema_match"] and r["hash_match"]
+            and not r.get("dtype_clash")
+        )
+        if r.get("dtype_clash"):
+            print(
+                "%-28s DTYPE-CLASH %s: oracle float64 vs spark int — add "
+                "CAST(... AS BIGINT) in the oracle SQL" % (name, r["dtype_clash"])
+            )
         print(
             "%-28s %s rows=%d/%d schema=%s hash=%s"
             % (
