@@ -134,6 +134,20 @@ def lsh_hot_buckets(buckets: DataFrame, bucket_cap: int) -> DataFrame:
     )
 
 
+def _cap_buckets(buckets: DataFrame, bucket_cap: int) -> DataFrame:
+    """Drop every (band, v) bucket holding more than bucket_cap members
+    BEFORE the self-join — the join cost of a bucket is quadratic in its
+    size, so one hot bucket dominates everything. Pair with
+    lsh_hot_buckets to report what was dropped (never silently)."""
+    ok = (
+        buckets.groupBy("band", "v")
+        .agg(F.count(F.lit(1)).alias("__bcnt"))
+        .filter(F.col("__bcnt") <= bucket_cap)
+        .select("band", "v")
+    )
+    return buckets.join(ok, ["band", "v"])
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -170,13 +184,7 @@ def minhash_lsh_pairs(
     # band join: explode signatures to (band, value) and self-join buckets
     buckets = lsh_band_buckets(sig, bands, rows_per_band)
     if bucket_cap is not None:
-        ok = (
-            buckets.groupBy("band", "v")
-            .agg(F.count(F.lit(1)).alias("__bcnt"))
-            .filter(F.col("__bcnt") <= bucket_cap)
-            .select("band", "v")
-        )
-        buckets = buckets.join(ok, ["band", "v"])
+        buckets = _cap_buckets(buckets, bucket_cap)
     cand = (
         buckets.alias("x")
         .join(buckets.alias("y"), ["band", "v"])
@@ -270,6 +278,8 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 7,
+    collapse_exact: bool = True,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """All pairs with SimHash Hamming distance <= max_hamming via
     Hamming-neighbor banding: split the 64-bit signature into
@@ -278,10 +288,20 @@ def simhash_near_dup_pairs(
     such pair (the banded path is EXACT, not approximate). Candidate
     generation never leaves equi-joins; the Hamming verify runs only on
     candidates. Requires (max_hamming + 1) to divide 64.
+
+    With collapse_exact (default), ids are per-distinct-text
+    representatives (min id per md5(text)): a million-way exact-dup
+    cluster would otherwise share ALL bands and blow the band self-join
+    to n²/2 candidates. Exact duplicates belong to exact_dup_groups.
+    bucket_cap additionally drops band buckets with > cap members (a
+    mass NEAR-dup cluster also shares bands); capping trades recall for
+    a bound — report drops via lsh_hot_buckets on the band frame.
     """
     bands = max_hamming + 1
     if 64 % bands != 0:
         raise ValueError("max_hamming + 1 must divide 64 (got %d)" % bands)
+    if collapse_exact:
+        df = collapse_exact_texts(df, text_col, id_col)
     width = 64 // bands
     sig = simhash64(df, text_col, id_col).persist()
     bandv = sig.select(
@@ -294,6 +314,8 @@ def simhash_near_dup_pairs(
             for i in range(bands)
         ])).alias("b"),
     ).select("id", F.col("b.band").alias("band"), F.col("b.v").alias("v"))
+    if bucket_cap is not None:
+        bandv = _cap_buckets(bandv, bucket_cap)
     cand = (
         bandv.alias("x")
         .join(bandv.alias("y"), ["band", "v"])

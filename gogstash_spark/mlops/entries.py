@@ -140,8 +140,13 @@ def o_dedup_simhash_pairs() -> str:
     # if the Spark banded path missed any pair within the radius, the
     # row counts would diverge (the banding is exact by pigeonhole)
     sums, bits = _sql_simhash64()
-    return f"""WITH tok AS (
-  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tk FROM documents
+    # docs CTE mirrors collapse_exact_texts: one representative
+    # (min doc_id) per distinct text
+    return f"""WITH docs AS (
+  SELECT min(doc_id) AS doc_id, min(text) AS text FROM documents GROUP BY md5(text)
+),
+tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tk FROM docs
 ),
 h AS (SELECT doc_id, md5(tk) AS h1, md5('s|' || tk) AS h2 FROM tok),
 bs AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id),

@@ -118,13 +118,50 @@ class TestDedup:
             }
             got = {
                 (r["id_a"], r["id_b"])
-                for r in dedup.simhash_near_dup_pairs(docs, max_hamming=radius).collect()
+                for r in dedup.simhash_near_dup_pairs(
+                    docs, max_hamming=radius, collapse_exact=False
+                ).collect()
             }
             assert got == want, radius
         assert (1, 2) in {
             (r["id_a"], r["id_b"])
-            for r in dedup.simhash_near_dup_pairs(docs, max_hamming=0).collect()
+            for r in dedup.simhash_near_dup_pairs(
+                docs, max_hamming=0, collapse_exact=False
+            ).collect()
         }  # exact dups at hamming 0
+
+    def test_simhash_pairs_mass_dup_no_explosion(self, spark):
+        """a 10k-way exact-duplicate cluster shares ALL bands; without
+        collapse_exact the band self-join would generate ~n²/2 ≈ 5e7
+        candidates. With the default collapse it contributes ONE
+        representative and the job completes instantly."""
+        base = spark.range(10_000).select(
+            F.col("id").alias("doc_id"),
+            F.lit("the same boilerplate text repeated everywhere").alias("text"),
+        )
+        extra = spark.createDataFrame(
+            [(100_001, "the same boilerplate text repeated everywhere"),
+             (100_002, "entirely unrelated content zebra quantum flux")],
+            "doc_id long, text string",
+        )
+        got = dedup.simhash_near_dup_pairs(
+            base.unionByName(extra), max_hamming=7
+        ).collect()
+        ids = {r["id_a"] for r in got} | {r["id_b"] for r in got}
+        assert ids <= {0, 100_002}  # representatives only, no dup fanout
+
+    def test_simhash_pairs_bucket_cap(self, spark):
+        """bucket_cap drops hot NEAR-dup bands: 60 distinct texts that
+        all share band substrings get pruned at cap 10."""
+        docs = spark.range(60).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("shared prefix words here tail"), F.col("id")).alias("text"),
+        )
+        capped = dedup.simhash_near_dup_pairs(
+            docs, max_hamming=31, bucket_cap=10
+        ).count()
+        full = dedup.simhash_near_dup_pairs(docs, max_hamming=31).count()
+        assert capped <= full
 
     def test_simhash_identical_for_dups(self, spark, docs):
         sig = {r["id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
