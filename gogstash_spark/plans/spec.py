@@ -76,6 +76,15 @@ class PipelineSpec:
                 })
             elif t in ("exec", "http"):
                 inputs.append(dict(i))
+            elif t in ("beats", "httplisten", "socket") and i.get("spool_dir"):
+                # push listeners (sources/ingest.py beats_input /
+                # httplisten_input / socket_listen_input) run as edge
+                # daemons writing a spool; the cluster job reads the
+                # spool. beats events are lumberjack JSON docs.
+                inputs.append({
+                    "type": "text", "path": i["spool_dir"],
+                    "codec": "json" if t == "beats" else "default",
+                })
             else:
                 unsupported.append("input/%s" % t)
         if len(inputs) == 1:

@@ -188,7 +188,14 @@ def run_pipeline(
     ledger = SnapshotLedger(os.path.join(out_dir, "_ledger.json"))
 
     # fully-resumed short-circuit: nothing to compute
-    agg_specs = spec.aggregate or [{"name": "counts", "group_by": ["tool"], "time_bucket": "hour"}]
+    # default aggregate (no spec.aggregate): hourly counts per sink,
+    # keyed by tool when the events have one — the group_by is
+    # intersected with the actual columns at compute time because a
+    # generic (non-transcripts) config has no `tool` column.
+    agg_specs = spec.aggregate or [
+        {"name": "counts", "group_by": ["tool"], "time_bucket": "hour",
+         "__default__": True}
+    ]
     if resume:
         sinks_done = (
             ledger.committed("__partitioned__")
@@ -413,7 +420,7 @@ def run_pipeline(
         # per-sink aggregates (report/statsd semantics,
         # reference output/report/outputreport.go:80-92,
         # output/statsd/outputstatsd.go:267-331)
-        for agg in spec.aggregate or [{"name": "counts", "group_by": ["tool"], "time_bucket": "hour"}]:
+        for agg in agg_specs:
             name = agg["name"]
             if resume and ledger.committed("agg_%s" % name):
                 continue
@@ -425,6 +432,11 @@ def run_pipeline(
                 ).withColumnRenamed("route", "sink")
             else:
                 exploded = routed.select(F.explode(ROUTES).alias("sink"), "*")
+            if agg.get("__default__"):
+                agg = {
+                    **agg,
+                    "group_by": [k for k in agg["group_by"] if k in exploded.columns],
+                }
             agg_df = compute_aggregate(exploded, agg)
             agg_obs = Observation("agg_%s" % name)
             agg_df = agg_df.observe(agg_obs, F.count(F.lit(1)).alias("rows"))

@@ -126,6 +126,123 @@ def socket_listen_input(spool_dir: str, host: str = "127.0.0.1", port: int = 0):
     return srv, "%s:%d" % srv.server_address
 
 
+def beats_input(spool_dir: str, host: str = "127.0.0.1", port: int = 0):
+    """Beats (filebeat/winlogbeat) listener speaking the lumberjack v2
+    wire protocol -> spool -> stream bridge. Reference
+    input/beats/inputbeats.go:26-40 delegates to elastic/go-lumber's
+    server; the protocol itself (public, go-lumber + logstash-input-beats):
+
+      frame   = version byte '2' + type byte
+      'W'indow: uint32 BE window size (events per batch before an ACK)
+      'J'son  : uint32 BE seq + uint32 BE payload len + JSON payload
+      'D'ata  : uint32 BE seq + uint32 BE pair count + repeated
+                (uint32 len + key, uint32 len + value)   (v1-style kv)
+      'C'ompressed: uint32 BE len + zlib payload holding more frames
+      'A'ck   : (server->client) uint32 BE seq — sent when a batch
+                completes (seq reaches window start + window size).
+
+    Each decoded event is spooled as one compact JSON line; run the
+    json codec downstream (same shape the reference produces via its
+    json codec). Returns (server, 'host:port'); server.shutdown()
+    stops it. Like the other push listeners, the daemon half stays on
+    edge nodes and Spark reads only the spool — that is the split that
+    scales on a real cluster.
+    """
+    import json
+    import socketserver
+    import struct
+    import threading
+    import zlib
+
+    write = _spool_writer(spool_dir)
+
+    def read_exact(rf, n: int) -> bytes:
+        buf = b""
+        while len(buf) < n:
+            chunk = rf.read(n - len(buf))
+            if not chunk:
+                raise EOFError("beats: connection closed mid-frame")
+            buf += chunk
+        return buf
+
+    def u32(rf) -> int:
+        return struct.unpack(">I", read_exact(rf, 4))[0]
+
+    class _Buf:
+        """file-like over bytes for parsing a decompressed 'C' payload."""
+
+        def __init__(self, data: bytes):
+            self.data, self.pos = data, 0
+
+        def read(self, n: int) -> bytes:
+            out = self.data[self.pos:self.pos + n]
+            self.pos += len(out)
+            return out
+
+    class Handler(socketserver.StreamRequestHandler):
+        def handle(self):
+            state = {"window": 0, "seen": 0, "last_seq": 0, "batch": []}
+
+            def flush_ack():
+                write(state["batch"])
+                state["batch"] = []
+                self.wfile.write(b"2A" + struct.pack(">I", state["last_seq"]))
+                self.wfile.flush()
+                state["seen"] = 0
+
+            def on_event(seq: int, ev: dict) -> None:
+                state["last_seq"] = seq
+                state["batch"].append(json.dumps(ev, separators=(",", ":")))
+                state["seen"] += 1
+                if state["window"] and state["seen"] >= state["window"]:
+                    flush_ack()
+
+            def parse(rf) -> bool:
+                hdr = rf.read(2)
+                if len(hdr) < 2:
+                    return False
+                version, ftype = hdr[0:1], hdr[1:2]
+                if version not in (b"1", b"2"):
+                    raise ValueError("beats: bad protocol version %r" % version)
+                if ftype == b"W":
+                    state["window"] = u32(rf)
+                    state["seen"] = 0
+                elif ftype == b"J":
+                    seq = u32(rf)
+                    n = u32(rf)
+                    on_event(seq, json.loads(read_exact(rf, n)))
+                elif ftype == b"D":
+                    seq = u32(rf)
+                    pairs = u32(rf)
+                    ev = {}
+                    for _ in range(pairs):
+                        k = read_exact(rf, u32(rf)).decode("utf-8")
+                        ev[k] = read_exact(rf, u32(rf)).decode("utf-8")
+                    on_event(seq, ev)
+                elif ftype == b"C":
+                    n = u32(rf)
+                    inner = _Buf(zlib.decompress(read_exact(rf, n)))
+                    while inner.pos < len(inner.data):
+                        parse(inner)
+                else:
+                    raise ValueError("beats: unknown frame type %r" % ftype)
+                return True
+
+            try:
+                while parse(self.rfile):
+                    pass
+            except EOFError:
+                pass
+            finally:
+                if state["batch"]:  # partial window at disconnect
+                    write(state["batch"])
+
+    srv = socketserver.ThreadingTCPServer((host, port), Handler)
+    srv.daemon_threads = True
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, "%s:%d" % srv.server_address
+
+
 def spool_stream(spark: SparkSession, spool_dir: str) -> DataFrame:
     """readStream over a listener spool: one event per line, default
     codec (value -> text)."""

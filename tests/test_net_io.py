@@ -154,6 +154,99 @@ class TestListenerInputs:
         assert got == ["sock one", "sock two"]
 
 
+class TestBeatsInput:
+    """Speak lumberjack v2 to the beats listener like a filebeat would:
+    window frame, zlib-compressed batch of JSON data frames, wait for
+    the ACK, then watch the events emerge from spool_stream."""
+
+    @staticmethod
+    def _jframe(seq: int, doc: dict) -> bytes:
+        import json as _json
+        import struct
+
+        payload = _json.dumps(doc).encode()
+        return b"2J" + struct.pack(">II", seq, len(payload)) + payload
+
+    def test_lumberjack_v2_roundtrip(self, spark, tmp_path):
+        import json as _json
+        import struct
+        import zlib
+
+        from gogstash_spark.sources.ingest import beats_input, spool_stream
+
+        spool = str(tmp_path / "spool_beats")
+        srv, addr = beats_input(spool)
+        host, _, port = addr.rpartition(":")
+        try:
+            conn = socket.create_connection((host, int(port)), timeout=5)
+            events = [
+                {"message": "beat one", "beat": {"hostname": "edge-1"}},
+                {"message": "beat two", "beat": {"hostname": "edge-1"}},
+                {"message": "beat three", "beat": {"hostname": "edge-2"}},
+            ]
+            frames = b"".join(self._jframe(i + 1, e) for i, e in enumerate(events))
+            comp = zlib.compress(frames)
+            conn.sendall(b"2W" + struct.pack(">I", len(events)))
+            conn.sendall(b"2C" + struct.pack(">I", len(comp)) + comp)
+            ack = b""
+            while len(ack) < 6:
+                chunk = conn.recv(6 - len(ack))
+                assert chunk, "no ACK before close"
+                ack += chunk
+            assert ack[:2] == b"2A"
+            assert struct.unpack(">I", ack[2:])[0] == len(events)
+            conn.close()
+        finally:
+            srv.shutdown()
+        q = (
+            spool_stream(spark, spool)
+            .writeStream.format("memory").queryName("beats_t")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        got = sorted(
+            _json.loads(r["text"])["message"]
+            for r in spark.sql("SELECT * FROM beats_t").collect()
+        )
+        assert got == ["beat one", "beat three", "beat two"]
+
+    def test_lumberjack_uncompressed_and_kv_frames(self, tmp_path):
+        import os
+        import struct
+        import time
+
+        from gogstash_spark.sources.ingest import beats_input
+
+        spool = str(tmp_path / "spool_beats2")
+        srv, addr = beats_input(spool)
+        host, _, port = addr.rpartition(":")
+        try:
+            conn = socket.create_connection((host, int(port)), timeout=5)
+            conn.sendall(b"2W" + struct.pack(">I", 2))
+            conn.sendall(self._jframe(1, {"message": "plain json"}))
+            kv = b"2D" + struct.pack(">II", 2, 1)
+            kv += struct.pack(">I", 7) + b"message"
+            kv += struct.pack(">I", 8) + b"plain kv"
+            conn.sendall(kv)
+            ack = conn.recv(6)
+            assert ack[:2] == b"2A" and struct.unpack(">I", ack[2:6])[0] == 2
+            conn.close()
+            for _ in range(50):
+                if [f for f in os.listdir(spool) if not f.startswith(".")]:
+                    break
+                time.sleep(0.1)
+        finally:
+            srv.shutdown()
+        import json as _json
+
+        lines = []
+        for f in sorted(os.listdir(spool)):
+            if not f.startswith("."):
+                lines += open(os.path.join(spool, f)).read().splitlines()
+        msgs = sorted(_json.loads(ln)["message"] for ln in lines)
+        assert msgs == ["plain json", "plain kv"]
+
+
 class TestPartitionedProtocolSink:
     def test_http_sink_emits_in_partitioned_mode(self, spark, events_df, http_server, tmp_path):
         res = run_pipeline(
