@@ -76,21 +76,63 @@ def decode_json(df: DataFrame, source: str = "value", schema: str | None = None)
     return df.drop("__c")
 
 
-def encode_json(df: DataFrame, exclude: list[str] | None = None) -> DataFrame:
-    """Event -> JSON string column `encoded`; @timestamp rendered UTC
-    (reference config/logevent/logevent.go:120-137 forces UTC)."""
-    cols = [c for c in df.columns if c not in (exclude or [])]
-    struct_cols: list[Column] = []
+def encode_json(
+    df: DataFrame,
+    exclude: list[str] | None = None,
+    sort_map_keys: bool = False,
+    remove_field: list[str] | None = None,
+) -> DataFrame:
+    """Event -> JSON string column `encoded`, matching the reference
+    marshal (config/logevent/logevent.go:22-28,120-143):
+
+    - @timestamp: UTC, Go layout `2006-01-02T15:04:05.999999999Z` —
+      the fractional part TRIMS trailing zeros (and the dot when the
+      fraction is zero); Spark timestamps are micros so the fraction
+      is at most 6 digits
+    - empty message and empty tags are OMITTED (Go omitempty / the
+      explicit `if t.Message != ""` guard)
+    - remove_field: fields dropped at marshal time — top-level columns,
+      or `map_col.key` entries inside a map column (the reference's
+      removePathValue walks nested maps)
+    - sort_map_keys: serialize fields in sorted-by-name order (the
+      json-iterator SortMapKeys knob; field order is the struct order
+      here, so sorting the struct sorts the output)
+    """
+    from pyspark.sql.types import MapType
+
+    remove = set(remove_field or [])
+    nested: dict[str, set[str]] = {}
+    for f in list(remove):
+        if "." in f:
+            root, sub = f.split(".", 1)
+            nested.setdefault(root, set()).add(sub)
+            remove.discard(f)
+    cols = [c for c in df.columns if c not in (exclude or []) and c not in remove]
+    named: list[tuple[str, Column]] = []
     for c in cols:
         if c == logevent.TS:
-            struct_cols.append(
-                F.date_format(F.col(c), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").alias("@timestamp")
-            )
+            iso = F.date_format(F.col(c), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+            named.append((
+                "@timestamp",
+                F.concat(F.regexp_replace(iso, r"\.?0+$", ""), F.lit("Z")),
+            ))
         elif c == logevent.TEXT:
-            struct_cols.append(F.col(c).alias("message"))
+            # omit-empty: to_json drops null fields
+            named.append(("message", F.nullif(F.col(c), F.lit(""))))
+        elif c == logevent.TAGS:
+            named.append((c, F.when(F.size(F.col(c)) > 0, F.col(c))))
+        elif c in nested and isinstance(df.schema[c].dataType, MapType):
+            gone = F.array(*[F.lit(k) for k in sorted(nested[c])])
+            named.append((
+                c, F.map_filter(F.col(c), lambda k, _v: ~F.array_contains(gone, k)),
+            ))
         else:
-            struct_cols.append(F.col(c))
-    return df.withColumn("encoded", F.to_json(F.struct(*struct_cols)))
+            named.append((c, F.col(c)))
+    if sort_map_keys:
+        named.sort(key=lambda nc: nc[0])
+    return df.withColumn(
+        "encoded", F.to_json(F.struct(*[col.alias(n) for n, col in named]))
+    )
 
 
 def decode_azureeventhubjson(

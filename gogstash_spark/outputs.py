@@ -22,10 +22,10 @@ from pyspark.sql import functions as F
 from gogstash_spark import logevent
 
 
-def _encoded(df: DataFrame) -> DataFrame:
+def _encoded(df: DataFrame, json_opts: dict | None = None) -> DataFrame:
     from gogstash_spark.codecs import encode_json
 
-    return encode_json(df).select("encoded")
+    return encode_json(df, **(json_opts or {})).select("encoded")
 
 
 def http_output(
@@ -35,6 +35,7 @@ def http_output(
     content_type: str = "application/json",
     headers: dict[str, str] | None = None,
     timeout: float = 10.0,
+    json_opts: dict | None = None,
 ) -> int:
     """POST events as NDJSON batches (reference output/http/
     outputhttp.go:30-43 posts per event; batching amortizes the
@@ -66,7 +67,7 @@ def http_output(
                 flush()
         flush()
 
-    _encoded(df).foreachPartition(send_partition)
+    _encoded(df, json_opts).foreachPartition(send_partition)
     return int(sent.value)
 
 
@@ -75,6 +76,7 @@ def socket_output(
     address: str,
     socket_type: str = "tcp",
     timeout: float = 10.0,
+    json_opts: dict | None = None,
 ) -> int:
     """Newline-delimited JSON over one tcp/unix connection per task
     (reference output/socket/outputsocket.go:18-20,40-70)."""
@@ -102,7 +104,7 @@ def socket_output(
             conn.close()
         sent.add(n)
 
-    _encoded(df).foreachPartition(send_partition)
+    _encoded(df, json_opts).foreachPartition(send_partition)
     return int(sent.value)
 
 
@@ -200,6 +202,7 @@ def loki_output(
     labels: dict[str, str] | None = None,
     batch_size: int = 500,
     timeout: float = 10.0,
+    json_opts: dict | None = None,
 ) -> int:
     """Grafana Loki push API: POST {streams: [{stream: labels,
     values: [[ns_epoch, line], ...]}]} per task batch (reference
@@ -217,7 +220,9 @@ def loki_output(
         if logevent.TS in df.columns
         else F.lit(0).cast("long")
     )
-    enc = encode_json(df).select(F.col("encoded"), ns_col.alias("ns"))
+    enc = encode_json(df, **(json_opts or {})).select(
+        F.col("encoded"), ns_col.alias("ns")
+    )
 
     def send_partition(rows):
         import urllib.request
@@ -259,16 +264,17 @@ def emit(df: DataFrame, cfg: dict) -> int:
     """Dispatch a routed frame to a protocol sink by output spec."""
     typ = cfg.get("type")
     timeout = float(cfg.get("timeout", 10.0))
+    json_opts = cfg.get("json_opts")
     if typ == "http":
         return http_output(
             df, cfg["url"], batch_size=int(cfg.get("batch_size", 100)),
             content_type=cfg.get("content_type", "application/json"),
-            headers=cfg.get("headers"), timeout=timeout,
+            headers=cfg.get("headers"), timeout=timeout, json_opts=json_opts,
         )
     if typ == "socket":
         return socket_output(
             df, cfg["address"], socket_type=cfg.get("socket", "tcp"),
-            timeout=timeout,
+            timeout=timeout, json_opts=json_opts,
         )
     if typ == "gelf":
         return gelf_output(
@@ -280,5 +286,6 @@ def emit(df: DataFrame, cfg: dict) -> int:
         return loki_output(
             df, cfg["url"], labels=cfg.get("labels"),
             batch_size=int(cfg.get("batch_size", 500)), timeout=timeout,
+            json_opts=json_opts,
         )
     raise ValueError("unknown protocol output %r" % typ)

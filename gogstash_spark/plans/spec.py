@@ -63,6 +63,16 @@ class PipelineSpec:
         """
         unsupported: list[str] = []
 
+        # top-level `event:` marshal options (reference
+        # config/logevent/logevent.go:22-28) apply wherever events are
+        # JSON-encoded — i.e. the protocol sinks
+        ev = d.get("event") or {}
+        json_opts: dict[str, Any] = {}
+        if ev.get("sort_map_keys"):
+            json_opts["sort_map_keys"] = True
+        if ev.get("remove_field"):
+            json_opts["remove_field"] = list(ev["remove_field"])
+
         inputs: list[dict[str, Any]] = []
         for i in d.get("input") or []:
             t = i.get("type")
@@ -74,7 +84,7 @@ class PipelineSpec:
                     "type": "text", "path": i.get("path"),
                     "codec": codec or "default",
                 })
-            elif t in ("exec", "http"):
+            elif t in ("exec", "http", "lorem"):
                 inputs.append(dict(i))
             elif t in ("beats", "httplisten", "socket") and i.get("spool_dir"):
                 # push listeners (sources/ingest.py beats_input /
@@ -167,6 +177,8 @@ class PipelineSpec:
                                   "condition": own})
                 elif t in ("http", "socket", "gelf", "loki"):
                     s = dict(o)
+                    if json_opts and "json_opts" not in s:
+                        s["json_opts"] = json_opts
                     s["name"] = uniq(s.get("name", t))
                     if t == "http" and isinstance(s.get("urls"), list):
                         s["url"] = s["urls"][0]
@@ -178,8 +190,14 @@ class PipelineSpec:
                                  "time_bucket": "minute", "condition": cond})
                 elif t == "statsd":
                     add_metric_aggs(o, cond)
-                elif t in ("stdout", "prometheus"):
-                    pass  # debug sink / metrics endpoint: observability no-ops
+                elif t == "stdout":
+                    # stdout receives every event in gogstash; the batch
+                    # analog materializes the same rows as a debug table
+                    # (print-to-driver would mean collect())
+                    sinks.append({"type": "table", "name": uniq("stdout"),
+                                  "condition": own})
+                elif t == "prometheus":
+                    pass  # metrics endpoint: an observability no-op here
                 else:
                     unsupported.append("output/%s" % t)
             return sinks
@@ -191,9 +209,24 @@ class PipelineSpec:
                 "(brokers/daemons need their connector jars or an edge "
                 "listener; see OPERATORS.md)" % sorted(set(unsupported))
             )
+        # reserved field names: gogstash events hold the raw line in
+        # `message` and the event time in `@timestamp`
+        # (config/logevent/logevent.go:31-34); this engine's columns are
+        # `text` / `ts`, so translate field references in filter configs
+        reserved = {"message": "text", "@timestamp": "ts"}
+
+        def xlate_filter(f: dict) -> dict:
+            f = dict(f)
+            for k in ("source", "field", "ip_field", "target"):
+                if f.get(k) in reserved:
+                    f[k] = reserved[f[k]]
+            if isinstance(f.get("fields"), list):
+                f["fields"] = [reserved.get(x, x) for x in f["fields"]]
+            return f
+
         return cls(
             input=spec_input,
-            filter=list(d.get("filter") or []),
+            filter=[xlate_filter(f) for f in (d.get("filter") or [])],
             output=sinks,
             aggregate=aggs,
         )

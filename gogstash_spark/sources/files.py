@@ -45,6 +45,14 @@ def read_input(spark: SparkSession, inp: dict) -> DataFrame:
         from gogstash_spark.sources.ingest import http_input
 
         return http_input(spark, inp["url"], method=inp.get("method", "GET"))
+    if typ == "lorem":
+        from gogstash_spark.sources.ingest import lorem_input
+
+        return lorem_input(
+            spark, count=int(inp.get("count", 1000)), format=inp.get("format"),
+            fields=inp.get("fields"), empty=bool(inp.get("empty", False)),
+            seed=int(inp.get("seed", 42)),
+        )
     path = inp.get("path")
     if not path:
         raise ValueError("spec.input.path required")

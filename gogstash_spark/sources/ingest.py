@@ -11,8 +11,10 @@ after via spark.createDataFrame.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from gogstash_spark import logevent
+from gogstash_spark.functions.datefmt import go_layout_to_spark
 
 
 def _lines_df(spark: SparkSession, lines: list[str]) -> DataFrame:
@@ -46,6 +48,134 @@ def exec_input(
         if ln.strip(message_trim)
     ]
     return _lines_df(spark, lines)
+
+
+# classic lorem-ipsum vocabulary (public domain), the same corpus family
+# the reference's generator draws from (input/lorem/inputlorem.go:132-188)
+LOREM_WORDS = (
+    "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod "
+    "tempor incididunt ut labore et dolore magna aliqua enim ad minim veniam "
+    "quis nostrud exercitation ullamco laboris nisi aliquip ex ea commodo "
+    "consequat duis aute irure in reprehenderit voluptate velit esse cillum "
+    "eu fugiat nulla pariatur excepteur sint occaecat cupidatat non proident "
+    "sunt culpa qui officia deserunt mollit anim id est laborum"
+).split()
+
+_LOREM_BASE_TS = "2026-01-01 00:00:00"
+
+
+def lorem_input(
+    spark: SparkSession,
+    count: int = 1000,
+    format: str | None = None,
+    fields: dict | None = None,
+    empty: bool = False,
+    seed: int = 42,
+) -> DataFrame:
+    """Synthetic lorem event generator (reference input/lorem — workers
+    emitting templated sentences for a duration; the batch analog emits
+    `count` events). Pure codegen over spark.range: deterministic per
+    (seed, id), no Python in the row path, partitions like any range
+    scan — the generator itself is the scale test harness.
+
+    format supports the reference's template functions:
+    {{.TimeFormat "go-layout"}}, {{.Word min max}},
+    {{.Sentence min max}}, {{.Paragraph min max}}, {{.Email}},
+    {{.Host}}, {{.Url}}. Without a format, the message is one sentence
+    of 4-12 words. Each event also carries ts = base + id seconds.
+    """
+    import re as _re
+
+    from pyspark.sql import Column
+
+    from gogstash_spark import logevent
+
+    words_arr = F.array(*[F.lit(w) for w in LOREM_WORDS])
+    nwords = len(LOREM_WORDS)
+    df = spark.range(int(count))
+    rid = F.col("id")
+    ts = F.to_timestamp(F.lit(_LOREM_BASE_TS)) + F.make_interval(secs=rid.cast("double"))
+
+    def pick(salt: Column) -> Column:
+        return F.element_at(
+            words_arr,
+            (F.pmod(F.xxhash64(rid, F.lit(seed), salt), F.lit(nwords)) + 1).cast("int"),
+        )
+
+    def span(lo: int, hi: int, salt: int) -> Column:
+        """lo..hi words, space-joined, seeded by (id, salt)."""
+        n = (
+            F.pmod(F.xxhash64(rid, F.lit(seed), F.lit(salt)), F.lit(max(hi - lo, 0) + 1))
+            + F.lit(lo)
+        ).cast("int")
+        return F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+                lambda j: F.element_at(
+                    words_arr,
+                    (F.pmod(F.xxhash64(rid, F.lit(seed + salt), j), F.lit(nwords)) + 1)
+                    .cast("int"),
+                ),
+            ),
+        )
+
+    def sentence(lo: int, hi: int, salt: int) -> Column:
+        s = span(lo, hi, salt)
+        return F.concat(
+            F.upper(F.substring(s, 1, 1)),
+            F.substr(s, F.lit(2), F.length(s)),
+            F.lit("."),
+        )
+
+    if empty:
+        text: Column = F.lit("")
+    elif format is None:
+        text = sentence(4, 12, 1)
+    else:
+        # split the Go template into literal pieces and function calls
+        pat = _re.compile(r"\{\{\.(\w+)((?:\s+\S+)*)\s*\}\}")
+        pieces: list[Column] = []
+        pos = 0
+        salt = 10
+        for m in pat.finditer(format):
+            if m.start() > pos:
+                pieces.append(F.lit(format[pos:m.start()]))
+            fn, raw_args = m.group(1), m.group(2).split()
+            salt += 1
+            if fn == "TimeFormat":
+                layout = raw_args[0].strip("\"'")
+                pieces.append(F.date_format(ts, go_layout_to_spark(layout)))
+            elif fn == "Word":
+                lo, hi = int(raw_args[0]), int(raw_args[1])
+                pieces.append(span(lo, hi, salt))
+            elif fn == "Sentence":
+                lo, hi = int(raw_args[0]), int(raw_args[1])
+                pieces.append(sentence(lo, hi, salt))
+            elif fn == "Paragraph":
+                lo, hi = int(raw_args[0]), int(raw_args[1])
+                pieces.append(F.concat_ws(
+                    " ", *[sentence(lo, hi, salt * 100 + k) for k in range(3)]
+                ))
+            elif fn == "Email":
+                pieces.append(F.concat(pick(F.lit(salt)), F.lit("@"),
+                                       pick(F.lit(salt + 500)), F.lit(".com")))
+            elif fn == "Host":
+                pieces.append(F.concat(pick(F.lit(salt)), F.lit(".example.com")))
+            elif fn == "Url":
+                pieces.append(F.concat(F.lit("http://"), pick(F.lit(salt)),
+                                       F.lit(".example.com/"), pick(F.lit(salt + 500))))
+            else:
+                raise ValueError("lorem: unsupported template func %r" % fn)
+            pos = m.end()
+        if pos < len(format):
+            pieces.append(F.lit(format[pos:]))
+        text = F.concat(*pieces) if pieces else F.lit("")
+
+    out = df.select(text.alias(logevent.TEXT), ts.alias(logevent.TS))
+    for k, v in (fields or {}).items():
+        out = out.withColumn(k, F.lit(v))
+    return out
 
 
 def _spool_writer(spool_dir: str):

@@ -60,6 +60,45 @@ class TestCodecs:
         assert d["message"] == "msg"
         assert d["@timestamp"].startswith("2024-03-01T12:00:00")
 
+    def test_encode_json_golden_go_marshal(self, spark):
+        """Byte-for-byte parity with the reference marshal
+        (config/logevent/logevent.go:120-143): Go layout
+        2006-01-02T15:04:05.999999999Z trims trailing fraction zeros;
+        empty message/tags are omitted; encoding/json sorts map keys."""
+        df = spark.createDataFrame(
+            [("hi",)], "text string"
+        ).withColumn("ts", F.to_timestamp(F.lit("2024-03-01 12:00:00.5")))
+        out = codecs.encode_json(df, sort_map_keys=True).collect()[0]["encoded"]
+        assert out == '{"@timestamp":"2024-03-01T12:00:00.5Z","message":"hi"}'
+
+        # zero fraction drops the dot entirely; empty message omitted
+        df2 = spark.createDataFrame(
+            [("", ["x"])], "text string, tags array<string>"
+        ).withColumn("ts", F.to_timestamp(F.lit("2024-03-01 12:00:00")))
+        out2 = codecs.encode_json(df2, sort_map_keys=True).collect()[0]["encoded"]
+        assert out2 == '{"@timestamp":"2024-03-01T12:00:00Z","tags":["x"]}'
+
+        # empty tags omitted
+        df3 = df2.withColumn("tags", F.array().cast("array<string>"))
+        out3 = codecs.encode_json(df3).collect()[0]["encoded"]
+        assert json.loads(out3) == {"@timestamp": "2024-03-01T12:00:00Z"}
+
+    def test_encode_json_remove_field_and_sort(self, spark):
+        """event.remove_field drops top-level fields AND nested map keys
+        at marshal time (logevent.go removePathValue); sort_map_keys
+        orders the serialized fields."""
+        df = spark.createDataFrame(
+            [("m", "v", {"keep": "1", "drop": "2"})],
+            "text string, zfield string, extra map<string,string>",
+        )
+        out = codecs.encode_json(
+            df, sort_map_keys=True, remove_field=["zfield", "extra.drop"]
+        ).collect()[0]["encoded"]
+        assert out == '{"extra":{"keep":"1"},"message":"m"}'
+        # unsorted keeps declaration order (text -> message first)
+        out2 = codecs.encode_json(df, remove_field=["zfield"]).collect()[0]["encoded"]
+        assert out2.startswith('{"message":"m"')
+
     def test_eventhub_explode(self, spark):
         env = '{"records":[{"msg":"a"},{"msg":"b"}]}'
         df = spark.createDataFrame([(env,)], "value string")
