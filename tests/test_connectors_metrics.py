@@ -113,3 +113,68 @@ class TestLineageMetrics:
         }
         assert by_route == res.sink_rows
         assert per_file.count() == lineage["files"]
+
+
+class TestKafkaContract:
+    """The kafka connector contract: the exact readStream options
+    generated from a verbatim gogstash kafka input block
+    (reference input/kafka/inputkafka.go:20-33), pinned WITHOUT a
+    broker or connector jar so semantics can't drift."""
+
+    def test_options_full_block(self):
+        from gogstash_spark.sources.connectors import kafka_options_from_gogstash
+
+        cfg = {
+            "type": "kafka",
+            "version": "0.10.2.0",
+            "brokers": ["k1:9092", "k2:9092"],
+            "topics": ["logs", "audit"],
+            "group": "gogstash",
+            "offset_oldest": True,
+            "assignor": "roundrobin",
+            "security_protocol": "SASL_SSL",
+            "sasl_mechanism": "PLAIN",
+            "sasl_username": "u",
+            "sasl_password": "p",
+        }
+        assert kafka_options_from_gogstash(cfg) == {
+            "kafka.bootstrap.servers": "k1:9092,k2:9092",
+            "subscribe": "logs,audit",
+            "startingOffsets": "earliest",
+            "kafka.group.id": "gogstash",
+            "kafka.partition.assignment.strategy":
+                "org.apache.kafka.clients.consumer.RoundRobinAssignor",
+            "kafka.security.protocol": "SASL_SSL",
+            "kafka.sasl.mechanism": "PLAIN",
+            "kafka.sasl.jaas.config":
+                'org.apache.kafka.common.security.plain.PlainLoginModule '
+                'required username="u" password="p";',
+        }
+
+    def test_options_defaults_and_errors(self):
+        import pytest as _pytest
+
+        from gogstash_spark.sources.connectors import kafka_options_from_gogstash
+
+        minimal = kafka_options_from_gogstash(
+            {"brokers": ["b:9092"], "topics": ["t"]}
+        )
+        # sarama without OffsetOldest starts at newest
+        assert minimal["startingOffsets"] == "latest"
+        assert "kafka.group.id" not in minimal
+        with _pytest.raises(ValueError, match="assignor"):
+            kafka_options_from_gogstash(
+                {"brokers": [], "topics": [], "assignor": "magic"}
+            )
+        with _pytest.raises(ValueError, match="sasl_mechanism"):
+            kafka_options_from_gogstash(
+                {"brokers": [], "topics": [], "sasl_mechanism": "GSSAPI"}
+            )
+
+    def test_stream_probe_names_missing_jar(self, spark):
+        import pytest as _pytest
+
+        from gogstash_spark.sources.connectors import kafka_stream
+
+        with _pytest.raises(RuntimeError, match="spark-sql-kafka"):
+            kafka_stream(spark, gogstash_cfg={"brokers": ["b:9092"], "topics": ["t"]})
