@@ -260,6 +260,176 @@ NET_OUTPUTS = {
 }
 
 
+def _resp(*parts: bytes) -> bytes:
+    """RESP array-of-bulk-strings encoding (the only form clients send)."""
+    out = [b"*%d\r\n" % len(parts)]
+    for p in parts:
+        out.append(b"$%d\r\n%s\r\n" % (len(p), p))
+    return b"".join(out)
+
+
+def redis_output(
+    df: DataFrame,
+    address: str = "localhost:6379",
+    key: str = "gogstash",
+    data_type: str = "list",
+    timeout: float = 5.0,
+    json_opts: dict | None = None,
+) -> int:
+    """Redis list/channel sink (reference output/redis/
+    outputredis.go:22-47,94: RPUSH-equivalent LPUSH for data_type=list,
+    PUBLISH for channel; key is a %{} template rendered per event).
+    One RESP connection per task; replies are read and checked so a
+    failure is loud, not dropped."""
+    if data_type not in ("list", "channel"):
+        raise ValueError("redis data_type must be 'list' or 'channel'")
+    from gogstash_spark.codecs import encode_json
+    from gogstash_spark.logevent import format_expr
+
+    sc = df.sparkSession.sparkContext
+    sent = sc.accumulator(0)
+    enc = encode_json(df, **(json_opts or {}))
+    enc = enc.select(
+        F.col("encoded"), format_expr(enc, key).alias("__key")
+    )
+    cmd = b"LPUSH" if data_type == "list" else b"PUBLISH"
+
+    def send_partition(rows):
+        import socket as so
+
+        host, _, port = address.rpartition(":")
+        conn = so.create_connection((host, int(port)), timeout=timeout)
+        rf = conn.makefile("rb")
+        n = 0
+        try:
+            for r in rows:
+                conn.sendall(_resp(cmd, (r["__key"] or "gogstash").encode(),
+                                   r["encoded"].encode()))
+                reply = rf.readline()  # :N for LPUSH/PUBLISH, -ERR on failure
+                if reply.startswith(b"-"):
+                    raise RuntimeError("redis error: %s" % reply.decode().strip())
+                n += 1
+        finally:
+            rf.close()
+            conn.close()
+        sent.add(n)
+
+    enc.foreachPartition(send_partition)
+    return int(sent.value)
+
+
+def nsq_output(
+    df: DataFrame,
+    nsq: str,
+    topic: str,
+    timeout: float = 5.0,
+    json_opts: dict | None = None,
+) -> int:
+    """NSQ producer sink (reference output/nsq/outputnsq.go:17-30 via
+    go-nsq). Wire protocol (public, nsq.io/clients/tcp_protocol_spec):
+    '  V2' magic, then per message `PUB <topic>\\n` + uint32 BE size +
+    body; each PUB is answered by a frame (uint32 size, int32 type,
+    data 'OK'). One connection per task, responses checked."""
+    import struct
+
+    from gogstash_spark.codecs import encode_json
+
+    sc = df.sparkSession.sparkContext
+    sent = sc.accumulator(0)
+    enc = encode_json(df, **(json_opts or {})).select("encoded")
+
+    def send_partition(rows):
+        import socket as so
+
+        host, _, port = nsq.rpartition(":")
+        conn = so.create_connection((host, int(port)), timeout=timeout)
+        n = 0
+        try:
+            conn.sendall(b"  V2")
+            for r in rows:
+                body = r["encoded"].encode()
+                conn.sendall(b"PUB %s\n" % topic.encode()
+                             + struct.pack(">I", len(body)) + body)
+                hdr = b""
+                while len(hdr) < 8:
+                    chunk = conn.recv(8 - len(hdr))
+                    if not chunk:
+                        raise RuntimeError("nsqd closed mid-reply")
+                    hdr += chunk
+                size = struct.unpack(">I", hdr[:4])[0]   # frame size incl. type
+                ftype = struct.unpack(">i", hdr[4:8])[0]
+                data = b""
+                while len(data) < size - 4:
+                    data += conn.recv(size - 4 - len(data))
+                if ftype == 1 or data != b"OK":  # FrameTypeError / not OK
+                    raise RuntimeError("nsq PUB failed: %r" % data)
+                n += 1
+        finally:
+            conn.close()
+        sent.add(n)
+
+    enc.foreachPartition(send_partition)
+    return int(sent.value)
+
+
+def email_output(
+    df: DataFrame,
+    address: str,
+    from_addr: str,
+    to: str,
+    subject: str = "gogstash event",
+    port: int = 25,
+    cc: str = "",
+    use_tls: bool = False,
+    username: str = "",
+    password: str = "",
+    json_opts: dict | None = None,
+) -> int:
+    """SMTP sink, one message per event like the reference
+    (output/email/outputemail.go:18-31 via gomail); subject is a %{}
+    template rendered per event, the JSON-encoded event is the body.
+    An email sink only makes sense behind a highly-selective condition
+    (alerts) — the per-event send IS the reference semantics."""
+    from gogstash_spark.codecs import encode_json
+    from gogstash_spark.logevent import format_expr
+
+    sc = df.sparkSession.sparkContext
+    sent = sc.accumulator(0)
+    enc = encode_json(df, **(json_opts or {}))
+    enc = enc.select(F.col("encoded"), format_expr(enc, subject).alias("__subj"))
+    rcpts = [a.strip() for a in (to + ("," + cc if cc else "")).split(",") if a.strip()]
+
+    def send_partition(rows):
+        import smtplib
+        from email.mime.text import MIMEText
+
+        srv = smtplib.SMTP(address, port, timeout=10)
+        n = 0
+        try:
+            if use_tls:
+                srv.starttls()
+            if username:
+                srv.login(username, password)
+            for r in rows:
+                msg = MIMEText(r["encoded"])
+                msg["Subject"] = r["__subj"] or subject
+                msg["From"] = from_addr
+                msg["To"] = to
+                if cc:
+                    msg["Cc"] = cc
+                srv.sendmail(from_addr, rcpts, msg.as_string())
+                n += 1
+        finally:
+            try:
+                srv.quit()
+            except Exception:
+                pass  # already counted; QUIT failure doesn't unsend
+        sent.add(n)
+
+    enc.foreachPartition(send_partition)
+    return int(sent.value)
+
+
 def emit(df: DataFrame, cfg: dict) -> int:
     """Dispatch a routed frame to a protocol sink by output spec."""
     typ = cfg.get("type")
@@ -286,6 +456,27 @@ def emit(df: DataFrame, cfg: dict) -> int:
         return loki_output(
             df, cfg["url"], labels=cfg.get("labels"),
             batch_size=int(cfg.get("batch_size", 500)), timeout=timeout,
+            json_opts=json_opts,
+        )
+    if typ == "redis":
+        host = cfg.get("host", ["localhost:6379"])
+        return redis_output(
+            df, host[0] if isinstance(host, list) else host,
+            key=cfg.get("key", "gogstash"),
+            data_type=cfg.get("data_type", "list"),
+            timeout=float(cfg.get("timeout", 5.0)), json_opts=json_opts,
+        )
+    if typ == "nsq":
+        return nsq_output(
+            df, cfg["nsq"], cfg["topic"], timeout=timeout, json_opts=json_opts,
+        )
+    if typ == "email":
+        return email_output(
+            df, cfg["address"], from_addr=cfg.get("from", "gogstash@localhost"),
+            to=cfg["to"], subject=cfg.get("subject", "gogstash event"),
+            port=int(cfg.get("port", 25)), cc=cfg.get("cc", ""),
+            use_tls=bool(cfg.get("use_tls", False)),
+            username=cfg.get("username", ""), password=cfg.get("password", ""),
             json_opts=json_opts,
         )
     raise ValueError("unknown protocol output %r" % typ)

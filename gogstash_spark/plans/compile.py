@@ -95,7 +95,9 @@ def flatten_outputs(outputs: list[dict], parent_pred: str = "true") -> list[Rout
                 pred_sql=pred,
                 index_template=out.get("index"),
                 doc_id_template=out.get("document_id"),
-                out_cfg=dict(out) if typ in ("http", "socket", "gelf", "loki") else None,
+                out_cfg=dict(out)
+                if typ in ("http", "socket", "gelf", "loki", "redis", "nsq", "email")
+                else None,
             ))
     return routes
 

@@ -370,3 +370,171 @@ class TestGelfOutput:
         assert by_role["user"]["short_message"] == "small msg"
         assert by_role["tool"]["short_message"] == big
         assert all(m["version"] == "1.1" for m in msgs)
+
+
+class _RespRecorder(socketserver.StreamRequestHandler):
+    """Minimal RESP server: parses array-of-bulk-strings commands,
+    records them, answers :1 (or -ERR for a 'boom' key)."""
+    commands: list[list[bytes]] = []
+
+    def handle(self):
+        while True:
+            line = self.rfile.readline()
+            if not line or not line.startswith(b"*"):
+                return
+            nargs = int(line[1:].strip())
+            args = []
+            for _ in range(nargs):
+                ln = int(self.rfile.readline()[1:].strip())
+                args.append(self.rfile.read(ln))
+                self.rfile.read(2)  # \r\n
+            _RespRecorder.commands.append(args)
+            if args[1] == b"boom":
+                self.wfile.write(b"-ERR synthetic\r\n")
+            else:
+                self.wfile.write(b":1\r\n")
+
+
+class _NsqRecorder(socketserver.StreamRequestHandler):
+    """Minimal nsqd: expects '  V2' magic then PUB frames; records
+    (topic, body), answers OK response frames."""
+    messages: list[tuple[str, bytes]] = []
+
+    def handle(self):
+        import struct
+
+        magic = self.rfile.read(4)
+        assert magic == b"  V2", magic
+        while True:
+            line = self.rfile.readline()
+            if not line:
+                return
+            cmd = line.decode().strip().split()
+            assert cmd[0] == "PUB", cmd
+            size = struct.unpack(">I", self.rfile.read(4))[0]
+            body = self.rfile.read(size)
+            _NsqRecorder.messages.append((cmd[1], body))
+            data = b"OK"
+            self.wfile.write(struct.pack(">Ii", len(data) + 4, 0) + data)
+
+
+class _SmtpRecorder(socketserver.StreamRequestHandler):
+    """Minimal ESMTP server: 220 greeting, 250s, 354 DATA; records
+    (mail_from, rcpts, data)."""
+    messages: list[dict] = []
+
+    def handle(self):
+        def send(s):
+            self.wfile.write(s.encode() + b"\r\n")
+
+        send("220 fake ESMTP")
+        cur = {"rcpt": []}
+        while True:
+            line = self.rfile.readline()
+            if not line:
+                return
+            u = line.decode().strip()
+            up = u.upper()
+            if up.startswith(("EHLO", "HELO")):
+                send("250 fake")
+            elif up.startswith("MAIL FROM:"):
+                cur["from"] = u[10:].strip(" <>")
+                send("250 ok")
+            elif up.startswith("RCPT TO:"):
+                cur["rcpt"].append(u[8:].strip(" <>"))
+                send("250 ok")
+            elif up == "DATA":
+                send("354 go")
+                data = []
+                while True:
+                    ln = self.rfile.readline().decode()
+                    if ln.rstrip("\r\n") == ".":
+                        break
+                    data.append(ln)
+                cur["data"] = "".join(data)
+                _SmtpRecorder.messages.append(cur)
+                cur = {"rcpt": []}
+                send("250 queued")
+            elif up == "QUIT":
+                send("221 bye")
+                return
+            else:
+                send("250 ok")
+
+
+def _tcp_server(handler):
+    srv = socketserver.ThreadingTCPServer(("127.0.0.1", 0), handler)
+    srv.daemon_threads = True
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, "127.0.0.1:%d" % srv.server_address[1]
+
+
+class TestBrokerSinks:
+    """redis / nsq / email emitters against live localhost fakes that
+    speak the real wire protocols (RESP, nsq TCP v2, ESMTP)."""
+
+    def test_redis_lpush_roundtrip(self, spark, events_df):
+        _RespRecorder.commands = []
+        srv, addr = _tcp_server(_RespRecorder)
+        try:
+            sent = outputs.redis_output(
+                events_df, addr, key="gogstash-%{role}", data_type="list"
+            )
+        finally:
+            srv.shutdown()
+        assert sent == 3
+        cmds = _RespRecorder.commands
+        assert all(c[0] == b"LPUSH" for c in cmds)
+        keys = sorted(c[1].decode() for c in cmds)
+        assert keys == ["gogstash-tool", "gogstash-user", "gogstash-user"]
+        bodies = {json.loads(c[2])["message"] for c in cmds}
+        assert bodies == {"e1", "e2", "e3"}
+
+    def test_redis_publish_and_error_surfaces(self, spark, events_df):
+        _RespRecorder.commands = []
+        srv, addr = _tcp_server(_RespRecorder)
+        try:
+            sent = outputs.redis_output(
+                events_df, addr, key="chan", data_type="channel"
+            )
+            assert sent == 3
+            assert all(c[0] == b"PUBLISH" for c in _RespRecorder.commands)
+            with pytest.raises(Exception, match="synthetic"):
+                outputs.redis_output(events_df, addr, key="boom")
+        finally:
+            srv.shutdown()
+
+    def test_nsq_pub_roundtrip(self, spark, events_df):
+        _NsqRecorder.messages = []
+        srv, addr = _tcp_server(_NsqRecorder)
+        try:
+            sent = outputs.nsq_output(events_df, addr, topic="logs")
+        finally:
+            srv.shutdown()
+        assert sent == 3
+        assert {t for t, _ in _NsqRecorder.messages} == {"logs"}
+        assert {json.loads(b)["message"] for _, b in _NsqRecorder.messages} == {
+            "e1", "e2", "e3",
+        }
+
+    def test_email_per_event(self, spark, events_df):
+        _SmtpRecorder.messages = []
+        srv, addr = _tcp_server(_SmtpRecorder)
+        host, _, port = addr.rpartition(":")
+        try:
+            sent = outputs.email_output(
+                events_df, host, from_addr="gs@x", to="ops@x,sre@x",
+                subject="alert %{role}", port=int(port),
+            )
+        finally:
+            srv.shutdown()
+        assert sent == 3
+        msgs = _SmtpRecorder.messages
+        assert len(msgs) == 3
+        assert all(m["from"] == "gs@x" and m["rcpt"] == ["ops@x", "sre@x"] for m in msgs)
+        subjects = sorted(
+            ln.split(":", 1)[1].strip()
+            for m in msgs for ln in m["data"].splitlines()
+            if ln.lower().startswith("subject:")
+        )
+        assert subjects == ["alert tool", "alert user", "alert user"]
