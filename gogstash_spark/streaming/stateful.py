@@ -59,3 +59,72 @@ def dedup_stream(
     return df.groupBy(*key_cols).applyInPandasWithState(
         first_per_key, out_schema, "seen int", "append", mode
     )
+
+
+def sessionize_stream(
+    df: DataFrame,
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    order_col: str = "turn_idx",
+    gap_seconds: int = 1800,
+    timeout_duration: str | None = None,
+) -> DataFrame:
+    """Streaming twin of functions.sessions.sessionize: inactivity-gap
+    session assignment with per-key state carried ACROSS microbatches —
+    (last event time, current session index) per conv_id, so a
+    conversation that pauses between batches and resumes within the gap
+    keeps its session_idx, and one that pauses longer starts the next.
+
+    Rows inside a batch are ordered (ts, order_col) like the batch
+    window; across batches arrival order is trusted (give the source a
+    watermark if late data matters — state here is an assignment
+    cursor, not an aggregation, so reordering across batches would
+    re-number, same as any streaming sessionizer). timeout_duration
+    bounds state for dead conversations; an evicted key restarts at
+    session_idx 0 (documented windowed-state tradeoff, exactly like
+    dedup_stream)."""
+    from pyspark.sql.functions import lit
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    import pandas as pd
+
+    out_schema = (
+        df.withColumn("session_idx", lit(0).cast("long"))
+        .withColumn("session_id", lit("").cast("string"))
+        .schema
+    )
+    gap_us = int(gap_seconds) * 1_000_000
+
+    def assign(key, pdfs, state):
+        if timeout_duration is not None and state.hasTimedOut:
+            state.remove()
+            return
+        parts = [pdf for pdf in pdfs if len(pdf)]
+        if not parts:
+            return
+        batch = pd.concat(parts).sort_values([ts_col, order_col], kind="mergesort")
+        last_us, idx = state.get if state.exists else (None, -1)
+        ts_us = (batch[ts_col].astype("int64") // 1000).tolist()  # ns -> us
+        out_idx = []
+        for t in ts_us:
+            if last_us is None or (t - last_us) > gap_us:
+                idx += 1
+            last_us = t
+            out_idx.append(idx)
+        batch["session_idx"] = pd.array(out_idx, dtype="int64")
+        batch["session_id"] = [
+            "%s#%d" % (key[0], i) for i in out_idx
+        ]
+        state.update((int(last_us), int(idx)))
+        if timeout_duration is not None:
+            state.setTimeoutDuration(timeout_duration)
+        yield batch
+
+    mode = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_duration is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return df.groupBy(key_col).applyInPandasWithState(
+        assign, out_schema, "last_us long, idx long", "append", mode
+    )
