@@ -100,7 +100,11 @@ def encode_json(
     """
     from pyspark.sql.types import MapType
 
-    remove = set(remove_field or [])
+    # remove_field entries use MARSHAL names (the reference's
+    # removePathValue walks the serialized map) — translate the reserved
+    # names to this engine's column names
+    _marshal_alias = {"message": logevent.TEXT, "@timestamp": logevent.TS}
+    remove = {_marshal_alias.get(f, f) for f in (remove_field or [])}
     nested: dict[str, set[str]] = {}
     for f in list(remove):
         if "." in f:
@@ -109,9 +113,18 @@ def encode_json(
             remove.discard(f)
     cols = [c for c in df.columns if c not in (exclude or []) and c not in remove]
     named: list[tuple[str, Column]] = []
+    # date_format renders in the SESSION timezone; shift the instant so
+    # the rendered wall time is UTC regardless of session tz (the 'Z' we
+    # append must be true — get_spark pins UTC, but a plain session may not)
+    sess_tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
     for c in cols:
         if c == logevent.TS:
-            iso = F.date_format(F.col(c), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+            ts_utc = (
+                F.col(c)
+                if sess_tz in ("UTC", "Etc/UTC", "GMT")
+                else F.to_utc_timestamp(F.col(c).cast("timestamp"), sess_tz)
+            )
+            iso = F.date_format(ts_utc, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
             named.append((
                 "@timestamp",
                 F.concat(F.regexp_replace(iso, r"\.?0+$", ""), F.lit("Z")),

@@ -345,11 +345,7 @@ def nsq_output(
         conn = so.create_connection((host, int(port)), timeout=timeout)
         n = 0
         try:
-            conn.sendall(b"  V2")
-            for r in rows:
-                body = r["encoded"].encode()
-                conn.sendall(b"PUB %s\n" % topic.encode()
-                             + struct.pack(">I", len(body)) + body)
+            def read_frame():
                 hdr = b""
                 while len(hdr) < 8:
                     chunk = conn.recv(8 - len(hdr))
@@ -360,7 +356,23 @@ def nsq_output(
                 ftype = struct.unpack(">i", hdr[4:8])[0]
                 data = b""
                 while len(data) < size - 4:
-                    data += conn.recv(size - 4 - len(data))
+                    chunk = conn.recv(size - 4 - len(data))
+                    if not chunk:
+                        raise RuntimeError("nsqd closed mid-frame body")
+                    data += chunk
+                return ftype, data
+
+            conn.sendall(b"  V2")
+            for r in rows:
+                body = r["encoded"].encode()
+                conn.sendall(b"PUB %s\n" % topic.encode()
+                             + struct.pack(">I", len(body)) + body)
+                while True:
+                    ftype, data = read_frame()
+                    if data == b"_heartbeat_":  # answer or nsqd drops us
+                        conn.sendall(b"NOP\n")
+                        continue
+                    break
                 if ftype == 1 or data != b"OK":  # FrameTypeError / not OK
                     raise RuntimeError("nsq PUB failed: %r" % data)
                 n += 1

@@ -95,8 +95,11 @@ def kafka_options_from_gogstash(cfg: dict) -> dict[str, str]:
                 "unsupported sasl_mechanism %r (known: %s)"
                 % (mech, sorted(_SASL_LOGIN_MODULES))
             )
-        user = cfg.get("sasl_username", "")
-        pwd = cfg.get("sasl_password", "")
+        def jaas_quote(s: str) -> str:
+            return str(s).replace("\\", "\\\\").replace('"', '\\"')
+
+        user = jaas_quote(cfg.get("sasl_username", ""))
+        pwd = jaas_quote(cfg.get("sasl_password", ""))
         opts["kafka.sasl.jaas.config"] = (
             '%s required username="%s" password="%s";' % (module, user, pwd)
         )

@@ -134,14 +134,16 @@ def lorem_input(
         text = sentence(4, 12, 1)
     else:
         # split the Go template into literal pieces and function calls
-        pat = _re.compile(r"\{\{\.(\w+)((?:\s+\S+)*)\s*\}\}")
+        # args may be quoted strings WITH spaces (TimeFormat layouts)
+        pat = _re.compile(r"\{\{\.(\w+)((?:\s+(?:\"[^\"]*\"|'[^']*'|\S+))*)\s*\}\}")
+        arg_pat = _re.compile(r"\"[^\"]*\"|'[^']*'|\S+")
         pieces: list[Column] = []
         pos = 0
         salt = 10
         for m in pat.finditer(format):
             if m.start() > pos:
                 pieces.append(F.lit(format[pos:m.start()]))
-            fn, raw_args = m.group(1), m.group(2).split()
+            fn, raw_args = m.group(1), arg_pat.findall(m.group(2))
             salt += 1
             if fn == "TimeFormat":
                 layout = raw_args[0].strip("\"'")

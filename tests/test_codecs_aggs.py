@@ -205,3 +205,29 @@ class TestEnrichAliases:
         )
         r = stage(df).collect()[0]
         assert r["ip2location"]["country_code"] == "US"
+
+
+class TestEncodeJsonReviewFixes:
+    def test_remove_field_accepts_marshal_names(self, spark):
+        """remove_field uses marshal names like the reference's
+        removePathValue — 'message' must strip the text column."""
+        df = spark.createDataFrame([("secret", "k")], "text string, other string")
+        out = codecs.encode_json(df, remove_field=["message"]).collect()[0]["encoded"]
+        assert json.loads(out) == {"other": "k"}
+
+    def test_timestamp_renders_utc_under_any_session_tz(self, spark):
+        df = spark.createDataFrame([("m",)], "text string").withColumn(
+            "ts", F.to_timestamp(F.lit("2024-03-01 12:00:00"))
+        )
+        tz0 = spark.conf.get("spark.sql.session.timeZone")
+        try:
+            spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+            # the instant was created under the ORIGINAL tz; build it
+            # fresh under Tokyo so wall 12:00 Tokyo == 03:00 UTC
+            df2 = spark.createDataFrame([("m",)], "text string").withColumn(
+                "ts", F.to_timestamp(F.lit("2024-03-01 12:00:00"))
+            )
+            out = codecs.encode_json(df2).collect()[0]["encoded"]
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", tz0)
+        assert json.loads(out)["@timestamp"] == "2024-03-01T03:00:00Z"

@@ -178,3 +178,16 @@ class TestKafkaContract:
 
         with _pytest.raises(RuntimeError, match="spark-sql-kafka"):
             kafka_stream(spark, gogstash_cfg={"brokers": ["b:9092"], "topics": ["t"]})
+
+    def test_jaas_credentials_are_escaped(self):
+        from gogstash_spark.sources.connectors import kafka_options_from_gogstash
+
+        opts = kafka_options_from_gogstash({
+            "brokers": ["b:9092"], "topics": ["t"],
+            "sasl_mechanism": "PLAIN",
+            "sasl_username": 'u"x', "sasl_password": 'p\\"y',
+        })
+        assert opts["kafka.sasl.jaas.config"] == (
+            'org.apache.kafka.common.security.plain.PlainLoginModule '
+            'required username="u\\"x" password="p\\\\\\"y";'
+        )

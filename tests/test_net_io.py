@@ -538,3 +538,47 @@ class TestBrokerSinks:
             if ln.lower().startswith("subject:")
         )
         assert subjects == ["alert tool", "alert user", "alert user"]
+
+
+class TestNsqHeartbeat:
+    def test_heartbeat_frames_are_answered_not_fatal(self, spark, events_df):
+        import struct
+
+        class _NsqHeartbeat(_NsqRecorder):
+            nops: list[bytes] = []
+
+            def handle(self):
+                magic = self.rfile.read(4)
+                assert magic == b"  V2", magic
+                first = True
+                while True:
+                    line = self.rfile.readline()
+                    if not line:
+                        return
+                    cmd = line.decode().strip().split()
+                    if cmd[0] == "NOP":
+                        _NsqHeartbeat.nops.append(b"NOP")
+                        continue
+                    assert cmd[0] == "PUB", cmd
+                    size = struct.unpack(">I", self.rfile.read(4))[0]
+                    body = self.rfile.read(size)
+                    _NsqRecorder.messages.append((cmd[1], body))
+                    if first:  # unsolicited heartbeat BEFORE the PUB reply
+                        hb = b"_heartbeat_"
+                        self.wfile.write(
+                            struct.pack(">Ii", len(hb) + 4, 0) + hb
+                        )
+                        first = False
+                    data = b"OK"
+                    self.wfile.write(struct.pack(">Ii", len(data) + 4, 0) + data)
+
+        _NsqRecorder.messages = []
+        _NsqHeartbeat.nops = []
+        srv, addr = _tcp_server(_NsqHeartbeat)
+        try:
+            sent = outputs.nsq_output(events_df.coalesce(1), addr, topic="logs")
+        finally:
+            srv.shutdown()
+        assert sent == 3
+        assert len(_NsqRecorder.messages) == 3
+        assert _NsqHeartbeat.nops  # we answered the heartbeat

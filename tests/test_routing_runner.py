@@ -229,9 +229,10 @@ output:
         assert res.sink_rows.get("errors-post") == 1
         assert res.sink_rows.get("errors-get") == 1
         assert res.sink_rows.get("access_ok") == 1
-        # report counts per (sink, minute): 3 sinks x 1 bucket
-        assert res.agg_rows.get("report") == 3
-        assert res.agg_rows.get("statsd") == 3  # resp.200/500/503
+        assert res.sink_rows.get("stdout") == 3  # stdout sees every event
+        # report counts per (sink, minute): 4 sinks x 1 bucket
+        assert res.agg_rows.get("report") == 4
+        assert res.agg_rows.get("statsd") == 6  # resp.200/500/503 x {own sink, stdout}
 
     def test_multi_file_inputs_union(self, spark, tmp_path):
         from gogstash_spark.plans.spec import PipelineSpec
