@@ -45,7 +45,11 @@ def _load_prev(repo: str) -> tuple[str | None, dict]:
         return None, {}
     try:
         with open(best) as f:
-            return os.path.basename(best), json.load(f).get("queries", {})
+            d = json.load(f)
+        # the round driver wraps bench stdout under "parsed"
+        if "queries" not in d and isinstance(d.get("parsed"), dict):
+            d = d["parsed"]
+        return os.path.basename(best), d.get("queries", {})
     except Exception:
         return None, {}
 

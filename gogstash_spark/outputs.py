@@ -442,6 +442,58 @@ def email_output(
     return int(sent.value)
 
 
+def amqp_output(
+    df: DataFrame,
+    url: str,
+    exchange: str,
+    exchange_type: str = "direct",
+    routing_key: str = "",
+    exchange_durable: bool = False,
+    exchange_auto_delete: bool = True,
+    persistent: bool = False,
+    timeout: float = 10.0,
+    json_opts: dict | None = None,
+) -> int:
+    """AMQP 0-9-1 publish sink (reference output/amqp/
+    outputamqp.go:28-66: exchange declare + publish with a %{}
+    routing-key template, optional persistent delivery). One
+    connection+channel per task via the in-repo minimal client
+    (amqp091.py) — no external amqp library in this image."""
+    from gogstash_spark.codecs import encode_json
+    from gogstash_spark.logevent import format_expr
+
+    sc = df.sparkSession.sparkContext
+    sent = sc.accumulator(0)
+    enc = encode_json(df, **(json_opts or {}))
+    enc = enc.select(F.col("encoded"), format_expr(enc, routing_key).alias("__rk"))
+
+    def send_partition(rows):
+        from gogstash_spark.amqp091 import AmqpPublisher
+
+        pub = None
+        n = 0
+        try:
+            for r in rows:
+                if pub is None:  # connect lazily: empty partitions cost nothing
+                    pub = AmqpPublisher(url, timeout=timeout)
+                    pub.declare_exchange(
+                        exchange, exchange_type,
+                        durable=exchange_durable, auto_delete=exchange_auto_delete,
+                    )
+                pub.publish(
+                    exchange, r["__rk"] or "", r["encoded"].encode(),
+                    persistent=persistent,
+                )
+                n += 1
+        finally:
+            if pub is not None:
+                pub.close()
+        sent.add(n)
+
+    enc.foreachPartition(send_partition)
+    return int(sent.value)
+
+
 def emit(df: DataFrame, cfg: dict) -> int:
     """Dispatch a routed frame to a protocol sink by output spec."""
     typ = cfg.get("type")
@@ -481,6 +533,18 @@ def emit(df: DataFrame, cfg: dict) -> int:
     if typ == "nsq":
         return nsq_output(
             df, cfg["nsq"], cfg["topic"], timeout=timeout, json_opts=json_opts,
+        )
+    if typ == "amqp":
+        urls = cfg.get("urls") or [cfg.get("url", "amqp://localhost:5672/")]
+        return amqp_output(
+            df, urls[0] if isinstance(urls, list) else urls,
+            exchange=cfg["exchange"],
+            exchange_type=cfg.get("exchange_type", "direct"),
+            routing_key=cfg.get("routing_key", ""),
+            exchange_durable=bool(cfg.get("exchange_durable", False)),
+            exchange_auto_delete=bool(cfg.get("exchange_auto_delete", True)),
+            persistent=bool(cfg.get("persistent", False)),
+            timeout=timeout, json_opts=json_opts,
         )
     if typ == "email":
         return email_output(

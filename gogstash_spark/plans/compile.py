@@ -96,7 +96,8 @@ def flatten_outputs(outputs: list[dict], parent_pred: str = "true") -> list[Rout
                 index_template=out.get("index"),
                 doc_id_template=out.get("document_id"),
                 out_cfg=dict(out)
-                if typ in ("http", "socket", "gelf", "loki", "redis", "nsq", "email")
+                if typ in ("http", "socket", "gelf", "loki", "redis", "nsq",
+                           "email", "amqp")
                 else None,
             ))
     return routes

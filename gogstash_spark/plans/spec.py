@@ -175,7 +175,8 @@ class PipelineSpec:
                         base = re.sub(r"[^A-Za-z0-9_-]+", "_", str(o["path"])).strip("_")
                     sinks.append({"type": "table", "name": uniq(base or t),
                                   "condition": own})
-                elif t in ("http", "socket", "gelf", "loki", "redis", "nsq", "email"):
+                elif t in ("http", "socket", "gelf", "loki", "redis", "nsq",
+                           "email", "amqp"):
                     s = dict(o)
                     if json_opts and "json_opts" not in s:
                         s["json_opts"] = json_opts

@@ -582,3 +582,99 @@ class TestNsqHeartbeat:
         assert sent == 3
         assert len(_NsqRecorder.messages) == 3
         assert _NsqHeartbeat.nops  # we answered the heartbeat
+
+
+class _AmqpBroker(socketserver.StreamRequestHandler):
+    """Minimal AMQP 0-9-1 broker: full handshake, channel/exchange
+    bookkeeping, records publishes as (exchange, routing_key, body,
+    persistent)."""
+    publishes: list[tuple] = []
+    declares: list[tuple] = []
+
+    def handle(self):
+        import struct
+
+        from gogstash_spark import amqp091 as A
+
+        sock = self.request
+        hdr = A.read_exact(sock, 8)
+        assert hdr == b"AMQP\x00\x00\x09\x01", hdr
+        # Start: ver 0.9, empty server-props table, PLAIN, en_US
+        start = A.method(A.CONN_START, bytes([0, 9]) + A.longstr(b"")
+                         + A.longstr(b"PLAIN") + A.longstr(b"en_US"))
+        A.write_frame(sock, A.FRAME_METHOD, 0, start)
+        pending_pub = None  # (exchange, rkey) awaiting header/body
+        body_left, body_acc, pub_flags = 0, b"", 0
+        while True:
+            try:
+                ftype, ch, payload = A.read_frame(sock)
+            except (ConnectionError, OSError):
+                return
+            if ftype == A.FRAME_METHOD:
+                cm, args = A.parse_method(payload)
+                if cm == A.CONN_START_OK:
+                    mech_off = 4 + struct.unpack(">I", args[:4])[0]
+                    n = args[mech_off]
+                    assert args[mech_off + 1:mech_off + 1 + n] == b"PLAIN"
+                    A.write_frame(sock, A.FRAME_METHOD, 0,
+                                  A.method(A.CONN_TUNE, struct.pack(">HIH", 0, 131072, 0)))
+                elif cm == A.CONN_TUNE_OK:
+                    pass
+                elif cm == A.CONN_OPEN:
+                    A.write_frame(sock, A.FRAME_METHOD, 0,
+                                  A.method(A.CONN_OPEN_OK, A.shortstr("")))
+                elif cm == A.CH_OPEN:
+                    A.write_frame(sock, A.FRAME_METHOD, ch,
+                                  A.method(A.CH_OPEN_OK, A.longstr(b"")))
+                elif cm == A.EX_DECLARE:
+                    p = 2
+                    n = args[p]; ex = args[p+1:p+1+n].decode(); p += 1 + n
+                    n = args[p]; et = args[p+1:p+1+n].decode(); p += 1 + n
+                    bits = args[p]
+                    _AmqpBroker.declares.append((ex, et, bits))
+                    A.write_frame(sock, A.FRAME_METHOD, ch,
+                                  A.method(A.EX_DECLARE_OK))
+                elif cm == A.BASIC_PUBLISH:
+                    p = 2
+                    n = args[p]; ex = args[p+1:p+1+n].decode(); p += 1 + n
+                    n = args[p]; rk = args[p+1:p+1+n].decode(); p += 1 + n
+                    pending_pub = (ex, rk)
+                elif cm == A.CONN_CLOSE:
+                    A.write_frame(sock, A.FRAME_METHOD, 0,
+                                  A.method(A.CONN_CLOSE_OK))
+                    return
+            elif ftype == A.FRAME_HEADER:
+                _cls, _w, body_left, pub_flags = struct.unpack(">HHQH", payload[:14])
+                body_acc = b""
+                if body_left == 0 and pending_pub:
+                    _AmqpBroker.publishes.append(
+                        (*pending_pub, b"", bool(pub_flags & 0x1000)))
+                    pending_pub = None
+            elif ftype == A.FRAME_BODY:
+                body_acc += payload
+                if len(body_acc) >= body_left and pending_pub:
+                    _AmqpBroker.publishes.append(
+                        (*pending_pub, body_acc, bool(pub_flags & 0x1000)))
+                    pending_pub = None
+
+
+class TestAmqpOutput:
+    def test_publish_roundtrip(self, spark, events_df):
+        _AmqpBroker.publishes = []
+        _AmqpBroker.declares = []
+        srv, addr = _tcp_server(_AmqpBroker)
+        try:
+            sent = outputs.amqp_output(
+                events_df, "amqp://guest:guest@%s/" % addr,
+                exchange="logs", exchange_type="topic",
+                routing_key="ev.%{role}", persistent=True,
+            )
+        finally:
+            srv.shutdown()
+        assert sent == 3
+        assert all(d[0] == "logs" and d[1] == "topic" for d in _AmqpBroker.declares)
+        pubs = _AmqpBroker.publishes
+        assert len(pubs) == 3
+        assert {p[1] for p in pubs} == {"ev.user", "ev.tool"}
+        assert all(p[0] == "logs" and p[3] for p in pubs)  # persistent flag
+        assert {json.loads(p[2])["message"] for p in pubs} == {"e1", "e2", "e3"}
