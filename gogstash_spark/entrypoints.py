@@ -273,6 +273,36 @@ SELECT conv_id, turn_idx,
 FROM f"""
 
 
+def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING sessionization (applyInPandasWithState cursor,
+    streaming/stateful.py::sessionize_stream) driven availableNow over
+    the same transcripts, landed in a memory sink and returned as a
+    batch frame. On in-order data this must equal the batch window
+    sessionize row-for-row — so it shares o_sessionize as its oracle:
+    the custom stateful operator gets a full value-hash check, not a
+    rows-only waiver."""
+    import uuid
+
+    from gogstash_spark.streaming.stateful import sessionize_stream
+
+    data_dir = ensure_transcripts(sf_dir)
+    tdir = os.path.join(data_dir, "transcripts")
+    schema = spark.read.parquet(tdir).schema
+    name = "sess_stream_%s" % uuid.uuid4().hex[:8]
+    stream = spark.readStream.format("parquet").schema(schema).load(tdir)
+    q = (
+        sessionize_stream(
+            stream, "conv_id", "ts", "turn_idx", gap_seconds=SESSION_GAP_SECONDS
+        )
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "conv_id", "turn_idx", "session_idx", "session_id"
+    )
+
+
 def q_agg_pctl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """statsd timer percentiles: p50/p95 latency per role (exact
     interpolated percentile — matches SQL quantile_cont)."""
@@ -944,6 +974,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_report": q_agg_report,
     "agg_pctl": q_agg_pctl,
     "sessionize": q_sessionize,
+    "sessionize_stream": q_sessionize_stream,
     "conv_rollup": q_conv_rollup,
     "top_tools": q_top_tools,
     "gonx_parse": q_gonx_parse,
@@ -974,6 +1005,7 @@ PIPELINE_ORACLES: dict[str, str | Callable[[], str]] = {
     "agg_report": o_agg_report,
     "agg_pctl": o_agg_pctl,
     "sessionize": o_sessionize,
+    "sessionize_stream": o_sessionize,  # in-order => identical to batch
     "conv_rollup": o_conv_rollup,
     "top_tools": o_top_tools,
     "gonx_parse": o_gonx_parse,

@@ -162,6 +162,14 @@ def run_pipeline(
     write_mode: str = "per_sink",  # or "partitioned": one partitionBy write
     fail_after_sink: str | None = None,  # test hook for resume tests
 ) -> RunResult:
+    """n_partitions=None (default) sizes the fan-out shuffle BY DATA,
+    not by cores: an AQE REBALANCE over (route, salt) targets
+    advisoryPartitionSizeInBytes per write task, so 3x the input means
+    ~3x the write tasks automatically — a fixed cores-based count made
+    each task's buffered partition grow with the input (measured at sf3
+    / 15M turns, local[32]: fixed 32 -> 96s, 256 -> 60s; rebalance
+    picks the count at runtime). Pass an explicit n_partitions to pin
+    the old behavior."""
     if isinstance(spec, dict):
         spec = PipelineSpec.from_dict(spec)
     ctx = Context(spark=spark, base_dir=base_dir)
@@ -181,6 +189,7 @@ def run_pipeline(
 
         input_df = read_input(spark, spec.input or {})
 
+    size_by_data = n_partitions is None
     if n_partitions is None:
         n_partitions = spark.sparkContext.defaultParallelism
 
@@ -283,10 +292,19 @@ def run_pipeline(
                         .dropDuplicates(["route", "__dd"])
                         .drop("__dd")
                     )
-                salt = _salt_col(exploded.drop("route"), n_partitions)
-                exploded = exploded.withColumn("__salt", salt).repartition(
-                    n_partitions, F.col("route"), F.col("__salt")
-                ).drop("__salt")
+                # salt modulus scales with the data too: rebalance can
+                # split a hash partition, but distinct (route, salt)
+                # keys are what let hot routes spread in the first place
+                n_salts = 4 * n_partitions if size_by_data else n_partitions
+                salt = _salt_col(exploded.drop("route"), n_salts)
+                exploded = exploded.withColumn("__salt", salt)
+                if size_by_data:
+                    exploded = exploded.hint("rebalance", "route", "__salt")
+                else:
+                    exploded = exploded.repartition(
+                        n_partitions, F.col("route"), F.col("__salt")
+                    )
+                exploded = exploded.drop("__salt")
                 exploded.write.mode("overwrite").partitionBy("route").parquet(tmp_dir)
                 if os.path.exists(part_dir):
                     shutil.rmtree(part_dir)

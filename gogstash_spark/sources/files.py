@@ -45,6 +45,17 @@ def read_input(spark: SparkSession, inp: dict) -> DataFrame:
         from gogstash_spark.sources.ingest import http_input
 
         return http_input(spark, inp["url"], method=inp.get("method", "GET"))
+    if typ == "redis":
+        from gogstash_spark.sources.ingest import redis_input
+
+        host = inp.get("host", "localhost:6379")
+        if isinstance(host, list):
+            host = host[0]
+        return redis_input(
+            spark, host, key=inp.get("key", "gogstash"),
+            timeout=float(inp.get("timeout", 5.0)),
+            max_events=inp.get("max_events"),
+        )
     if typ == "lorem":
         from gogstash_spark.sources.ingest import lorem_input
 

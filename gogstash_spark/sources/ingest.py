@@ -50,6 +50,71 @@ def exec_input(
     return _lines_df(spark, lines)
 
 
+def _resp_read(rf):
+    """Parse one RESP reply (simple/error/integer/bulk/array)."""
+    line = rf.readline()
+    if not line:
+        raise ConnectionError("redis: connection closed")
+    t, rest = line[:1], line[1:].strip()
+    if t == b"+":
+        return rest.decode()
+    if t == b"-":
+        raise RuntimeError("redis error: %s" % rest.decode())
+    if t == b":":
+        return int(rest)
+    if t == b"$":
+        n = int(rest)
+        if n == -1:
+            return None
+        data = rf.read(n)
+        rf.read(2)  # \r\n
+        return data
+    if t == b"*":
+        n = int(rest)
+        if n == -1:
+            return None
+        return [_resp_read(rf) for _ in range(n)]
+    raise ValueError("redis: bad reply type %r" % t)
+
+
+def redis_input(
+    spark: SparkSession,
+    host: str = "localhost:6379",
+    key: str = "gogstash",
+    timeout: float = 5.0,
+    max_events: int | None = None,
+) -> DataFrame:
+    """Drain a redis list into a batch frame (reference input/redis/
+    inputredis.go:26-35 pops with a batched EVAL lrange+ltrim loop; the
+    batch analog drains once per run). Uses LPOP with a COUNT loop over
+    one connection — each pop is atomic, so concurrent producers are
+    safe; events already popped are owned by this run (schedule reruns
+    externally, like exec/http). Driver-side pull: one key, one
+    connection — parallelism starts after createDataFrame, same shape
+    as the other pull inputs."""
+    import socket as so
+
+    h, _, port = host.rpartition(":")
+    conn = so.create_connection((h, int(port)), timeout=timeout)
+    rf = conn.makefile("rb")
+    lines: list[str] = []
+    try:
+        while max_events is None or len(lines) < max_events:
+            batch = 1000 if max_events is None else min(1000, max_events - len(lines))
+            cmd = b"*3\r\n$4\r\nLPOP\r\n$%d\r\n%s\r\n$%d\r\n%d\r\n" % (
+                len(key.encode()), key.encode(), len(str(batch)), batch,
+            )
+            conn.sendall(cmd)
+            got = _resp_read(rf)
+            if not got:
+                break
+            lines.extend(b.decode("utf-8", errors="replace") for b in got)
+    finally:
+        rf.close()
+        conn.close()
+    return _lines_df(spark, lines)
+
+
 # classic lorem-ipsum vocabulary (public domain), the same corpus family
 # the reference's generator draws from (input/lorem/inputlorem.go:132-188)
 LOREM_WORDS = (

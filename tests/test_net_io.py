@@ -678,3 +678,48 @@ class TestAmqpOutput:
         assert {p[1] for p in pubs} == {"ev.user", "ev.tool"}
         assert all(p[0] == "logs" and p[3] for p in pubs)  # persistent flag
         assert {json.loads(p[2])["message"] for p in pubs} == {"e1", "e2", "e3"}
+
+
+class TestRedisInput:
+    def test_lpop_drain(self, spark):
+        """redis list input: drain with LPOP count batches until empty."""
+
+        class _RedisList(socketserver.StreamRequestHandler):
+            items = ["ev one", "ev two", "ev three"]
+
+            def handle(self):
+                while True:
+                    line = self.rfile.readline()
+                    if not line or not line.startswith(b"*"):
+                        return
+                    nargs = int(line[1:].strip())
+                    args = []
+                    for _ in range(nargs):
+                        ln = int(self.rfile.readline()[1:].strip())
+                        args.append(self.rfile.read(ln))
+                        self.rfile.read(2)
+                    assert args[0] == b"LPOP" and args[1] == b"q1"
+                    count = int(args[2])
+                    take, _RedisList.items = (
+                        _RedisList.items[:count], _RedisList.items[count:]
+                    )
+                    if not take:
+                        self.wfile.write(b"*-1\r\n")  # nil: list empty
+                        continue
+                    out = b"*%d\r\n" % len(take)
+                    for it in take:
+                        b = it.encode()
+                        out += b"$%d\r\n%s\r\n" % (len(b), b)
+                    self.wfile.write(out)
+
+        from gogstash_spark.sources.ingest import redis_input
+
+        _RedisList.items = ["ev one", "ev two", "ev three"]
+        srv, addr = _tcp_server(_RedisList)
+        try:
+            df = redis_input(spark, addr, key="q1")
+            got = sorted(r["text"] for r in df.collect())
+        finally:
+            srv.shutdown()
+        assert got == ["ev one", "ev three", "ev two"]
+        assert _RedisList.items == []
