@@ -56,6 +56,15 @@ def read_input(spark: SparkSession, inp: dict) -> DataFrame:
             timeout=float(inp.get("timeout", 5.0)),
             max_events=inp.get("max_events"),
         )
+    if typ == "nsq":
+        from gogstash_spark.sources.ingest import nsq_input
+
+        return nsq_input(
+            spark, inp["nsq"], inp["topic"],
+            channel=inp.get("channel", "gogstash"),
+            max_inflight=int(inp.get("max_inflight", 150)),
+            max_events=inp.get("max_events"),
+        )
     if typ == "lorem":
         from gogstash_spark.sources.ingest import lorem_input
 

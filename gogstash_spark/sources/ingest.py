@@ -115,6 +115,75 @@ def redis_input(
     return _lines_df(spark, lines)
 
 
+def nsq_input(
+    spark: SparkSession,
+    nsq: str,
+    topic: str,
+    channel: str = "gogstash",
+    max_inflight: int = 150,
+    timeout: float = 5.0,
+    idle_timeout: float = 1.0,
+    max_events: int | None = None,
+) -> DataFrame:
+    """Drain an nsqd topic/channel into a batch frame (reference
+    input/nsq/inputnsq.go:22-26 via go-nsq). Wire protocol (public,
+    nsq.io/clients/tcp_protocol_spec): '  V2' magic, `SUB topic
+    channel`, `RDY n` flow control; message frames carry
+    [8B ns-timestamp][2B attempts][16B id][body]; each message is FINed.
+    The batch drain stops after idle_timeout with no message (topic
+    empty) or max_events. Driver-side pull like exec/http/redis."""
+    import socket as so
+    import struct
+
+    h, _, port = nsq.rpartition(":")
+    conn = so.create_connection((h, int(port)), timeout=timeout)
+    lines: list[str] = []
+    try:
+        conn.sendall(b"  V2")
+        conn.sendall(b"SUB %s %s\n" % (topic.encode(), channel.encode()))
+
+        def read_frame():
+            hdr = b""
+            while len(hdr) < 8:
+                chunk = conn.recv(8 - len(hdr))
+                if not chunk:
+                    raise ConnectionError("nsqd closed")
+                hdr += chunk
+            size = struct.unpack(">I", hdr[:4])[0]
+            ftype = struct.unpack(">i", hdr[4:8])[0]
+            data = b""
+            while len(data) < size - 4:
+                chunk = conn.recv(size - 4 - len(data))
+                if not chunk:
+                    raise ConnectionError("nsqd closed mid-frame")
+                data += chunk
+            return ftype, data
+
+        ftype, data = read_frame()  # SUB ack
+        if ftype == 1:
+            raise RuntimeError("nsq SUB failed: %r" % data)
+        conn.sendall(b"RDY %d\n" % max_inflight)
+        conn.settimeout(idle_timeout)
+        while max_events is None or len(lines) < max_events:
+            try:
+                ftype, data = read_frame()
+            except (TimeoutError, so.timeout):  # idle: topic drained
+                break
+            if ftype == 0:
+                if data == b"_heartbeat_":
+                    conn.sendall(b"NOP\n")
+                continue
+            if ftype == 1:
+                raise RuntimeError("nsq error frame: %r" % data)
+            # message frame: ts(8) attempts(2) id(16) body
+            mid = data[10:26]
+            lines.append(data[26:].decode("utf-8", errors="replace"))
+            conn.sendall(b"FIN %s\n" % mid)
+    finally:
+        conn.close()
+    return _lines_df(spark, lines)
+
+
 # classic lorem-ipsum vocabulary (public domain), the same corpus family
 # the reference's generator draws from (input/lorem/inputlorem.go:132-188)
 LOREM_WORDS = (

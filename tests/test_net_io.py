@@ -723,3 +723,52 @@ class TestRedisInput:
             srv.shutdown()
         assert got == ["ev one", "ev three", "ev two"]
         assert _RedisList.items == []
+
+
+class TestNsqInput:
+    def test_sub_drain_with_fin(self, spark):
+        """nsqd SUB/RDY/FIN drain: messages delivered as frames, FINed,
+        heartbeats answered, idle timeout ends the batch."""
+        import struct
+
+        class _Nsqd(socketserver.StreamRequestHandler):
+            fins: list[bytes] = []
+
+            def handle(self):
+                magic = self.rfile.read(4)
+                assert magic == b"  V2", magic
+                sub = self.rfile.readline().decode().split()
+                assert sub == ["SUB", "logs", "ch1"], sub
+                ok = b"OK"
+                self.wfile.write(struct.pack(">Ii", len(ok) + 4, 0) + ok)
+                rdy = self.rfile.readline().decode().split()
+                assert rdy[0] == "RDY" and int(rdy[1]) > 0
+                # heartbeat first, then three messages
+                hb = b"_heartbeat_"
+                self.wfile.write(struct.pack(">Ii", len(hb) + 4, 0) + hb)
+                for i, body in enumerate([b"n one", b"n two", b"n three"]):
+                    mid = b"%016d" % i
+                    payload = struct.pack(">q", 0) + struct.pack(">H", 1) + mid + body
+                    self.wfile.write(
+                        struct.pack(">Ii", len(payload) + 4, 2) + payload
+                    )
+                # drain client commands (NOP + FINs) until it disconnects
+                while True:
+                    line = self.rfile.readline()
+                    if not line:
+                        return
+                    cmd = line.decode().split()
+                    if cmd and cmd[0] == "FIN":
+                        _Nsqd.fins.append(cmd[1].encode())
+
+        from gogstash_spark.sources.ingest import nsq_input
+
+        _Nsqd.fins = []
+        srv, addr = _tcp_server(_Nsqd)
+        try:
+            df = nsq_input(spark, addr, "logs", channel="ch1", idle_timeout=0.5)
+            got = sorted(r["text"] for r in df.collect())
+        finally:
+            srv.shutdown()
+        assert got == ["n one", "n three", "n two"]
+        assert len(_Nsqd.fins) == 3
