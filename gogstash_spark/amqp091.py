@@ -25,6 +25,7 @@ CONN_TUNE, CONN_TUNE_OK = (10, 30), (10, 31)
 CONN_OPEN, CONN_OPEN_OK = (10, 40), (10, 41)
 CONN_CLOSE, CONN_CLOSE_OK = (10, 50), (10, 51)
 CH_OPEN, CH_OPEN_OK = (20, 10), (20, 11)
+CH_CLOSE, CH_CLOSE_OK = (20, 40), (20, 41)
 EX_DECLARE, EX_DECLARE_OK = (40, 10), (40, 11)
 BASIC_PUBLISH = (60, 40)
 
@@ -99,11 +100,21 @@ class AmqpPublisher:
             got, args = parse_method(payload)
             if got == cm:
                 return args
-            if got == CONN_CLOSE:
+            if got in (CONN_CLOSE, CH_CLOSE):
                 code = struct.unpack(">H", args[:2])[0]
                 n = args[2]
+                scope = "connection" if got == CONN_CLOSE else "channel"
+                # acknowledge the close so the broker doesn't linger
+                try:
+                    write_frame(
+                        self.sock, FRAME_METHOD, 0 if got == CONN_CLOSE else _ch,
+                        method(CONN_CLOSE_OK if got == CONN_CLOSE else CH_CLOSE_OK),
+                    )
+                except Exception:
+                    pass  # the error below is what the caller needs
                 raise RuntimeError(
-                    "amqp server closed: %d %s" % (code, args[3:3 + n].decode())
+                    "amqp %s closed by broker: %d %s"
+                    % (scope, code, args[3:3 + n].decode())
                 )
 
     def _handshake(self) -> None:

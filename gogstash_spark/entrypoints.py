@@ -281,24 +281,29 @@ def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessionize row-for-row — so it shares o_sessionize as its oracle:
     the custom stateful operator gets a full value-hash check, not a
     rows-only waiver."""
-    import uuid
+    import tempfile
 
     from gogstash_spark.streaming.stateful import sessionize_stream
 
     data_dir = ensure_transcripts(sf_dir)
     tdir = os.path.join(data_dir, "transcripts")
     schema = spark.read.parquet(tdir).schema
-    name = "sess_stream_%s" % uuid.uuid4().hex[:8]
+    # parquet sink, not memory: a memory-sink table pins the whole
+    # result on the driver for the session lifetime (and this query may
+    # run at sf1+ in a bench session)
+    out = tempfile.mkdtemp(prefix="gs_sess_stream_")
     stream = spark.readStream.format("parquet").schema(schema).load(tdir)
     q = (
         sessionize_stream(
             stream, "conv_id", "ts", "turn_idx", gap_seconds=SESSION_GAP_SECONDS
         )
-        .writeStream.outputMode("append").format("memory")
-        .queryName(name).trigger(availableNow=True).start()
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", os.path.join(out, "data"))
+        .option("checkpointLocation", os.path.join(out, "chk"))
+        .trigger(availableNow=True).start()
     )
     q.awaitTermination()
-    return spark.table(name).select(
+    return spark.read.parquet(os.path.join(out, "data")).select(
         "conv_id", "turn_idx", "session_idx", "session_id"
     )
 

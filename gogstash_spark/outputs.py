@@ -260,12 +260,7 @@ NET_OUTPUTS = {
 }
 
 
-def _resp(*parts: bytes) -> bytes:
-    """RESP array-of-bulk-strings encoding (the only form clients send)."""
-    out = [b"*%d\r\n" % len(parts)]
-    for p in parts:
-        out.append(b"$%d\r\n%s\r\n" % (len(p), p))
-    return b"".join(out)
+from gogstash_spark.netproto import resp_encode as _resp
 
 
 def redis_output(
@@ -345,22 +340,10 @@ def nsq_output(
         conn = so.create_connection((host, int(port)), timeout=timeout)
         n = 0
         try:
+            from gogstash_spark.netproto import nsq_read_frame
+
             def read_frame():
-                hdr = b""
-                while len(hdr) < 8:
-                    chunk = conn.recv(8 - len(hdr))
-                    if not chunk:
-                        raise RuntimeError("nsqd closed mid-reply")
-                    hdr += chunk
-                size = struct.unpack(">I", hdr[:4])[0]   # frame size incl. type
-                ftype = struct.unpack(">i", hdr[4:8])[0]
-                data = b""
-                while len(data) < size - 4:
-                    chunk = conn.recv(size - 4 - len(data))
-                    if not chunk:
-                        raise RuntimeError("nsqd closed mid-frame body")
-                    data += chunk
-                return ftype, data
+                return nsq_read_frame(conn)
 
             conn.sendall(b"  V2")
             for r in rows:
@@ -444,7 +427,7 @@ def email_output(
 
 def amqp_output(
     df: DataFrame,
-    url: str,
+    url: str | list[str],
     exchange: str,
     exchange_type: str = "direct",
     routing_key: str = "",
@@ -467,15 +450,28 @@ def amqp_output(
     enc = encode_json(df, **(json_opts or {}))
     enc = enc.select(F.col("encoded"), format_expr(enc, routing_key).alias("__rk"))
 
-    def send_partition(rows):
+    urls = [url] if isinstance(url, str) else list(url)
+
+    def connect():
+        # the reference's hostpool dials the next URL on failure
+        # (output/amqp/outputamqp.go:30,46); try each in order
         from gogstash_spark.amqp091 import AmqpPublisher
 
+        last: Exception | None = None
+        for u in urls:
+            try:
+                return AmqpPublisher(u, timeout=timeout)
+            except OSError as e:
+                last = e
+        raise ConnectionError("no amqp broker reachable: %s (%s)" % (urls, last))
+
+    def send_partition(rows):
         pub = None
         n = 0
         try:
             for r in rows:
                 if pub is None:  # connect lazily: empty partitions cost nothing
-                    pub = AmqpPublisher(url, timeout=timeout)
+                    pub = connect()
                     pub.declare_exchange(
                         exchange, exchange_type,
                         durable=exchange_durable, auto_delete=exchange_auto_delete,
@@ -537,7 +533,7 @@ def emit(df: DataFrame, cfg: dict) -> int:
     if typ == "amqp":
         urls = cfg.get("urls") or [cfg.get("url", "amqp://localhost:5672/")]
         return amqp_output(
-            df, urls[0] if isinstance(urls, list) else urls,
+            df, urls,
             exchange=cfg["exchange"],
             exchange_type=cfg.get("exchange_type", "direct"),
             routing_key=cfg.get("routing_key", ""),

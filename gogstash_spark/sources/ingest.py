@@ -50,33 +50,6 @@ def exec_input(
     return _lines_df(spark, lines)
 
 
-def _resp_read(rf):
-    """Parse one RESP reply (simple/error/integer/bulk/array)."""
-    line = rf.readline()
-    if not line:
-        raise ConnectionError("redis: connection closed")
-    t, rest = line[:1], line[1:].strip()
-    if t == b"+":
-        return rest.decode()
-    if t == b"-":
-        raise RuntimeError("redis error: %s" % rest.decode())
-    if t == b":":
-        return int(rest)
-    if t == b"$":
-        n = int(rest)
-        if n == -1:
-            return None
-        data = rf.read(n)
-        rf.read(2)  # \r\n
-        return data
-    if t == b"*":
-        n = int(rest)
-        if n == -1:
-            return None
-        return [_resp_read(rf) for _ in range(n)]
-    raise ValueError("redis: bad reply type %r" % t)
-
-
 def redis_input(
     spark: SparkSession,
     host: str = "localhost:6379",
@@ -89,26 +62,41 @@ def redis_input(
     batch analog drains once per run). Uses LPOP with a COUNT loop over
     one connection — each pop is atomic, so concurrent producers are
     safe; events already popped are owned by this run (schedule reruns
-    externally, like exec/http). Driver-side pull: one key, one
-    connection — parallelism starts after createDataFrame, same shape
-    as the other pull inputs."""
+    externally, like exec/http). Redis < 6.2 has no COUNT argument, so
+    a 'wrong number of arguments' error falls back to single-key LPOPs
+    (the reference targets old servers via EVAL). Driver-side pull:
+    one key, one connection — parallelism starts after
+    createDataFrame, same shape as the other pull inputs."""
     import socket as so
+
+    from gogstash_spark.netproto import resp_encode, resp_read
 
     h, _, port = host.rpartition(":")
     conn = so.create_connection((h, int(port)), timeout=timeout)
     rf = conn.makefile("rb")
     lines: list[str] = []
+    counted = True  # LPOP key count (redis >= 6.2)
     try:
         while max_events is None or len(lines) < max_events:
             batch = 1000 if max_events is None else min(1000, max_events - len(lines))
-            cmd = b"*3\r\n$4\r\nLPOP\r\n$%d\r\n%s\r\n$%d\r\n%d\r\n" % (
-                len(key.encode()), key.encode(), len(str(batch)), batch,
-            )
-            conn.sendall(cmd)
-            got = _resp_read(rf)
-            if not got:
-                break
-            lines.extend(b.decode("utf-8", errors="replace") for b in got)
+            if counted:
+                conn.sendall(resp_encode(b"LPOP", key.encode(), b"%d" % batch))
+                try:
+                    got = resp_read(rf)
+                except RuntimeError as e:
+                    if "wrong number of arguments" not in str(e):
+                        raise
+                    counted = False  # pre-6.2 server: single-pop loop
+                    continue
+                if not got:
+                    break
+                lines.extend(b.decode("utf-8", errors="replace") for b in got)
+            else:
+                conn.sendall(resp_encode(b"LPOP", key.encode()))
+                got = resp_read(rf)
+                if got is None:
+                    break
+                lines.append(got.decode("utf-8", errors="replace"))
     finally:
         rf.close()
         conn.close()
@@ -130,10 +118,15 @@ def nsq_input(
     nsq.io/clients/tcp_protocol_spec): '  V2' magic, `SUB topic
     channel`, `RDY n` flow control; message frames carry
     [8B ns-timestamp][2B attempts][16B id][body]; each message is FINed.
-    The batch drain stops after idle_timeout with no message (topic
-    empty) or max_events. Driver-side pull like exec/http/redis."""
+    RDY is re-issued as messages are consumed (go-nsq style) — nsqd
+    decrements the ready count per delivery and stops sending at 0, so
+    a single RDY would silently cap the drain at max_inflight. The
+    drain stops after idle_timeout at a frame BOUNDARY (a timeout
+    mid-frame is a protocol error, never a silent drop) or at
+    max_events. Driver-side pull like exec/http/redis."""
     import socket as so
-    import struct
+
+    from gogstash_spark.netproto import nsq_read_frame
 
     h, _, port = nsq.rpartition(":")
     conn = so.create_connection((h, int(port)), timeout=timeout)
@@ -141,34 +134,17 @@ def nsq_input(
     try:
         conn.sendall(b"  V2")
         conn.sendall(b"SUB %s %s\n" % (topic.encode(), channel.encode()))
-
-        def read_frame():
-            hdr = b""
-            while len(hdr) < 8:
-                chunk = conn.recv(8 - len(hdr))
-                if not chunk:
-                    raise ConnectionError("nsqd closed")
-                hdr += chunk
-            size = struct.unpack(">I", hdr[:4])[0]
-            ftype = struct.unpack(">i", hdr[4:8])[0]
-            data = b""
-            while len(data) < size - 4:
-                chunk = conn.recv(size - 4 - len(data))
-                if not chunk:
-                    raise ConnectionError("nsqd closed mid-frame")
-                data += chunk
-            return ftype, data
-
-        ftype, data = read_frame()  # SUB ack
-        if ftype == 1:
-            raise RuntimeError("nsq SUB failed: %r" % data)
+        got = nsq_read_frame(conn)  # SUB ack (full timeout)
+        if got is None or got[0] == 1:
+            raise RuntimeError("nsq SUB failed: %r" % (got and got[1]))
         conn.sendall(b"RDY %d\n" % max_inflight)
-        conn.settimeout(idle_timeout)
+        rdy_left = max_inflight
         while max_events is None or len(lines) < max_events:
-            try:
-                ftype, data = read_frame()
-            except (TimeoutError, so.timeout):  # idle: topic drained
+            got = nsq_read_frame(conn, idle_timeout=idle_timeout,
+                                 frame_timeout=timeout)
+            if got is None:  # clean idle at a frame boundary: drained
                 break
+            ftype, data = got
             if ftype == 0:
                 if data == b"_heartbeat_":
                     conn.sendall(b"NOP\n")
@@ -179,6 +155,10 @@ def nsq_input(
             mid = data[10:26]
             lines.append(data[26:].decode("utf-8", errors="replace"))
             conn.sendall(b"FIN %s\n" % mid)
+            rdy_left -= 1
+            if rdy_left <= max(1, max_inflight // 4):
+                conn.sendall(b"RDY %d\n" % max_inflight)
+                rdy_left = max_inflight
     finally:
         conn.close()
     return _lines_df(spark, lines)
