@@ -56,6 +56,14 @@ def read_input(spark: SparkSession, inp: dict) -> DataFrame:
             timeout=float(inp.get("timeout", 5.0)),
             max_events=inp.get("max_events"),
         )
+    if typ == "nats":
+        from gogstash_spark.sources.ingest import nats_input
+
+        return nats_input(
+            spark, inp.get("host", "localhost:4222"),
+            topic=inp.get("topic", "gogstash"),
+            max_events=inp.get("max_events"),
+        )
     if typ == "nsq":
         from gogstash_spark.sources.ingest import nsq_input
 

@@ -103,6 +103,96 @@ def redis_input(
     return _lines_df(spark, lines)
 
 
+def nats_input(
+    spark: SparkSession,
+    host: str = "localhost:4222",
+    topic: str = "gogstash",
+    timeout: float = 5.0,
+    idle_timeout: float = 1.0,
+    max_events: int | None = None,
+) -> DataFrame:
+    """Drain a NATS subject into a batch frame (reference
+    input/nats/inputnats.go:20-28 via nats.go). Wire protocol (public,
+    docs.nats.io/reference/reference-protocols/nats-protocol): server
+    greets INFO {...}; client CONNECT {...} + SUB <subject> <sid>;
+    messages arrive as `MSG <subject> <sid> [reply] <#bytes>\\r\\n` +
+    payload; PING must be answered PONG. Core NATS is at-most-once
+    pub/sub (no replay), so the batch drain collects what arrives until
+    idle_timeout — schedule it alongside live publishers, or use
+    JetStream durable consumers for replayable history (out of scope).
+    Driver-side pull like exec/http/redis/nsq."""
+    import json as _json
+    import socket as so
+
+    h, _, port = host.rpartition(":")
+    conn = so.create_connection((h, int(port)), timeout=timeout)
+    # explicit buffer, NOT sock.makefile: a BufferedReader drops its
+    # buffered bytes when the underlying recv times out, so a mid-line
+    # timeout would silently lose data — here the buffer survives and
+    # only a timeout with an EMPTY buffer counts as idle
+    buf = bytearray()
+
+    def fill() -> None:
+        chunk = conn.recv(65536)
+        if not chunk:
+            raise ConnectionError("nats: server closed")
+        buf.extend(chunk)
+
+    def readline(idle_ok: bool) -> bytes | None:
+        while b"\r\n" not in buf:
+            try:
+                fill()
+            except TimeoutError:
+                if idle_ok and not buf:
+                    return None  # clean idle: nothing pending
+                raise RuntimeError("nats: timeout mid-line") from None
+        i = buf.index(b"\r\n")
+        line = bytes(buf[:i])
+        del buf[: i + 2]
+        return line
+
+    def readn(n: int) -> bytes:
+        while len(buf) < n:
+            try:
+                fill()
+            except TimeoutError:
+                raise RuntimeError("nats: timeout mid-payload") from None
+        data = bytes(buf[:n])
+        del buf[:n]
+        return data
+
+    lines: list[str] = []
+    try:
+        info = readline(idle_ok=False)
+        if info is None or not info.startswith(b"INFO "):
+            raise RuntimeError("nats: expected INFO, got %r" % (info or b"")[:40])
+        conn.sendall(
+            b"CONNECT %s\r\n"
+            % _json.dumps({"verbose": False, "name": "gogstash_spark"}).encode()
+        )
+        conn.sendall(b"SUB %s 1\r\n" % topic.encode())
+        conn.settimeout(idle_timeout)
+        while max_events is None or len(lines) < max_events:
+            line = readline(idle_ok=True)
+            if line is None:
+                break  # drained
+            if line.startswith(b"PING"):
+                conn.sendall(b"PONG\r\n")
+                continue
+            if line.startswith(b"-ERR"):
+                raise RuntimeError("nats: %s" % line.decode().strip())
+            if not line.startswith(b"MSG "):
+                continue  # +OK / INFO updates
+            nbytes = int(line.decode().split()[-1])  # reply-to optional
+            conn.settimeout(timeout)  # payload started: full budget
+            lines.append(readn(nbytes).decode("utf-8", errors="replace"))
+            readn(2)  # trailing \r\n
+            conn.settimeout(idle_timeout)
+    finally:
+        conn.close()
+    return _lines_df(spark, lines)
+
+
 def nsq_input(
     spark: SparkSession,
     nsq: str,

@@ -772,3 +772,46 @@ class TestNsqInput:
             srv.shutdown()
         assert got == ["n one", "n three", "n two"]
         assert len(_Nsqd.fins) == 3
+
+
+class TestNatsInput:
+    def test_core_sub_drain(self, spark):
+        """NATS core protocol: INFO -> CONNECT/SUB -> MSG frames with
+        PING answered by PONG; idle timeout with an empty buffer ends
+        the drain."""
+
+        class _Nats(socketserver.StreamRequestHandler):
+            pongs: list[bytes] = []
+
+            def handle(self):
+                self.wfile.write(b'INFO {"server_id":"fake","version":"2.0.0"}\r\n')
+                # read CONNECT and SUB
+                connect = self.rfile.readline()
+                assert connect.startswith(b"CONNECT "), connect
+                sub = self.rfile.readline().decode().split()
+                assert sub[0] == "SUB" and sub[1] == "logs", sub
+                sid = sub[2].encode()
+                self.wfile.write(b"PING\r\n")
+                msgs = [b"nats one", b"nats two"]
+                for m in msgs:
+                    self.wfile.write(
+                        b"MSG logs %s %d\r\n%s\r\n" % (sid, len(m), m)
+                    )
+                while True:
+                    line = self.rfile.readline()
+                    if not line:
+                        return
+                    if line.strip() == b"PONG":
+                        _Nats.pongs.append(b"PONG")
+
+        from gogstash_spark.sources.ingest import nats_input
+
+        _Nats.pongs = []
+        srv, addr = _tcp_server(_Nats)
+        try:
+            df = nats_input(spark, addr, topic="logs", idle_timeout=0.5)
+            got = sorted(r["text"] for r in df.collect())
+        finally:
+            srv.shutdown()
+        assert got == ["nats one", "nats two"]
+        assert _Nats.pongs  # keepalive answered
