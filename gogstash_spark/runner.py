@@ -139,6 +139,28 @@ def _salt_col(df: DataFrame, modulus: int):
     return F.pmod(F.xxhash64(*[F.col(c) for c in keys]), F.lit(modulus))
 
 
+def _fanout_distribute(
+    exploded: DataFrame, n_partitions: int, size_by_data: bool
+) -> DataFrame:
+    """Distribute the exploded (route, event) frame for the partitionBy
+    write. size_by_data (the default path): AQE REBALANCE over
+    (route, salt) — partition COUNT follows the data volume
+    (advisoryPartitionSizeInBytes), so the write task's buffered
+    partition stays constant-size as the input grows. The salt modulus
+    scales 4x wider than cores: rebalance can split a hash partition,
+    but distinct (route, salt) keys are what spread hot routes in the
+    first place. With an explicit n_partitions, the old fixed
+    repartition is used."""
+    n_salts = 4 * n_partitions if size_by_data else n_partitions
+    salt = _salt_col(exploded.drop("route"), n_salts)
+    out = exploded.withColumn("__salt", salt)
+    if size_by_data:
+        out = out.hint("rebalance", "route", "__salt")
+    else:
+        out = out.repartition(n_partitions, F.col("route"), F.col("__salt"))
+    return out.drop("__salt")
+
+
 def salted_repartition(
     df: DataFrame, n_partitions: int, conv_col: str = "conv_id", n_salts: int = DEFAULT_SALTS
 ) -> DataFrame:
@@ -292,19 +314,7 @@ def run_pipeline(
                         .dropDuplicates(["route", "__dd"])
                         .drop("__dd")
                     )
-                # salt modulus scales with the data too: rebalance can
-                # split a hash partition, but distinct (route, salt)
-                # keys are what let hot routes spread in the first place
-                n_salts = 4 * n_partitions if size_by_data else n_partitions
-                salt = _salt_col(exploded.drop("route"), n_salts)
-                exploded = exploded.withColumn("__salt", salt)
-                if size_by_data:
-                    exploded = exploded.hint("rebalance", "route", "__salt")
-                else:
-                    exploded = exploded.repartition(
-                        n_partitions, F.col("route"), F.col("__salt")
-                    )
-                exploded = exploded.drop("__salt")
+                exploded = _fanout_distribute(exploded, n_partitions, size_by_data)
                 exploded.write.mode("overwrite").partitionBy("route").parquet(tmp_dir)
                 if os.path.exists(part_dir):
                     shutil.rmtree(part_dir)
