@@ -62,6 +62,8 @@ def read_input(spark: SparkSession, inp: dict) -> DataFrame:
         return nats_input(
             spark, inp.get("host", "localhost:4222"),
             topic=inp.get("topic", "gogstash"),
+            timeout=float(inp.get("timeout", 5.0)),
+            idle_timeout=float(inp.get("idle_timeout", 1.0)),
             max_events=inp.get("max_events"),
         )
     if typ == "nsq":
@@ -71,6 +73,8 @@ def read_input(spark: SparkSession, inp: dict) -> DataFrame:
             spark, inp["nsq"], inp["topic"],
             channel=inp.get("channel", "gogstash"),
             max_inflight=int(inp.get("max_inflight", 150)),
+            timeout=float(inp.get("timeout", 5.0)),
+            idle_timeout=float(inp.get("idle_timeout", 1.0)),
             max_events=inp.get("max_events"),
         )
     if typ == "lorem":
