@@ -206,6 +206,66 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_query_id: int | None = 100,
+) -> DataFrame:
+    """IVF-flat ANN: partition the space into centroid cells, search
+    only the query's nprobe nearest cells.
+
+    Shapes at scale: centroid scoring is a BROADCAST cross join against
+    n_centroids rows (tiny); cell assignment is a per-row top-1 (window
+    over n_centroids candidates); candidate generation is an EQUI-JOIN
+    on the cell id — the cell is the shuffle/partition key, exactly like
+    the LSH bucket, and nprobe > 1 trades recall for nprobe× candidate
+    volume. Each base vector lives in exactly one cell so candidates
+    need no dedup.
+
+    Centroids here are the n_centroids embeddings with the smallest
+    ids — deterministic and replicable by the SQL oracle. Production
+    would seed by hash-sample and run a few Lloyd iterations (assign =
+    this same broadcast join; recompute = groupBy(cell) mean — one
+    shuffle per iteration); the serving-time plan below is identical
+    either way, which is what the parity check pins.
+    """
+    cent = (
+        emb.orderBy(id_col).limit(n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+    )
+    scored = (
+        emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+        .crossJoin(F.broadcast(cent))
+        .withColumn("ccos", _cos(F.col("vec"), F.col("cvec")))
+    )
+    cw = Window.partitionBy("vid").orderBy(F.desc("ccos"), F.asc("cid"))
+    ranked = scored.withColumn("crk", F.row_number().over(cw))
+    cells = ranked.filter(F.col("crk") == 1).select(
+        F.col("vid").alias("n_id"), F.col("vec").alias("n_vec"), "cid"
+    )
+    probes = ranked.filter(F.col("crk") <= nprobe)
+    if max_query_id is not None:
+        probes = probes.filter(F.col("vid") < max_query_id)
+    probes = probes.select(
+        F.col("vid").alias("q_id"), F.col("vec").alias("q_vec"), "cid"
+    )
+    pairs = (
+        probes.join(cells, "cid")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("cos", _cos(F.col("q_vec"), F.col("n_vec")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "n_id", "cos", "rk")
+    )
+
+
 def l2_normalize(
     emb: DataFrame, vec_col: str = "embedding", target: str = "embedding_norm"
 ) -> DataFrame:

@@ -236,6 +236,43 @@ ranked AS (
 SELECT q_id, n_id, cos, rk FROM ranked WHERE rk <= 5"""
 
 
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann.ivf_topk(
+        _emb(spark, sf_dir), k=5, n_centroids=8, nprobe=2, max_query_id=50
+    )
+
+
+def o_ann_topk_ivf() -> str:
+    ccos = _sql_cos("e.embedding", "c.cvec")
+    cos = _sql_cos("p.q_vec", "b.n_vec")
+    return f"""WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT 8
+),
+assign AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {ccos} DESC, c.cid ASC) AS crk
+  FROM embeddings e CROSS JOIN cent c
+),
+cells AS (
+  SELECT vec_id AS n_id, embedding AS n_vec, cid FROM assign WHERE crk = 1
+),
+probes AS (
+  SELECT vec_id AS q_id, embedding AS q_vec, cid
+  FROM assign WHERE crk <= 2 AND vec_id < 50
+),
+pairs AS (
+  SELECT p.q_id, b.n_id, {cos} AS cos
+  FROM probes p JOIN cells b ON p.cid = b.cid AND p.q_id <> b.n_id
+),
+ranked AS (
+  SELECT q_id, n_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
+  FROM pairs
+)
+SELECT q_id, n_id, cos, CAST(rk AS INTEGER) AS rk FROM ranked WHERE rk <= 5"""
+
+
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.lsh_topk(_emb(spark, sf_dir), k=5, n_bits=8, max_query_id=50)
 
@@ -557,6 +594,7 @@ MLOPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_embedding": q_dedup_embedding,
     "ann_topk_brute": q_ann_topk_brute,
+    "ann_topk_ivf": q_ann_topk_ivf,
     "ann_topk_lsh": q_ann_topk_lsh,
     "ann_topk_lsh_multi": q_ann_topk_lsh_multi,
     "text_langid": q_text_langid,
@@ -577,6 +615,7 @@ MLOPS_ORACLES: dict[str, Callable[[], str]] = {
     "dedup_ngram_jaccard": o_dedup_ngram_jaccard,
     "dedup_embedding": o_dedup_embedding,
     "ann_topk_brute": o_ann_topk_brute,
+    "ann_topk_ivf": o_ann_topk_ivf,
     "ann_topk_lsh": o_ann_topk_lsh,
     "ann_topk_lsh_multi": o_ann_topk_lsh_multi,
     "text_langid": o_text_langid,

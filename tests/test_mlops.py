@@ -201,6 +201,28 @@ class TestANN:
             if r["q_id"] == 0:
                 assert r["n_id"] != 4
 
+    def test_ivf_topk_cells_and_recall(self, spark, emb):
+        """IVF with nprobe = n_centroids degenerates to exact search
+        (every cell probed); with nprobe=1 each query only sees its own
+        cell's members."""
+        exact = {
+            (r["q_id"], r["rk"]): r["n_id"]
+            for r in ann.brute_topk(emb, k=1, max_query_id=10).collect()
+        }
+        full = {
+            (r["q_id"], r["rk"]): r["n_id"]
+            for r in ann.ivf_topk(
+                emb, k=1, n_centroids=3, nprobe=3, max_query_id=10
+            ).collect()
+        }
+        assert full == exact  # all cells probed == brute force
+        one = ann.ivf_topk(emb, k=5, n_centroids=3, nprobe=1, max_query_id=10)
+        # centroids = vecs 0,1,2; vec 4 is anti-aligned with 0/1 and
+        # closest to none of the 0/1 cells a probe-1 query 0 searches
+        for r in one.collect():
+            if r["q_id"] == 0:
+                assert r["n_id"] != 4
+
     def test_cosine_near_dup_pairs(self, spark, emb):
         pairs = {(r["id_a"], r["id_b"]) for r in
                  ann.cosine_near_dup_pairs(emb, threshold=0.9, n_bits=4).collect()}
