@@ -34,39 +34,121 @@ def _typed(col: Column, typ: str | None) -> Column:
     return col
 
 
+GROK_DELIM = "\x1f"
+
+
+def _anchor_positions_ok(pat: str) -> bool:
+    """True when ^ occurs only at index 0 and $ only at the last index
+    (unescaped, outside character classes) — the condition for safely
+    wrapping the pattern into a full-string match."""
+    i, n = 0, len(pat)
+    in_class = False
+    while i < n:
+        c = pat[i]
+        if c == "\\":
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+        elif c == "[":
+            in_class = True
+        elif c == "^" and i != 0:
+            return False
+        elif c == "$" and i != n - 1:
+            return False
+        i += 1
+    return True
+
+
+def _ends_with_anchor(pat: str) -> bool:
+    if not pat.endswith("$"):
+        return False
+    bs = 0
+    for c in reversed(pat[:-1]):
+        if c != "\\":
+            break
+        bs += 1
+    return bs % 2 == 0  # even backslashes: the $ is a real anchor
+
+
+def _single_eval_form(cg: CompiledGrok) -> tuple[str, str] | None:
+    """(wrapped_pattern, replacement) turning ONE regexp_replace into a
+    GROK_DELIM-joined string of every capture group, or None when the
+    pattern can't be safely wrapped (anchors mid-pattern / no captures).
+    """
+    pat = cg.positional()
+    if not cg.captures or not _anchor_positions_ok(pat):
+        return None
+    wrapped = (
+        "(?s)"
+        + ("" if pat.startswith("^") else "^.*?")
+        + pat
+        + ("" if _ends_with_anchor(pat) else ".*$")
+    )
+    repl = GROK_DELIM.join("$%d" % (g + 1) for g in range(len(cg.captures)))
+    return wrapped, repl
+
+
 def _grok_native(df: DataFrame, source: str, compiled: list[CompiledGrok]) -> tuple[DataFrame, Column]:
     """Single/few-pattern fast path: everything inside codegen.
 
-    first-match-wins via a matched-index column; per-field
-    regexp_extract guarded by the index.
+    first-match-wins via a matched-index column. Captures come from ONE
+    regexp_replace per matched pattern that rewrites the line into a
+    delimiter-joined string of all groups, then a split — a single
+    regex evaluation instead of one per capture. Measured: the isolated
+    extraction expression is 2.4x faster at 6 captures (sf0.1), but the
+    FULL syslog query A/Bs flat (~2.0s either way) — scan + rlike +
+    date-parse dominate, and codegen subexpression elimination already
+    dedupes much of the per-capture form. Kept because the advantage
+    grows with capture count and pattern complexity, and the fallback
+    keeps it correctness-free: rows whose source contains the delimiter
+    byte (or patterns with mid-pattern anchors) fall back to
+    per-capture regexp_extract via coalesce on the NULL fast column.
     """
     src = F.col(source)
-    midx = F.lit(None).cast("int")
-    # build reversed so earlier patterns win in the final coalesce chain
     matched_exprs = [src.rlike(cg.positional()) for cg in compiled]
     midx = F.coalesce(
         *[F.when(matched_exprs[i], F.lit(i)) for i in range(len(compiled))],
         F.lit(-1),
     )
     df = df.withColumn("__grok_idx", midx)
+    fast: dict[int, tuple[str, str]] = {}
+    sp_cols: dict[str, Column] = {}
+    for i, cg in enumerate(compiled):
+        form = _single_eval_form(cg)
+        if form is None:
+            continue
+        fast[i] = form
+        wrapped, repl = form
+        sp_cols["__grok_sp%d" % i] = F.when(
+            (F.col("__grok_idx") == i) & ~src.contains(GROK_DELIM),
+            F.split(F.regexp_replace(src, wrapped, repl), GROK_DELIM),
+        )
+    if sp_cols:
+        df = df.withColumns(sp_cols)
     all_fields: dict[str, list[tuple[int, CompiledGrok]]] = {}
     for i, cg in enumerate(compiled):
         for name in cg.captures:
             all_fields.setdefault(name, []).append((i, cg))
     new_cols: dict[str, Column] = {}
     for name, sources in all_fields.items():
-        expr = F.coalesce(
-            *[
-                F.when(
-                    F.col("__grok_idx") == i,
-                    F.regexp_extract(src, cg.positional(), cg.group_index(name)),
+        per_pattern = []
+        for i, cg in sources:
+            slow = F.regexp_extract(src, cg.positional(), cg.group_index(name))
+            value = (
+                F.coalesce(
+                    F.element_at(F.col("__grok_sp%d" % i), cg.group_index(name)),
+                    slow,
                 )
-                for i, cg in sources
-            ]
-        )
+                if i in fast
+                else slow
+            )
+            per_pattern.append(F.when(F.col("__grok_idx") == i, value))
+        expr = F.coalesce(*per_pattern)
         typ = next((cg.types.get(name) for _, cg in sources if name in cg.types), None)
         new_cols[name] = _typed(expr, typ)
-    df = df.withColumns(new_cols)
+    df = df.withColumns(new_cols).drop(*sp_cols.keys())
     applied = F.col("__grok_idx") >= 0
     return df, applied
 
