@@ -52,9 +52,15 @@ def _stage(spark: SparkSession, sf_dir: str, cfg: dict):
     return compile_filter(cfg, _ctx(spark, sf_dir))
 
 
-TX_CTE = (
-    "WITH t AS (SELECT * FROM read_parquet('%s/transcripts/*.parquet'))" % ORACLE_SF_DIR
-)
+def tx_cte() -> str:
+    """transcripts CTE for oracle SQL — reads the module-level
+    ORACLE_SF_DIR at CALL time so tools/parity.py can re-point the
+    replica gate at another scale factor (the driver always uses
+    sf0.01)."""
+    return (
+        "WITH t AS (SELECT * FROM read_parquet('%s/transcripts/*.parquet'))"
+        % ORACLE_SF_DIR
+    )
 
 # ---------------------------------------------------------------------------
 # pipeline operator queries
@@ -78,7 +84,7 @@ def q_grok_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def o_grok_parse() -> str:
     rx = _sql_quote_rx(RX_ACCESS.named("python"))
-    return f"""{TX_CTE}, m AS (
+    return f"""{tx_cte()}, m AS (
   SELECT conv_id, turn_idx, regexp_extract(text, '{rx}', {_caps_sql(RX_ACCESS)}) AS gr
   FROM t WHERE regexp_matches(text, '{rx}')
 )
@@ -111,7 +117,7 @@ def q_kv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def o_kv_parse() -> str:
-    return f"""{TX_CTE}
+    return f"""{tx_cte()}
 SELECT conv_id, turn_idx,
        regexp_extract(text, 'level=("[^"]*"|\\S+)', 1) AS kv_level,
        CAST(regexp_extract(text, 'latency_ms=("[^"]*"|\\S+)', 1) AS BIGINT) AS latency_ms,
@@ -137,7 +143,7 @@ def q_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def o_json_parse() -> str:
-    return f"""{TX_CTE}
+    return f"""{tx_cte()}
 SELECT conv_id, turn_idx,
        text::JSON->>'level' AS level,
        text::JSON->>'msg' AS msg,
@@ -171,7 +177,7 @@ def q_date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def o_date_parse() -> str:
     rx = _sql_quote_rx(RX_ACCESS.named("python"))
-    return f"""{TX_CTE}, m AS (
+    return f"""{tx_cte()}, m AS (
   SELECT conv_id, turn_idx, regexp_extract(text, '{rx}', {_caps_sql(RX_ACCESS)}) AS gr
   FROM t WHERE regexp_matches(text, '{rx}')
 )
@@ -217,7 +223,7 @@ def o_syslog_parse() -> str:
     # the syslog line is synthesized from ts/role/tool/conv_id, so the
     # oracle recomputes the expected fields directly; log_ts mirrors the
     # year back-fill: current(now) year, minus 1 if in now's future
-    return f"""{TX_CTE}, c AS (
+    return f"""{tx_cte()}, c AS (
   SELECT conv_id, turn_idx,
     'host-' || role AS logsource,
     tool AS program,
@@ -240,7 +246,7 @@ def _session_cte() -> str:
     """Shared lag/gap sessionization fragment (CTE `f` with a new-session
     flag `ns`) — ONE source of truth for the gap constant and the
     (ts, turn_idx) tie order across every session oracle."""
-    return f"""{TX_CTE}, w AS (
+    return f"""{tx_cte()}, w AS (
   SELECT conv_id, turn_idx, ts, tool,
          lag(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS prev
   FROM t
@@ -329,7 +335,7 @@ def q_agg_pctl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def o_agg_pctl() -> str:
-    return f"""{TX_CTE}, x AS (
+    return f"""{tx_cte()}, x AS (
   SELECT role,
     CAST(regexp_extract(text, 'latency_ms=("[^"]*"|\\S+)', 1) AS BIGINT) AS latency_ms
   FROM t WHERE regexp_matches(text, '^level=')
@@ -355,7 +361,7 @@ def q_top_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def o_top_tools() -> str:
-    return f"""{TX_CTE}, c AS (
+    return f"""{tx_cte()}, c AS (
   SELECT role, tool, count(*) AS n FROM t GROUP BY role, tool
 ), r AS (
   SELECT role, tool, n,
@@ -416,7 +422,7 @@ def q_kv_autotype(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def o_kv_autotype() -> str:
-    return f"""{TX_CTE}, x AS (
+    return f"""{tx_cte()}, x AS (
   SELECT conv_id, turn_idx,
     regexp_replace(regexp_extract(text, 'latency_ms=("[^"]*"|\\S+)', 1), '^"(.*)"$', '\\1') AS lat,
     regexp_replace(regexp_extract(text, 'status=("[^"]*"|\\S+)', 1), '^"(.*)"$', '\\1') AS status,
@@ -455,7 +461,7 @@ def q_mutate_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def o_mutate_ops() -> str:
-    return f"""{TX_CTE}
+    return f"""{tx_cte()}
 SELECT conv_id, turn_idx,
        upper(role) AS role_up,
        replace(role || '/' || tool, '/none', '/-') AS src,
@@ -482,7 +488,7 @@ def q_typeconv_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def o_typeconv_cast() -> str:
-    return f"""{TX_CTE}
+    return f"""{tx_cte()}
 SELECT conv_id, turn_idx,
        CAST(regexp_extract(text, 'latency_ms=(\\S+)', 1) AS BIGINT) AS lat_int,
        CAST(regexp_extract(text, 'latency_ms=(\\S+)', 1) AS DOUBLE) AS lat_double
@@ -505,7 +511,7 @@ def q_convert_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def o_convert_factor() -> str:
-    return f"""{TX_CTE}
+    return f"""{tx_cte()}
 SELECT conv_id, turn_idx,
        CAST(regexp_extract(text, 'latency_ms=(\\S+)', 1) AS DOUBLE) * 0.001 AS latency_s
 FROM t WHERE regexp_matches(text, '^level=')"""
@@ -524,7 +530,7 @@ def q_add_field_template(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def o_add_field_template() -> str:
-    return f"""{TX_CTE}
+    return f"""{tx_cte()}
 SELECT conv_id, turn_idx,
        role || '-' || strftime(ts, '%Y.%m.%d') AS partition_key
 FROM t"""
@@ -541,7 +547,7 @@ def q_drop_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def o_drop_filter() -> str:
-    return f"""{TX_CTE}
+    return f"""{tx_cte()}
 SELECT conv_id, turn_idx, role
 FROM t WHERE NOT (role = 'system' OR length(text) < 20)"""
 
@@ -573,7 +579,7 @@ def q_hash_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
 def o_hash_fields() -> str:
     # fnv32a / adler32 recomputed as plain integer arithmetic over the
     # codepoints (ASCII input => codepoints == utf-8 bytes)
-    return f"""{TX_CTE}, s AS (
+    return f"""{tx_cte()}, s AS (
   SELECT conv_id, turn_idx, text,
          conv_id || CAST(turn_idx AS VARCHAR) AS k
   FROM t
@@ -605,7 +611,7 @@ def q_ratelimit_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def o_ratelimit_sample() -> str:
-    return f"""{TX_CTE}
+    return f"""{tx_cte()}
 SELECT conv_id, turn_idx
 FROM t WHERE ((CAST(turn_idx AS BIGINT) * 2654435761) % 2147483647) % 10 < 1"""
 
@@ -630,7 +636,7 @@ def q_url_param(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def o_url_param() -> str:
     rx = _sql_quote_rx(RX_ACCESS.named("python"))
-    return f"""{TX_CTE}, m AS (
+    return f"""{tx_cte()}, m AS (
   SELECT conv_id, turn_idx, regexp_extract(text, '{rx}', {_caps_sql(RX_ACCESS)}) AS gr
   FROM t WHERE regexp_matches(text, '{rx}')
 ), r AS (
@@ -661,7 +667,7 @@ def q_useragent_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def o_useragent_parse() -> str:
     rx = _sql_quote_rx(RX_ACCESS.named("python"))
-    return f"""{TX_CTE}, m AS (
+    return f"""{tx_cte()}, m AS (
   SELECT conv_id, turn_idx, regexp_extract(text, '{rx}', {_caps_sql(RX_ACCESS)}) AS gr
   FROM t WHERE regexp_matches(text, '{rx}')
 ), r AS (
@@ -705,7 +711,7 @@ def q_lookup_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def o_lookup_enrich() -> str:
-    return f"""{TX_CTE},
+    return f"""{tx_cte()},
 rl AS (SELECT * FROM read_parquet('{ORACLE_SF_DIR}/role_lookup.parquet')),
 tf AS (
   SELECT regexp_extract(line, '^([^:]*):', 1) AS tool,
@@ -819,7 +825,7 @@ def q_agg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def o_agg_report() -> str:
-    return f"""{TX_CTE}
+    return f"""{tx_cte()}
 SELECT role, tool, date_trunc('hour', ts) AS time_bucket, count(*) AS n
 FROM t GROUP BY 1, 2, 3"""
 
@@ -842,7 +848,7 @@ def o_gonx_parse() -> str:
     )
     rx = _sql_quote_rx(cg.positional())
     g = cg.group_index
-    return f"""{TX_CTE}
+    return f"""{tx_cte()}
 SELECT conv_id, turn_idx,
        regexp_extract(text, '{rx}', {g("remote_addr")}) AS remote_addr,
        regexp_extract(text, '{rx}', {g("request")}) AS request,
@@ -875,7 +881,7 @@ def q_geoip_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def o_geoip_enrich() -> str:
     rx = _sql_quote_rx(RX_ACCESS.named("python"))
-    return f"""{TX_CTE}, m AS (
+    return f"""{tx_cte()}, m AS (
   SELECT conv_id, turn_idx, (regexp_extract(text, '{rx}', {_caps_sql(RX_ACCESS)})).clientip AS clientip
   FROM t WHERE regexp_matches(text, '{rx}')
 ), geo AS (SELECT * FROM read_parquet('{ORACLE_SF_DIR}/geo_lookup.parquet')),

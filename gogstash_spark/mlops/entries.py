@@ -15,9 +15,15 @@ from gogstash_spark.mlops import ann, dedup, multimodal, textops
 from gogstash_spark.sources.transcripts import ensure_transcripts
 
 ORACLE_SF_DIR = "/root/repo/data/sf0.01"
-TX_CTE = (
-    "WITH t AS (SELECT * FROM read_parquet('%s/transcripts/*.parquet'))" % ORACLE_SF_DIR
-)
+def tx_cte() -> str:
+    """transcripts CTE for oracle SQL — reads the module-level
+    ORACLE_SF_DIR at CALL time so tools/parity.py can re-point the
+    replica gate at another scale factor (the driver always uses
+    sf0.01)."""
+    return (
+        "WITH t AS (SELECT * FROM read_parquet('%s/transcripts/*.parquet'))"
+        % ORACLE_SF_DIR
+    )
 
 STOP_LIST_SQL = "[%s]" % ", ".join("'%s'" % w for w in textops.EN_STOPWORDS)
 
@@ -46,7 +52,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def o_dedup_exact() -> str:
-    return f"""{TX_CTE}
+    return f"""{tx_cte()}
 SELECT md5(text) AS h, count(*) AS n_dups
 FROM t GROUP BY 1 HAVING count(*) > 1"""
 

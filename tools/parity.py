@@ -130,6 +130,14 @@ def main():
     import __spark_entry__ as entry
     from gogstash_spark.session import get_spark
 
+    # the driver gate always runs at sf0.01; when the replica sweeps
+    # another scale, re-point the transcripts-CTE oracles at it
+    import gogstash_spark.entrypoints as _ep
+    import gogstash_spark.mlops.entries as _me
+    from gogstash_spark.sources.transcripts import ensure_transcripts
+
+    _ep.ORACLE_SF_DIR = _me.ORACLE_SF_DIR = ensure_transcripts(sf_dir)
+
     spark = get_spark()
     con = duckdb.connect()
     for t in TABLES:
