@@ -206,6 +206,73 @@ def lsh_topk(
     )
 
 
+def ivf_assign(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Shuffle-free IVF cell assignment: (vid, vec, probes) where probes
+    is the nprobe nearest centroid cells, nearest first.
+
+    The whole assignment stays in the SCAN stage: the centroids are
+    folded into ONE row (collect_list of struct(cid, cvec, cnorm)) and
+    broadcast-cross-joined — a 1-row broadcast adds a column, it never
+    amplifies rows — then each vector scores every centroid inside a
+    per-row `transform` and takes `slice(array_sort(...), 1, nprobe)`.
+    The previous shape (crossJoin against C centroid ROWS then a
+    Window.partitionBy(vid) argmax) shuffled an n×C-amplified frame:
+    at 100 TB with C=4096 that is a 4096×-amplified exchange just to
+    take a per-row argmax. Here NO hash exchange touches the big side
+    (pinned by tests/test_plan_invariants.py::test_ivf_assign_no_shuffle).
+
+    HOF-trap hygiene: the query norm is staged in a temp column (one
+    O(d) eval per row) and centroid norms are precomputed in the
+    broadcast structs — higher-order-function lambdas re-evaluate their
+    whole body per element, so an inlined norm would be O(C·d) extra.
+    The per-element dot product is the required O(C·d) work.
+
+    Sorting by struct(-ccos, cid) reproduces the old Window ordering
+    desc(ccos), asc(cid) — negation reverses Spark's total order on
+    doubles, ties fall through to the id.
+    """
+    sq = lambda acc, v: acc + v.cast("double") * v.cast("double")  # noqa: E731
+    cent = (
+        emb.orderBy(id_col).limit(n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .withColumn("cnorm", F.sqrt(F.aggregate(F.col("cvec"), F.lit(0.0), sq)))
+        .agg(F.collect_list(F.struct("cid", "cvec", "cnorm")).alias("cents"))
+    )
+
+    def score(c):
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("vec"), c["cvec"],
+                lambda x, y: x.cast("double") * y.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        ccos = F.round(dot / (F.col("__vn") * c["cnorm"]), 6)
+        return F.struct((-ccos).alias("nc"), c["cid"].alias("cid"))
+
+    probes = F.slice(F.array_sort(F.transform(F.col("cents"), score)), 1, nprobe)
+    # the when-guard references __vn a second time OUTSIDE the lambda:
+    # CollapseProject refuses to inline a non-cheap alias used twice, so
+    # the norm stays staged (one O(d) eval per row) instead of being
+    # folded into the lambda and re-evaluated per centroid (O(C·d)
+    # extra). Same mechanism as l2_normalize. Side effect: an all-zero
+    # vector gets null probes (cosine undefined) instead of NaN scores.
+    return (
+        emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+        .crossJoin(F.broadcast(cent))
+        .withColumn("__vn", F.sqrt(F.aggregate(F.col("vec"), F.lit(0.0), sq)))
+        .withColumn("probes", F.when(F.col("__vn") > 0, probes))
+        .drop("cents", "__vn")
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     k: int = 5,
@@ -218,40 +285,32 @@ def ivf_topk(
     """IVF-flat ANN: partition the space into centroid cells, search
     only the query's nprobe nearest cells.
 
-    Shapes at scale: centroid scoring is a BROADCAST cross join against
-    n_centroids rows (tiny); cell assignment is a per-row top-1 (window
-    over n_centroids candidates); candidate generation is an EQUI-JOIN
-    on the cell id — the cell is the shuffle/partition key, exactly like
-    the LSH bucket, and nprobe > 1 trades recall for nprobe× candidate
-    volume. Each base vector lives in exactly one cell so candidates
-    need no dedup.
+    Shapes at scale: cell assignment is shuffle-free (see ivf_assign);
+    candidate generation is an EQUI-JOIN on the cell id — the cell is
+    the shuffle/partition key, exactly like the LSH bucket, and
+    nprobe > 1 trades recall for nprobe× candidate volume. Each base
+    vector lives in exactly one cell so candidates need no dedup.
 
     Centroids here are the n_centroids embeddings with the smallest
     ids — deterministic and replicable by the SQL oracle. Production
     would seed by hash-sample and run a few Lloyd iterations (assign =
-    this same broadcast join; recompute = groupBy(cell) mean — one
+    this same broadcast scoring; recompute = groupBy(cell) mean — one
     shuffle per iteration); the serving-time plan below is identical
     either way, which is what the parity check pins.
     """
-    cent = (
-        emb.orderBy(id_col).limit(n_centroids)
-        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+    assigned = ivf_assign(emb, n_centroids, nprobe, id_col, vec_col)
+    cells = assigned.select(
+        F.col("vid").alias("n_id"),
+        F.col("vec").alias("n_vec"),
+        F.element_at(F.col("probes"), 1)["cid"].alias("cid"),
     )
-    scored = (
-        emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
-        .crossJoin(F.broadcast(cent))
-        .withColumn("ccos", _cos(F.col("vec"), F.col("cvec")))
-    )
-    cw = Window.partitionBy("vid").orderBy(F.desc("ccos"), F.asc("cid"))
-    ranked = scored.withColumn("crk", F.row_number().over(cw))
-    cells = ranked.filter(F.col("crk") == 1).select(
-        F.col("vid").alias("n_id"), F.col("vec").alias("n_vec"), "cid"
-    )
-    probes = ranked.filter(F.col("crk") <= nprobe)
+    probes = assigned
     if max_query_id is not None:
         probes = probes.filter(F.col("vid") < max_query_id)
     probes = probes.select(
-        F.col("vid").alias("q_id"), F.col("vec").alias("q_vec"), "cid"
+        F.col("vid").alias("q_id"),
+        F.col("vec").alias("q_vec"),
+        F.explode(F.col("probes")["cid"]).alias("cid"),
     )
     pairs = (
         probes.join(cells, "cid")

@@ -80,11 +80,15 @@ def _single_eval_form(cg: CompiledGrok) -> tuple[str, str] | None:
     pat = cg.positional()
     if not cg.captures or not _anchor_positions_ok(pat):
         return None
+    # dotall is scoped to the added affixes ONLY: the wrapper must span
+    # newlines to emulate regexp_extract's unanchored whole-string search,
+    # but '.' INSIDE the user's pattern must keep Java-regex default
+    # semantics (no \n) so the fast path agrees with the per-capture
+    # regexp_extract fallback on multiline source text.
     wrapped = (
-        "(?s)"
-        + ("" if pat.startswith("^") else "^.*?")
+        ("" if pat.startswith("^") else "^(?s:.*?)")
         + pat
-        + ("" if _ends_with_anchor(pat) else ".*$")
+        + ("" if _ends_with_anchor(pat) else "(?s:.*)$")
     )
     repl = GROK_DELIM.join("$%d" % (g + 1) for g in range(len(cg.captures)))
     return wrapped, repl

@@ -520,6 +520,44 @@ class TestGrokRemoveEmpty:
         assert r["fa"] == "" and r["fb"] == "x"
 
 
+class TestGrokMultilineDotall:
+    """The single-eval fast path wraps the pattern with affixes; dotall
+    must be scoped to the AFFIXES only so '.' inside the user's pattern
+    (DATA/GREEDYDATA = '.*?'/'.*') keeps Java-regex default semantics
+    (never matches \\n) — matching the per-capture regexp_extract
+    fallback and the Go reference."""
+
+    def test_data_capture_stops_at_newline(self, spark):
+        df = spark.createDataFrame(
+            [(1, "msg=hello world\nTRAILING LINE"),
+             (2, "prefix line\nmsg=second line\nmore")],
+            "id int, text string",
+        )
+        stage = compile_filter(
+            {"type": "grok", "source": "text",
+             "match": [r"msg=%{GREEDYDATA:m}"],
+             "use_pandas": False, "tag_on_failure": False},
+            ctx(spark),
+        )
+        got = {r["id"]: r for r in stage(df).collect()}
+        # fast path must NOT capture across the newline
+        assert got[1]["m"] == "hello world"
+        # wrapper affixes must still span newlines to find a match on line 2
+        assert got[2]["m"] == "second line"
+
+    def test_fast_path_agrees_with_pandas_path_on_multiline(self, spark):
+        rows = [(1, "a=1 b=two\nnextline"), (2, "junk\na=9 b=ten tail\nz")]
+        df = spark.createDataFrame(rows, "id int, text string")
+        cfg = {"type": "grok", "source": "text",
+               "match": [r"a=%{INT:a:int} b=%{DATA:b}(?: |$)"],
+               "tag_on_failure": False}
+        native = compile_filter({**cfg, "use_pandas": False}, ctx(spark))
+        pandas_ = compile_filter({**cfg, "use_pandas": True}, ctx(spark))
+        n = {r["id"]: (r["a"], r["b"]) for r in native(df).collect()}
+        p = {r["id"]: (r["a"], r["b"]) for r in pandas_(df).collect()}
+        assert n == p
+
+
 class TestKvAutoType:
     def test_auto_int_with_keep_list(self, spark):
         df = spark.createDataFrame(

@@ -112,6 +112,22 @@ class TestPlanInvariants:
         assert "ReadSchema: struct<conv_id:string,role:string>" in plan
 
 
+class TestIvfAssignNoShuffle:
+    def test_ivf_assign_no_shuffle(self, spark, sf_data_dir):
+        """IVF cell assignment must stay in the scan stage: no hash
+        exchange may touch the n-row side (the old crossJoin + Window
+        argmax shuffled an n×C-amplified frame). The only allowed
+        exchanges are the SinglePartition collect of the C centroids
+        and the broadcast of that one row."""
+        from gogstash_spark.mlops.ann import ivf_assign
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        plan = physical_plan(ivf_assign(emb, n_centroids=8, nprobe=2))
+        assert "Window" not in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+
+
 class TestFanoutDistribution:
     def test_default_path_is_rebalance_not_fixed_repartition(self, spark):
         """the fan-out shuffle must size itself by DATA (AQE rebalance),
