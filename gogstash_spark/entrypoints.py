@@ -897,6 +897,134 @@ SELECT p.conv_id, p.turn_idx, p.clientip,
 FROM p LEFT JOIN geo ON p.clientip = geo.ip AND NOT p.is_private"""
 
 
+def q_ip2location_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ip2location alias of the geoip join shape, exercising the
+    flat_format path: attributes land as top-level `ip2location_<attr>`
+    columns instead of a nested record
+    (reference filter/ip2location/filterip2location.go:212-231 flat_format)."""
+    df = _tx(spark, sf_dir)
+    data_dir = ensure_transcripts(sf_dir)
+    grok = _stage(
+        spark, sf_dir, {"type": "grok", "match": ["%{COMBINEDAPACHELOG}"], "use_pandas": True}
+    )
+    loc = _stage(
+        spark, sf_dir,
+        {"type": "ip2location", "source": "clientip", "flat_format": True,
+         "path": os.path.join(data_dir, "geo_lookup.parquet"), "quiet": True},
+    )
+    out = loc(grok(df))
+    return out.filter(F.col("clientip").isNotNull()).select(
+        "conv_id", "turn_idx", "clientip",
+        F.col("ip2location_country_code").alias("country_code"),
+        F.col("ip2location_city_name").alias("city_name"),
+        F.round(F.col("ip2location_latitude"), 4).alias("latitude"),
+    )
+
+
+def o_ip2location_enrich() -> str:
+    rx = _sql_quote_rx(RX_ACCESS.named("python"))
+    return f"""{tx_cte()}, m AS (
+  SELECT conv_id, turn_idx, (regexp_extract(text, '{rx}', {_caps_sql(RX_ACCESS)})).clientip AS clientip
+  FROM t WHERE regexp_matches(text, '{rx}')
+), geo AS (SELECT * FROM read_parquet('{ORACLE_SF_DIR}/geo_lookup.parquet')),
+p AS (
+  SELECT m.*, regexp_matches(clientip,
+    '^(?:10\\.|192\\.168\\.|172\\.(?:1[6-9]|2[0-9]|3[01])\\.|127\\.|169\\.254\\.)') AS is_private
+  FROM m
+)
+SELECT p.conv_id, p.turn_idx, p.clientip,
+       CASE WHEN NOT is_private THEN geo.country_code END AS country_code,
+       CASE WHEN NOT is_private THEN geo.city_name END AS city_name,
+       CASE WHEN NOT is_private THEN ROUND(geo.latitude, 4) END AS latitude
+FROM p LEFT JOIN geo ON p.clientip = geo.ip AND NOT p.is_private"""
+
+
+def q_ip2proxy_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ip2proxy alias exercising the private_net CIDR override: the
+    private skip runs through NATIVE numeric CIDR math (ip -> 32-bit
+    long, shiftright prefix compare) instead of the regex fast path
+    (reference filter/ip2proxy/filterip2proxy.go:63-, geoip2 private_net
+    filtergeoip2.go:216-223). The oracle keeps the regex form — two
+    implementations, one semantics."""
+    df = _tx(spark, sf_dir)
+    data_dir = ensure_transcripts(sf_dir)
+    grok = _stage(
+        spark, sf_dir, {"type": "grok", "match": ["%{COMBINEDAPACHELOG}"], "use_pandas": True}
+    )
+    prx = _stage(
+        spark, sf_dir,
+        {"type": "ip2proxy", "source": "clientip",
+         "private_net": ["10.0.0.0/8", "192.168.0.0/16", "172.16.0.0/12",
+                         "127.0.0.0/8", "169.254.0.0/16"],
+         "path": os.path.join(data_dir, "geo_lookup.parquet")},
+    )
+    out = prx(grok(df))
+    return out.filter(F.col("clientip").isNotNull()).select(
+        "conv_id", "turn_idx", "clientip",
+        F.col("ip2proxy.country_code").alias("country_code"),
+        F.array_contains(F.col("tags"), "gogstash_filter_ip2proxy_error").alias("proxy_missed"),
+    )
+
+
+def o_ip2proxy_enrich() -> str:
+    rx = _sql_quote_rx(RX_ACCESS.named("python"))
+    return f"""{tx_cte()}, m AS (
+  SELECT conv_id, turn_idx, (regexp_extract(text, '{rx}', {_caps_sql(RX_ACCESS)})).clientip AS clientip
+  FROM t WHERE regexp_matches(text, '{rx}')
+), geo AS (SELECT * FROM read_parquet('{ORACLE_SF_DIR}/geo_lookup.parquet')),
+p AS (
+  SELECT m.*, regexp_matches(clientip,
+    '^(?:10\\.|192\\.168\\.|172\\.(?:1[6-9]|2[0-9]|3[01])\\.|127\\.|169\\.254\\.)') AS is_private
+  FROM m
+)
+SELECT p.conv_id, p.turn_idx, p.clientip,
+       CASE WHEN NOT is_private THEN geo.country_code END AS country_code,
+       (NOT is_private) AND geo.ip IS NULL AS proxy_missed
+FROM p LEFT JOIN geo ON p.clientip = geo.ip AND NOT p.is_private"""
+
+
+def q_remove_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """remove_field: nested struct path removal + top-level drop +
+    remove_message blanking (reference
+    filter/removefield/filterremovefield.go:56-71, nested walk
+    config/pathvalue.go:150-192). The surviving struct is rendered
+    to_json so the removal is visible in VALUES, not just schema."""
+    df = _tx(spark, sf_dir).filter(F.col("text").rlike("^\\{"))
+    parse = _stage(
+        spark, sf_dir,
+        {"type": "json", "source": "text", "schema": JSON_SCHEMA, "appendkey": "jsonf"},
+    )
+    rm = _stage(
+        spark, sf_dir,
+        {"type": "remove_field", "fields": ["jsonf.msg", "tool"],
+         "remove_message": True},
+    )
+    out = rm(parse(df))
+    # pin the null-omission-free subset so to_json and the SQL string
+    # builder agree byte-for-byte
+    return out.filter(
+        F.col("jsonf.level").isNotNull()
+        & F.col("jsonf.code").isNotNull()
+        & F.col("jsonf.ts").isNotNull()
+    ).select(
+        "conv_id", "turn_idx",
+        F.to_json(F.col("jsonf")).alias("jsonf_json"),
+        F.col("text").alias("text"),  # blanked by remove_message
+    )
+
+
+def o_remove_field() -> str:
+    return f"""{tx_cte()}
+SELECT conv_id, turn_idx,
+       '{{"level":"' || (text::JSON->>'level') || '","code":' || (text::JSON->>'code')
+         || ',"ts":"' || (text::JSON->>'ts') || '"}}' AS jsonf_json,
+       '' AS text
+FROM t
+WHERE regexp_matches(text, '^\\{{')
+  AND (text::JSON->>'level') IS NOT NULL AND (text::JSON->>'code') IS NOT NULL
+  AND (text::JSON->>'ts') IS NOT NULL"""
+
+
 def q_statsd_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """statsd-style template-keyed metrics per sink
     (reference output/statsd/outputstatsd.go:267-331)."""
@@ -990,6 +1118,9 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_tools": q_top_tools,
     "gonx_parse": q_gonx_parse,
     "geoip_enrich": q_geoip_enrich,
+    "ip2location_enrich": q_ip2location_enrich,
+    "ip2proxy_enrich": q_ip2proxy_enrich,
+    "remove_field": q_remove_field,
     "statsd_agg": q_statsd_agg,
     "codec_eventhub": q_codec_eventhub,
 }
@@ -1021,6 +1152,9 @@ PIPELINE_ORACLES: dict[str, str | Callable[[], str]] = {
     "top_tools": o_top_tools,
     "gonx_parse": o_gonx_parse,
     "geoip_enrich": o_geoip_enrich,
+    "ip2location_enrich": o_ip2location_enrich,
+    "ip2proxy_enrich": o_ip2proxy_enrich,
+    "remove_field": o_remove_field,
     "statsd_agg": o_statsd_agg,
     "codec_eventhub": o_codec_eventhub,
 }

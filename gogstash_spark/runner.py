@@ -7,9 +7,10 @@ Scale design (the part gogstash never faced — one box, one stream):
 - Hot conv_ids are salted: repartition on (conv_id, salt) where
   salt = xxhash64(conv_id, turn_idx) % n_salts, so a conversation with
   30% of all turns spreads over n_salts partitions instead of one.
-- Route predicates are native SQL expressions -> each sink write is a
-  filter Catalyst can push; sinks sharing a schema could alternatively
-  use one partitionBy("route") write (write_mode="partitioned").
+- Route predicates are native SQL expressions; the default write is ONE
+  partitionBy("route") pass over a data-sized (route, salt) shuffle
+  (write_mode="partitioned"). write_mode="per_sink" opts into K
+  separate filtered writes with per-sink resume granularity.
 - Resume: a JSON snapshot ledger (the sincedb analog, reference
   input/file/sincedb.go:21-91) records committed sinks per run-id;
   a resumed run skips completed sinks. Writes go to a temp dir and are
@@ -181,10 +182,18 @@ def run_pipeline(
     base_dir: str = ".",
     n_partitions: int | None = None,
     resume: bool = True,
-    write_mode: str = "per_sink",  # or "partitioned": one partitionBy write
+    write_mode: str = "partitioned",  # "per_sink": K separate writes, per-sink resume
     fail_after_sink: str | None = None,  # test hook for resume tests
 ) -> RunResult:
-    """n_partitions=None (default) sizes the fan-out shuffle BY DATA,
+    """write_mode="partitioned" (default, the scale path): ONE
+    partitionBy(route) write with a data-sized shuffle, no
+    materialization. "per_sink" is the opt-in for workloads needing
+    per-sink resume granularity over K heterogeneous protocol sinks; its
+    plan localCheckpoints the routed frame, which serializes on local
+    mode's single block manager and materializes the routed dataset to
+    executor storage on a cluster — measured round 1, see below.
+
+    n_partitions=None (default) sizes the fan-out shuffle BY DATA,
     not by cores: an AQE REBALANCE over (route, salt) targets
     advisoryPartitionSizeInBytes per write task, so 3x the input means
     ~3x the write tasks automatically — a fixed cores-based count made

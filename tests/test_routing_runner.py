@@ -393,13 +393,26 @@ def oracle_routes(pdf: pd.DataFrame) -> dict[str, set]:
 
 @pytest.fixture(scope="module")
 def run_out(spark, sf_data_dir, tmp_path_factory):
+    """Default-mode run: write_mode now defaults to 'partitioned' (the
+    scale path), so sinks land under by_route/route=<sink>/."""
     out_dir = str(tmp_path_factory.mktemp("runner_out"))
     spec = standard_spec(sf_data_dir)
     res = run_pipeline(spark, spec, out_dir=out_dir, base_dir=sf_data_dir)
     return out_dir, res
 
 
+def _read_sink(spark, out_dir, sink):
+    return spark.read.parquet(os.path.join(out_dir, "by_route")).filter(
+        F.col("route") == sink
+    )
+
+
 class TestRunnerE2E:
+    def test_default_mode_writes_partitioned_layout(self, run_out):
+        out_dir, res = run_out
+        assert os.path.isdir(os.path.join(out_dir, "by_route", "route=sink_errors"))
+        assert not os.path.isdir(os.path.join(out_dir, "sink_errors"))
+
     def test_routed_row_sets_match_oracle(self, spark, sf_data_dir, run_out):
         out_dir, res = run_out
         pdf = pd.read_parquet(os.path.join(sf_data_dir, "transcripts"))
@@ -407,7 +420,7 @@ class TestRunnerE2E:
         for sink, keys in expected.items():
             got = {
                 (r["conv_id"], r["turn_idx"])
-                for r in spark.read.parquet(os.path.join(out_dir, sink))
+                for r in _read_sink(spark, out_dir, sink)
                 .select("conv_id", "turn_idx")
                 .collect()
             }
@@ -419,7 +432,7 @@ class TestRunnerE2E:
         src = pd.read_parquet(os.path.join(sf_data_dir, "transcripts"))
         src = src.set_index(["conv_id", "turn_idx"])["text"]
         got = (
-            spark.read.parquet(os.path.join(out_dir, "sink_user_turns"))
+            _read_sink(spark, out_dir, "sink_user_turns")
             .select("conv_id", "turn_idx", "text")
             .toPandas()
             .sort_values(["conv_id", "turn_idx"])
@@ -441,19 +454,62 @@ class TestRunnerE2E:
         assert res.metrics["pipeline"]["rows_total"] == 5000
         assert res.metrics["pipeline"]["rows_routed"] == sum(res.sink_rows.values())
 
+    def test_default_path_never_localcheckpoints(self, spark, tmp_path, monkeypatch):
+        """The default (partitioned) path must not materialize the routed
+        frame: localCheckpoint serializes on local mode's single block
+        manager (measured round 1: flat 27s at 8 AND 32 cores) and on a
+        cluster stores the whole routed dataset to executor storage. It
+        belongs only to the opt-in per_sink path."""
+        events = spark.createDataFrame(
+            [("C1", 1, "user", "hi"), ("C2", 2, "tool", "x")],
+            "conv_id string, turn_idx int, role string, text string",
+        )
+        # patch the CONCRETE DataFrame class (pyspark 4's classic session
+        # subclasses the public pyspark.sql.DataFrame)
+        cls = type(events)
+        calls = []
+        orig = cls.localCheckpoint
+
+        def spy(self, *a, **k):
+            calls.append(1)
+            return orig(self, *a, **k)
+
+        monkeypatch.setattr(cls, "localCheckpoint", spy)
+        spec = {
+            "input": {}, "filter": [],
+            "output": [{"type": "table", "name": "users",
+                        "condition": "role == 'user'"}],
+            "aggregate": [{"name": "counts", "group_by": ["role"]}],
+        }
+        run_pipeline(spark, spec, input_df=events,
+                     out_dir=str(tmp_path / "dflt"), resume=False)
+        assert calls == []
+        run_pipeline(spark, spec, input_df=events,
+                     out_dir=str(tmp_path / "ps"), resume=False,
+                     write_mode="per_sink")
+        assert calls == [1]
+
 
 class TestResume:
     def test_kill_and_resume_no_dup_no_loss(self, spark, sf_data_dir, tmp_path):
+        """per-sink resume granularity is the per_sink mode's feature —
+        the partitioned default commits all table sinks in one atomic
+        rename — so this test opts into write_mode='per_sink'."""
         out_a = str(tmp_path / "full")
         out_b = str(tmp_path / "interrupted")
         spec = standard_spec(sf_data_dir)
-        full = run_pipeline(spark, spec, out_dir=out_a, base_dir=sf_data_dir)
+        full = run_pipeline(
+            spark, spec, out_dir=out_a, base_dir=sf_data_dir, write_mode="per_sink"
+        )
         with pytest.raises(RuntimeError):
             run_pipeline(
                 spark, spec, out_dir=out_b, base_dir=sf_data_dir,
-                fail_after_sink="sink_tool_calls",
+                write_mode="per_sink", fail_after_sink="sink_tool_calls",
             )
-        resumed = run_pipeline(spark, spec, out_dir=out_b, base_dir=sf_data_dir, resume=True)
+        resumed = run_pipeline(
+            spark, spec, out_dir=out_b, base_dir=sf_data_dir,
+            write_mode="per_sink", resume=True,
+        )
         assert set(resumed.skipped_sinks) == {"sink_errors", "sink_tool_calls"}
         for sink, n in full.sink_rows.items():
             keys_a = {
