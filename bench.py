@@ -20,7 +20,9 @@ Round-over-round interpretability on this shared, noisy host
   (min kept) before being reported — transient host spikes don't land
   in the record
 - the sf1 end-to-end run (5M turns, fixed costs amortized) is the
-  headline turns/sec; the sf0.1 run is kept for continuity
+  headline turns/sec: when it succeeds, the top-level `turns_per_sec`
+  IS the sf1 number; the sf0.1 figure always stays available as
+  `sf01_turns_per_sec`
 """
 
 from __future__ import annotations
@@ -188,7 +190,16 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "turns": int(n_turns),
-                "turns_per_sec": round(n_turns / e2e, 1) if e2e > 0 else None,
+                # HEADLINE throughput: the sf1 run when it succeeded
+                # (fixed costs amortized — the honest number), else the
+                # sf0.1 run. The sf0.1 figure is always kept under
+                # sf01_turns_per_sec for round-over-round continuity.
+                "turns_per_sec": (
+                    sf1_block["sf1_turns_per_sec"]
+                    if "sf1_turns_per_sec" in sf1_block
+                    else (round(n_turns / e2e, 1) if e2e > 0 else None)
+                ),
+                "sf01_turns_per_sec": round(n_turns / e2e, 1) if e2e > 0 else None,
                 "cpus": cpus,
                 "sink_rows": res.sink_rows,
                 "jvm_control_sec": round(jvm_control, 3),

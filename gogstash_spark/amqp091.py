@@ -74,6 +74,14 @@ def parse_method(payload: bytes) -> tuple[tuple[int, int], bytes]:
     return (c, m), payload[4:]
 
 
+class AmqpClosedError(RuntimeError):
+    """Broker-initiated Connection/Channel.Close with its reply code."""
+
+    def __init__(self, code: int, msg: str):
+        super().__init__(msg)
+        self.code = code
+
+
 class AmqpPublisher:
     """One connection + one channel, the unit a Spark task holds."""
 
@@ -112,9 +120,10 @@ class AmqpPublisher:
                     )
                 except Exception:
                     pass  # the error below is what the caller needs
-                raise RuntimeError(
+                raise AmqpClosedError(
+                    code,
                     "amqp %s closed by broker: %d %s"
-                    % (scope, code, args[3:3 + n].decode())
+                    % (scope, code, args[3:3 + n].decode()),
                 )
 
     def _handshake(self) -> None:
@@ -173,6 +182,13 @@ class AmqpPublisher:
         # zero-length body: the header's body-size 0 suffices, no body frame
 
     def close(self) -> None:
+        """Graceful goodbye. basic.publish is fire-and-forget (AMQP 0-9-1
+        has no per-publish ack without confirm-select), so a broker that
+        rejected publishes reports it as a Connection/Channel.Close while
+        we await CONN_CLOSE_OK — that error MUST surface so the sink's
+        sent count can't include events the broker dropped. Only a
+        reply-code 200 race (broker said goodbye first) and socket-level
+        errors on an already-dead connection stay best-effort."""
         try:
             write_frame(
                 self.sock, FRAME_METHOD, 0,
@@ -180,6 +196,10 @@ class AmqpPublisher:
                        + struct.pack(">HH", 0, 0)),
             )
             self._expect(CONN_CLOSE_OK)
+        except AmqpClosedError as e:
+            if e.code != 200:
+                self.sock.close()
+                raise
         except Exception:
             pass  # best-effort goodbye; the socket close below is what matters
         finally:

@@ -98,7 +98,7 @@ def encode_json(
       json-iterator SortMapKeys knob; field order is the struct order
       here, so sorting the struct sorts the output)
     """
-    from pyspark.sql.types import MapType
+    from pyspark.sql.types import MapType, StructType
 
     # remove_field entries use MARSHAL names (the reference's
     # removePathValue walks the serialized map) — translate the reserved
@@ -139,8 +139,37 @@ def encode_json(
             named.append((
                 c, F.map_filter(F.col(c), lambda k, _v: ~F.array_contains(gone, k)),
             ))
+        elif c in nested and isinstance(df.schema[c].dataType, StructType):
+            # struct root: dropFields walks nested names (dotted subs
+            # reach deeper levels), mirroring the reference's
+            # removePathValue walk (config/pathvalue.go:150-192).
+            # Removing EVERY field would be an invalid empty struct —
+            # the column is omitted instead (omit-empty rendering).
+            subs = sorted(nested[c])
+            roots = {s.split(".", 1)[0] for s in subs}
+            if set(f.name for f in df.schema[c].dataType.fields) <= roots:
+                named.append((c, F.lit(None)))
+            else:
+                named.append((c, F.col(c).dropFields(*subs)))
         else:
             named.append((c, F.col(c)))
+    # a nested remove_field whose root is missing or not a container
+    # must fail loudly, not serialize the field anyway (the reference
+    # walks and silently no-ops only on MISSING paths; a scalar root is
+    # always a config bug)
+    for root in nested:
+        if root in (exclude or []) or root in remove:
+            continue
+        if root not in df.columns:
+            raise ValueError(
+                "encode_json remove_field: nested root %r is not a column "
+                "(have: %s)" % (root, sorted(df.columns))
+            )
+        if not isinstance(df.schema[root].dataType, (MapType, StructType)):
+            raise ValueError(
+                "encode_json remove_field: nested root %r is %s, not a "
+                "map/struct" % (root, df.schema[root].dataType.simpleString())
+            )
     if sort_map_keys:
         named.sort(key=lambda nc: nc[0])
     return df.withColumn(

@@ -99,6 +99,30 @@ class TestCodecs:
         out2 = codecs.encode_json(df, remove_field=["zfield"]).collect()[0]["encoded"]
         assert out2.startswith('{"message":"m"')
 
+    def test_encode_json_remove_field_struct_root(self, spark):
+        """nested remove_field also walks STRUCT roots (dropFields),
+        incl. deeper dotted paths; removing every field omits the
+        column (omit-empty) instead of an invalid empty struct."""
+        df = spark.createDataFrame(
+            [("m", ("1", "2", ("x", "y")))],
+            "text string, rec struct<keep:string,drop:string,deep:struct<a:string,b:string>>",
+        )
+        out = codecs.encode_json(
+            df, sort_map_keys=True, remove_field=["rec.drop", "rec.deep.b"]
+        ).collect()[0]["encoded"]
+        assert out == '{"message":"m","rec":{"keep":"1","deep":{"a":"x"}}}'
+        out2 = codecs.encode_json(
+            df, remove_field=["rec.keep", "rec.drop", "rec.deep"]
+        ).collect()[0]["encoded"]
+        assert out2 == '{"message":"m"}'
+
+    def test_encode_json_remove_field_bad_root_raises(self, spark):
+        df = spark.createDataFrame([("m", 1)], "text string, n int")
+        with pytest.raises(ValueError, match="not a column"):
+            codecs.encode_json(df, remove_field=["typo.key"])
+        with pytest.raises(ValueError, match="not a map/struct"):
+            codecs.encode_json(df, remove_field=["n.key"])
+
     def test_eventhub_explode(self, spark):
         env = '{"records":[{"msg":"a"},{"msg":"b"}]}'
         df = spark.createDataFrame([(env,)], "value string")

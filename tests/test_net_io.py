@@ -590,6 +590,7 @@ class _AmqpBroker(socketserver.StreamRequestHandler):
     persistent)."""
     publishes: list[tuple] = []
     declares: list[tuple] = []
+    close_error: tuple | None = None  # (code, text): reply Close, not Close-OK
 
     def handle(self):
         import struct
@@ -640,6 +641,16 @@ class _AmqpBroker(socketserver.StreamRequestHandler):
                     n = args[p]; rk = args[p+1:p+1+n].decode(); p += 1 + n
                     pending_pub = (ex, rk)
                 elif cm == A.CONN_CLOSE:
+                    if _AmqpBroker.close_error:
+                        # broker reports publish failures as its OWN
+                        # Connection.Close instead of Close-OK
+                        code, txt = _AmqpBroker.close_error
+                        A.write_frame(
+                            sock, A.FRAME_METHOD, 0,
+                            A.method(A.CONN_CLOSE,
+                                     struct.pack(">H", code) + A.shortstr(txt)
+                                     + struct.pack(">HH", 0, 0)))
+                        return
                     A.write_frame(sock, A.FRAME_METHOD, 0,
                                   A.method(A.CONN_CLOSE_OK))
                     return
@@ -662,6 +673,7 @@ class TestAmqpOutput:
     def test_publish_roundtrip(self, spark, events_df):
         _AmqpBroker.publishes = []
         _AmqpBroker.declares = []
+        _AmqpBroker.close_error = None
         srv, addr = _tcp_server(_AmqpBroker)
         try:
             sent = outputs.amqp_output(
@@ -678,6 +690,27 @@ class TestAmqpOutput:
         assert {p[1] for p in pubs} == {"ev.user", "ev.tool"}
         assert all(p[0] == "logs" and p[3] for p in pubs)  # persistent flag
         assert {json.loads(p[2])["message"] for p in pubs} == {"e1", "e2", "e3"}
+
+    def test_broker_close_error_surfaces_on_close(self):
+        """publish is fire-and-forget; a broker that rejected publishes
+        reports it as Connection.Close while the client awaits
+        CONN_CLOSE_OK — close() must raise, not count them as sent."""
+        import pytest
+
+        from gogstash_spark.amqp091 import AmqpClosedError, AmqpPublisher
+
+        _AmqpBroker.publishes = []
+        _AmqpBroker.close_error = (404, "NOT_FOUND - no exchange 'nope'")
+        srv, addr = _tcp_server(_AmqpBroker)
+        try:
+            pub = AmqpPublisher("amqp://guest:guest@%s/" % addr)
+            pub.publish("nope", "rk", b"dropped")
+            with pytest.raises(AmqpClosedError) as ei:
+                pub.close()
+            assert ei.value.code == 404
+        finally:
+            _AmqpBroker.close_error = None
+            srv.shutdown()
 
 
 class TestRedisInput:
