@@ -287,6 +287,8 @@ def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessionize row-for-row — so it shares o_sessionize as its oracle:
     the custom stateful operator gets a full value-hash check, not a
     rows-only waiver."""
+    import hashlib
+    import shutil
     import tempfile
 
     from gogstash_spark.streaming.stateful import sessionize_stream
@@ -296,8 +298,15 @@ def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(tdir).schema
     # parquet sink, not memory: a memory-sink table pins the whole
     # result on the driver for the session lifetime (and this query may
-    # run at sf1+ in a bench session)
-    out = tempfile.mkdtemp(prefix="gs_sess_stream_")
+    # run at sf1+ in a bench session). DETERMINISTIC per-dataset dir,
+    # wiped on entry: repeated invocations (bench loops) overwrite one
+    # directory instead of leaking a fresh mkdtemp each call.
+    out = os.path.join(
+        tempfile.gettempdir(), "gs_sess_stream",
+        hashlib.md5(data_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
     stream = spark.readStream.format("parquet").schema(schema).load(tdir)
     q = (
         sessionize_stream(

@@ -10,6 +10,7 @@ are real, only the format string changes on a provisioned cluster.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -104,6 +105,79 @@ def kafka_options_from_gogstash(cfg: dict) -> dict[str, str]:
             '%s required username="%s" password="%s";' % (module, user, pwd)
         )
     return opts
+
+
+def kafka_sink_options_from_gogstash(cfg: dict) -> list[dict[str, str]]:
+    """gogstash kafka OUTPUT block -> the exact Spark kafka-sink
+    writeStream options, one option-dict per topic (reference
+    output/kafka/outputkafka.go:17-27 config; Output() produces every
+    event to EVERY listed topic, outputkafka.go:95-107 — hence the
+    list). The write-side contract, pinned broker-less like the input.
+
+    Mapping notes vs the sarama producer:
+    - security_protocol == "SASL" enables SASL with username/password
+      (outputkafka.go:79-83); sarama's default SASL mechanism is PLAIN
+      over plaintext -> SASL_PLAINTEXT + PlainLoginModule.
+    - empty brokers/topics is an init error in the reference
+      (outputkafka.go:69-77) -> ValueError here.
+    """
+    brokers = cfg.get("brokers") or []
+    topics = cfg.get("topics") or []
+    if not brokers:
+        raise ValueError("kafka output: brokers should not be empty")
+    if not topics:
+        raise ValueError("kafka output: topics should not be empty")
+    base: dict[str, str] = {"kafka.bootstrap.servers": ",".join(brokers)}
+    if cfg.get("security_protocol") == "SASL":
+        def jaas_quote(s: str) -> str:
+            return str(s).replace("\\", "\\\\").replace('"', '\\"')
+
+        base["kafka.security.protocol"] = "SASL_PLAINTEXT"
+        base["kafka.sasl.mechanism"] = "PLAIN"
+        base["kafka.sasl.jaas.config"] = (
+            'org.apache.kafka.common.security.plain.PlainLoginModule '
+            'required username="%s" password="%s";'
+            % (jaas_quote(cfg.get("sasl_username", "")),
+               jaas_quote(cfg.get("sasl_password", "")))
+        )
+    elif cfg.get("security_protocol"):
+        base["kafka.security.protocol"] = str(cfg["security_protocol"])
+    return [{**base, "topic": str(t)} for t in topics]
+
+
+def kafka_write_stream(
+    df: DataFrame,
+    checkpoint_dir: str,
+    gogstash_cfg: dict,
+    json_opts: dict | None = None,
+):
+    """writeStream to Kafka from a gogstash kafka output block: the
+    event is Go-marshal-parity JSON (event.MarshalJSON,
+    output/kafka/outputkafka.go:96) in the record value, one streaming
+    query per topic. Raises a clear error naming the missing connector
+    jar on this image."""
+    from gogstash_spark.codecs import encode_json
+
+    encoded = encode_json(df, **(json_opts or {})).select(
+        F.col("encoded").cast("binary").alias("value")
+    )
+    queries = []
+    try:
+        for i, opts in enumerate(kafka_sink_options_from_gogstash(gogstash_cfg)):
+            w = encoded.writeStream.format("kafka").option(
+                "checkpointLocation", "%s/topic_%d" % (checkpoint_dir, i)
+            )
+            for k, v in opts.items():
+                w = w.option(k, v)
+            queries.append(w.start())
+    except Exception as e:  # jar missing -> actionable message
+        for q in queries:
+            q.stop()
+        raise RuntimeError(
+            "kafka connector not on classpath; submit with "
+            "--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>"
+        ) from e
+    return queries
 
 
 def kafka_stream(

@@ -462,7 +462,15 @@ def socket_listen_input(spool_dir: str, host: str = "127.0.0.1", port: int = 0):
     return srv, "%s:%d" % srv.server_address
 
 
-def beats_input(spool_dir: str, host: str = "127.0.0.1", port: int = 0):
+def beats_input(
+    spool_dir: str,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    ssl_certificate: str | None = None,
+    ssl_key: str | None = None,
+    ssl_verify: bool = False,
+    ssl_ca: str | None = None,
+):
     """Beats (filebeat/winlogbeat) listener speaking the lumberjack v2
     wire protocol -> spool -> stream bridge. Reference
     input/beats/inputbeats.go:26-40 delegates to elastic/go-lumber's
@@ -483,6 +491,14 @@ def beats_input(spool_dir: str, host: str = "127.0.0.1", port: int = 0):
     stops it. Like the other push listeners, the daemon half stays on
     edge nodes and Spark reads only the spool — that is the split that
     scales on a real cluster.
+
+    TLS (reference input/beats/inputbeats.go:33-40,78-87: ssl,
+    ssl_certificate, ssl_key, ssl_verify): pass ssl_certificate +
+    ssl_key to serve lumberjack-over-TLS — real filebeat deployments
+    commonly enable it. ssl_verify additionally REQUIRES a verified
+    client certificate (mutual TLS; ssl_ca names the CA bundle to
+    verify against, defaulting to the server certificate itself, the
+    self-signed common case).
     """
     import json
     import socketserver
@@ -573,7 +589,29 @@ def beats_input(spool_dir: str, host: str = "127.0.0.1", port: int = 0):
                 if state["batch"]:  # partial window at disconnect
                     write(state["batch"])
 
-    srv = socketserver.ThreadingTCPServer((host, port), Handler)
+    tls_ctx = None
+    if ssl_certificate or ssl_key:
+        if not (ssl_certificate and ssl_key):
+            raise ValueError("beats TLS needs BOTH ssl_certificate and ssl_key")
+        import ssl as _ssl
+
+        tls_ctx = _ssl.SSLContext(_ssl.PROTOCOL_TLS_SERVER)
+        tls_ctx.load_cert_chain(ssl_certificate, ssl_key)
+        if ssl_verify:
+            tls_ctx.verify_mode = _ssl.CERT_REQUIRED
+            tls_ctx.load_verify_locations(ssl_ca or ssl_certificate)
+
+    class Server(socketserver.ThreadingTCPServer):
+        # wrap at accept time so every connection (and only this
+        # listener) speaks TLS; a handshake failure kills that one
+        # connection, not the server
+        def get_request(self):
+            sock, addr = super().get_request()
+            if tls_ctx is not None:
+                sock = tls_ctx.wrap_socket(sock, server_side=True)
+            return sock, addr
+
+    srv = Server((host, port), Handler)
     srv.daemon_threads = True
     threading.Thread(target=srv.serve_forever, daemon=True).start()
     return srv, "%s:%d" % srv.server_address

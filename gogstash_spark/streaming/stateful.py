@@ -76,10 +76,16 @@ def sessionize_stream(
     keeps its session_idx, and one that pauses longer starts the next.
 
     Rows inside a batch are ordered (ts, order_col) like the batch
-    window; across batches arrival order is trusted (give the source a
-    watermark if late data matters — state here is an assignment
-    cursor, not an aggregation, so reordering across batches would
-    re-number, same as any streaming sessionizer). timeout_duration
+    window. ACROSS batches the state is an assignment cursor, not an
+    aggregation, so the late-data semantics are pinned as: an event
+    arriving in a later microbatch with ts at or before the key's
+    cursor JOINS the key's current session (it can never renumber
+    already-emitted rows), and the cursor never rewinds — max(cursor,
+    ts) — so a late straggler cannot re-open the gap window and split
+    the session for subsequent in-order events
+    (tests/test_streaming.py::test_late_cross_batch_event_joins_current_session).
+    On in-order data this equals the batch window sessionize
+    row-for-row (the oracle-checked property). timeout_duration
     bounds state for dead conversations; an evicted key restarts at
     session_idx 0 (documented windowed-state tradeoff, exactly like
     dedup_stream)."""
@@ -109,7 +115,9 @@ def sessionize_stream(
         for t in ts_us:
             if last_us is None or (t - last_us) > gap_us:
                 idx += 1
-            last_us = t
+            # never rewind: a late cross-batch event joins the current
+            # session but must not re-open the inactivity window
+            last_us = t if last_us is None else max(last_us, t)
             out_idx.append(idx)
         batch["session_idx"] = pd.array(out_idx, dtype="int64")
         batch["session_id"] = [

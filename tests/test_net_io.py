@@ -246,6 +246,67 @@ class TestBeatsInput:
         msgs = sorted(_json.loads(ln)["message"] for ln in lines)
         assert msgs == ["plain json", "plain kv"]
 
+    def test_lumberjack_over_tls(self, tmp_path):
+        """TLS listener (reference inputbeats.go:33-40,78-87): same
+        lumberjack frames through an ssl-wrapped connection, self-signed
+        server cert, client skips verification (ssl_verify=false mode)."""
+        import json as _json
+        import os
+        import ssl
+        import struct
+        import subprocess
+        import time
+
+        from gogstash_spark.sources.ingest import beats_input
+
+        cert = str(tmp_path / "srv.crt")
+        key = str(tmp_path / "srv.key")
+        subprocess.run(
+            ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+             "-keyout", key, "-out", cert, "-days", "1",
+             "-subj", "/CN=127.0.0.1"],
+            check=True, capture_output=True,
+        )
+        spool = str(tmp_path / "spool_tls")
+        srv, addr = beats_input(spool, ssl_certificate=cert, ssl_key=key)
+        host, _, port = addr.rpartition(":")
+        try:
+            ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+            ctx.check_hostname = False
+            ctx.verify_mode = ssl.CERT_NONE
+            raw = socket.create_connection((host, int(port)), timeout=5)
+            conn = ctx.wrap_socket(raw)
+            conn.sendall(b"2W" + struct.pack(">I", 1))
+            conn.sendall(self._jframe(1, {"message": "secure beat"}))
+            ack = b""
+            while len(ack) < 6:
+                chunk = conn.recv(6 - len(ack))
+                assert chunk, "no ACK before close"
+                ack += chunk
+            assert ack[:2] == b"2A" and struct.unpack(">I", ack[2:6])[0] == 1
+            conn.close()
+            # a PLAINTEXT client must be rejected by the TLS listener
+            plain = socket.create_connection((host, int(port)), timeout=5)
+            plain.sendall(b"2W" + struct.pack(">I", 1))
+            plain.settimeout(5)
+            try:
+                got = plain.recv(6)
+            except (ConnectionError, OSError):
+                got = b""
+            assert not got.startswith(b"2A")
+            plain.close()
+            for _ in range(50):
+                if [f for f in os.listdir(spool) if not f.startswith(".")]:
+                    break
+                time.sleep(0.1)
+        finally:
+            srv.shutdown()
+        lines = []
+        for f in sorted(os.listdir(spool)):
+            if not f.startswith("."):
+                lines += open(os.path.join(spool, f)).read().splitlines()
+        assert [_json.loads(ln)["message"] for ln in lines] == ["secure beat"]
+
 
 class TestPartitionedProtocolSink:
     def test_http_sink_emits_in_partitioned_mode(self, spark, events_df, http_server, tmp_path):

@@ -176,6 +176,51 @@ class TestStreamingSessionize:
         }
         assert got == want
 
+    def test_late_cross_batch_event_joins_current_session(self, spark, tmp_path):
+        """PINNED late-data semantics (cursor sessionizer): an event
+        arriving in a LATER microbatch with ts before the key's cursor
+        joins the current session — it is neither dropped nor allowed to
+        renumber earlier output — and the cursor does not rewind, so a
+        straggler can't split the session for later in-order events."""
+        from gogstash_spark.streaming.stateful import sessionize_stream
+
+        src_dir = str(tmp_path / "late_src")
+        b1 = [
+            ("c1", 0, "2024-03-01 10:00:00"),
+            ("c1", 1, "2024-03-01 10:10:00"),
+        ]
+        b2 = [
+            ("c1", 2, "2024-03-01 09:55:00"),   # LATE: before the cursor
+            ("c1", 3, "2024-03-01 10:25:00"),   # in-order, within gap of 10:10
+            ("c1", 4, "2024-03-01 13:00:00"),   # >30min: next session
+        ]
+        schema_in = "conv_id string, turn_idx int, ts_s string"
+        for i, rows in enumerate([b1, b2]):
+            (
+                spark.createDataFrame(rows, schema_in)
+                .withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+                .coalesce(1).write.mode("append" if i else "overwrite")
+                .parquet(src_dir)
+            )
+        schema = spark.read.parquet(src_dir).schema
+        stream = (
+            spark.readStream.format("parquet").schema(schema)
+            .option("maxFilesPerTrigger", 1).load(src_dir)
+        )
+        q = (
+            sessionize_stream(stream, "conv_id", "ts", "turn_idx", gap_seconds=1800)
+            .writeStream.outputMode("append").format("memory")
+            .queryName("sess_late_t").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        got = {
+            (r["conv_id"], r["turn_idx"]): r["session_idx"]
+            for r in spark.sql("SELECT * FROM sess_late_t").collect()
+        }
+        assert got[("c1", 2)] == 0   # late event folded into current session
+        assert got[("c1", 3)] == 0   # cursor not rewound: no spurious split
+        assert got[("c1", 4)] == 1   # real gap still opens the next session
+
     def test_windowed_session_counts_rate_limited(self, spark, tmp_path):
         """the verdict's shape: session assignment in a rate-limited
         stream (maxFilesPerTrigger as the batch token bucket), rolled up
