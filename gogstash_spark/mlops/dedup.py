@@ -208,6 +208,97 @@ def minhash_lsh_pairs(
     return verified
 
 
+def dedup_groups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 1,
+    threshold: float = 0.5,
+    bucket_cap: int | None = None,
+    max_iter: int = 20,
+) -> DataFrame:
+    """The PRODUCTION dedup pipeline, end to end: collapse exact dups ->
+    MinHash-LSH candidates -> exact-Jaccard verify -> connected
+    components -> every document labeled with its dedup group
+    (group_id = min doc id of its component). One row per input doc;
+    keep rows where doc_id == group_id to deduplicate a corpus.
+
+    Scale shape per stage:
+    - exact collapse: one md5 hash-groupBy (the dedup_exact shape);
+    - candidates/verify: minhash_lsh_pairs — bucket equi-joins + verify
+      on candidates only, never all-pairs;
+    - components: iterative min-label propagation over the near-dup
+      edges ONLY (isolated reps skip the loop entirely — at corpus
+      scale the edge graph is orders of magnitude smaller than the
+      corpus). Each iteration is one equi-join + groupBy(min); dup
+      clusters have tiny diameters so this converges in a few rounds
+      (the standard scalable CC shape; a 1000-executor run would
+      checkpoint between iterations — here the loop is bounded by
+      max_iter and stops at the first fixpoint).
+
+    Non-SQL-expressible in one query? No: the DuckDB oracle replicates
+    the whole thing, components via a recursive CTE — full value-hash
+    parity, no rows-only waiver.
+    """
+    mapping = df.select(
+        F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("__h")
+    )
+    reps = mapping.groupBy("__h").agg(F.min("doc_id").alias("rep"))
+    doc_rep = mapping.join(reps, "__h").select("doc_id", "rep")
+
+    pairs = minhash_lsh_pairs(
+        df, text_col, id_col, n, bands, rows_per_band, threshold,
+        bucket_cap, collapse_exact=True,
+    )
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges_sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+
+    labels = (
+        edges_sym.select(F.col("src").alias("id")).distinct()
+        .withColumn("lbl", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges_sym.join(
+                labels.select(F.col("id").alias("dst"), F.col("lbl").alias("dlbl")),
+                "dst",
+            )
+            .groupBy("src").agg(F.min("dlbl").alias("nlbl"))
+            .withColumnRenamed("src", "id")
+        )
+        nxt = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
+            )
+            .persist()
+        )
+        changed = (
+            nxt.withColumnRenamed("lbl", "nl")
+            .join(labels.withColumnRenamed("lbl", "ol"), "id")
+            .filter(F.col("nl") != F.col("ol"))
+            .count()
+        )
+        labels.unpersist()
+        labels = nxt
+        if changed == 0:
+            break
+    out = (
+        doc_rep.join(labels.withColumnRenamed("id", "rep"), "rep", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("lbl"), F.col("rep")).alias("group_id"),
+        )
+    )
+    return out
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """16-bit SimHash from token md5s, engine-portable.
 

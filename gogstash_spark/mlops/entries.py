@@ -99,6 +99,65 @@ j AS (
 SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.35"""
 
 
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production dedup pipeline: collapse -> minhash LSH -> verify ->
+    connected components; one (doc_id, group_id) row per document."""
+    return dedup.dedup_groups(
+        _docs(spark, sf_dir), "text", "doc_id", n=3, bands=4, rows_per_band=1,
+        threshold=0.35, bucket_cap=1000,
+    )
+
+
+def o_dedup_groups() -> str:
+    mh = ", ".join(
+        "min(md5('%d|' || shingle)) AS m%d" % (j, j) for j in range(4)
+    )
+    return f"""WITH RECURSIVE reps AS (
+  SELECT min(doc_id) AS doc_id, min(text) AS text FROM documents GROUP BY md5(text)
+),
+sets AS (
+  SELECT doc_id AS id, list_distinct(
+    [array_to_string(words[i:i+2], ' ') FOR i IN range(1, greatest(len(words)-1, 1))]
+  ) AS sh_set
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words FROM reps)
+),
+sh AS (SELECT id, unnest(sh_set) AS shingle FROM sets),
+sig AS (SELECT id, {mh} FROM sh GROUP BY id),
+bands0 AS (
+  SELECT id, b.band, b.v FROM sig,
+  UNNEST([{{'band': 0, 'v': m0}}, {{'band': 1, 'v': m1}},
+          {{'band': 2, 'v': m2}}, {{'band': 3, 'v': m3}}]) AS u(b)
+),
+ok AS (SELECT band, v FROM bands0 GROUP BY band, v HAVING count(*) <= 1000),
+bands AS (SELECT b.* FROM bands0 b JOIN ok USING (band, v)),
+cand AS (
+  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.v = y.v AND x.id < y.id
+),
+j AS (
+  SELECT c.id_a, c.id_b,
+    round(CAST(len(list_intersect(a.sh_set, b.sh_set)) AS DOUBLE) /
+      (len(a.sh_set) + len(b.sh_set) - len(list_intersect(a.sh_set, b.sh_set))), 6) AS jaccard
+  FROM cand c JOIN sets a ON a.id = c.id_a JOIN sets b ON b.id = c.id_b
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM j WHERE jaccard >= 0.35
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM j WHERE jaccard >= 0.35
+),
+reach AS (
+  SELECT DISTINCT src AS id, src AS lbl FROM edges
+  UNION
+  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id),
+m AS (SELECT doc_id, md5(text) AS h FROM documents),
+r AS (SELECT h, min(doc_id) AS rep FROM m GROUP BY h),
+docmap AS (SELECT m.doc_id, r.rep FROM m JOIN r USING (h))
+SELECT d.doc_id, coalesce(c.lbl, d.rep) AS group_id
+FROM docmap d LEFT JOIN comp c ON c.id = d.rep"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_docs(spark, sf_dir), "text", "doc_id").select(
         F.col("id").alias("doc_id"), "simhash"
@@ -595,6 +654,7 @@ FROM d"""
 MLOPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_groups": q_dedup_groups,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -616,6 +676,7 @@ MLOPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 MLOPS_ORACLES: dict[str, Callable[[], str]] = {
     "dedup_exact": o_dedup_exact,
     "dedup_minhash_lsh": o_dedup_minhash_lsh,
+    "dedup_groups": o_dedup_groups,
     "dedup_simhash": o_dedup_simhash,
     "dedup_simhash_pairs": o_dedup_simhash_pairs,
     "dedup_ngram_jaccard": o_dedup_ngram_jaccard,

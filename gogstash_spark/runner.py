@@ -174,6 +174,19 @@ def salted_repartition(
     ).drop("__salt")
 
 
+def resolve_table_format(spark: SparkSession, requested: str | None) -> tuple[str, str | None]:
+    """('iceberg'|'delta'|'parquet', fallback_reason): a requested ACID
+    format is used only when its runtime is actually on the classpath
+    (capability probe, same pattern as the kafka jar probe); otherwise
+    the atomic-rename parquet path with the reason recorded."""
+    if requested in (None, "", "parquet"):
+        return "parquet", None
+    from gogstash_spark.sources.connectors import table_format_available
+
+    ok, why = table_format_available(spark, requested)
+    return (str(requested).lower(), None) if ok else ("parquet", why)
+
+
 def run_pipeline(
     spark: SparkSession,
     spec: PipelineSpec | dict,
@@ -183,6 +196,7 @@ def run_pipeline(
     n_partitions: int | None = None,
     resume: bool = True,
     write_mode: str = "partitioned",  # "per_sink": K separate writes, per-sink resume
+    table_format: str = "parquet",  # "iceberg"/"delta": ACID commit when jar present
     fail_after_sink: str | None = None,  # test hook for resume tests
 ) -> RunResult:
     """write_mode="partitioned" (default, the scale path): ONE
@@ -286,6 +300,15 @@ def run_pipeline(
             # output/file/outputfile.go:190-325, as a partitionBy write).
             # The salt spreads hot routes/conversations over tasks.
             # Per-sink resume granularity is traded for one atomic commit.
+            fmt, fb_reason = resolve_table_format(spark, table_format)
+            result.metrics["table_format"] = {
+                "requested": table_format, "used": fmt,
+                **({"fallback_reason": fb_reason} if fb_reason else {}),
+            }
+
+            def _read_routed():
+                return spark.read.format(fmt).load(os.path.join(out_dir, "by_route"))
+
             if not (resume and ledger.committed("__partitioned__")):
                 part_dir = os.path.join(out_dir, "by_route")
                 tmp_dir = part_dir + ".__tmp__"
@@ -324,17 +347,26 @@ def run_pipeline(
                         .drop("__dd")
                     )
                 exploded = _fanout_distribute(exploded, n_partitions, size_by_data)
-                exploded.write.mode("overwrite").partitionBy("route").parquet(tmp_dir)
-                if os.path.exists(part_dir):
-                    shutil.rmtree(part_dir)
-                os.replace(tmp_dir, part_dir)
+                if fmt == "parquet":
+                    # no table format on the classpath: atomic commit =
+                    # write to a temp dir + one rename
+                    exploded.write.mode("overwrite").partitionBy("route").parquet(tmp_dir)
+                    if os.path.exists(part_dir):
+                        shutil.rmtree(part_dir)
+                    os.replace(tmp_dir, part_dir)
+                else:
+                    # ACID table commit (snapshot/transaction-log): the
+                    # format's own commit protocol replaces tmp+rename
+                    exploded.write.format(fmt).mode("overwrite").partitionBy(
+                        "route"
+                    ).save(part_dir)
                 # per-partition (per output file) row-count lineage in one
                 # pruned scan, written to a parquet SIDECAR — at 100 TB the
                 # file list is 10^5-10^6 entries, which must never ride
                 # through the driver or the JSON ledger. Only O(routes)
                 # totals are collected.
                 lineage_df = (
-                    spark.read.parquet(part_dir)
+                    _read_routed()
                     .groupBy("route", F.input_file_name().alias("file"))
                     .agg(F.count(F.lit(1)).alias("rows"))
                 )
@@ -380,9 +412,8 @@ def run_pipeline(
                     continue
                 from gogstash_spark.outputs import emit
 
-                part_path = os.path.join(out_dir, "by_route")
                 df_r = (
-                    spark.read.parquet(part_path)
+                    _read_routed()
                     .filter(F.col("route") == r.sink)
                     .drop("route", DOC_ID)  # internal cols never leave the engine
                 )
@@ -464,9 +495,7 @@ def run_pipeline(
             if write_mode == "partitioned":
                 # aggregate from the written columnar output: the scan is
                 # pruned to the aggregate's columns, no parse recompute
-                exploded = spark.read.parquet(
-                    os.path.join(out_dir, "by_route")
-                ).withColumnRenamed("route", "sink")
+                exploded = _read_routed().withColumnRenamed("route", "sink")
             else:
                 exploded = routed.select(F.explode(ROUTES).alias("sink"), "*")
             if agg.get("__default__"):

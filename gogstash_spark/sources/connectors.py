@@ -25,6 +25,36 @@ def iceberg_available(spark: SparkSession) -> bool:
     return False
 
 
+def table_format_available(spark: SparkSession, fmt: str) -> tuple[bool, str | None]:
+    """Capability probe for an ACID table format on THIS session's
+    classpath: (available, reason-when-not). Same pattern as the kafka
+    jar probe — call sites are real, only the format string changes on
+    a provisioned cluster.
+    """
+    fmt = (fmt or "").lower()
+    if fmt == "iceberg":
+        try:
+            spark._jvm.java.lang.Class.forName("org.apache.iceberg.Table")
+            return True, None
+        except Exception:
+            return False, (
+                "iceberg runtime not on classpath; submit with --packages "
+                "org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<version> "
+                "and a spark.sql.catalog.* config"
+            )
+    if fmt == "delta":
+        try:
+            spark._jvm.java.lang.Class.forName("io.delta.tables.DeltaTable")
+            return True, None
+        except Exception:
+            return False, (
+                "delta runtime not on classpath; submit with --packages "
+                "io.delta:delta-spark_2.13:<version> and the "
+                "DeltaSparkSessionExtension"
+            )
+    return False, "unknown table format %r (known: iceberg, delta)" % fmt
+
+
 def read_table(spark: SparkSession, path_or_table: str) -> DataFrame:
     """Read an Iceberg table name (catalog.db.table) when available,
     else a parquet path — same DataFrame out."""

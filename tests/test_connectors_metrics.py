@@ -115,6 +115,62 @@ class TestLineageMetrics:
         assert per_file.count() == lineage["files"]
 
 
+class TestTableFormatProbe:
+    """ACID-table capability probe (kafka-probe pattern): the partitioned
+    write uses a real iceberg/delta commit when the runtime is on the
+    classpath, else the atomic-rename parquet path with the reason
+    recorded — this image ships neither jar, so the fallback is the
+    exercised path and the probe's miss must name the fix."""
+
+    def test_probe_names_missing_runtime(self, spark):
+        from gogstash_spark.sources.connectors import table_format_available
+
+        ok, why = table_format_available(spark, "iceberg")
+        assert not ok and "iceberg-spark-runtime" in why
+        ok, why = table_format_available(spark, "delta")
+        assert not ok and "delta-spark" in why
+        ok, why = table_format_available(spark, "hudi")
+        assert not ok and "unknown table format" in why
+
+    def test_resolve_falls_back_and_promotes(self, spark, monkeypatch):
+        from gogstash_spark import runner
+        from gogstash_spark.sources import connectors
+
+        fmt, why = runner.resolve_table_format(spark, "iceberg")
+        assert fmt == "parquet" and "iceberg" in why
+        assert runner.resolve_table_format(spark, "parquet") == ("parquet", None)
+        assert runner.resolve_table_format(spark, None) == ("parquet", None)
+        monkeypatch.setattr(
+            connectors, "table_format_available", lambda s, f: (True, None)
+        )
+        assert runner.resolve_table_format(spark, "iceberg") == ("iceberg", None)
+
+    def test_pipeline_runs_under_fallback_unchanged(self, spark, tmp_path):
+        from gogstash_spark.runner import run_pipeline
+
+        events = spark.createDataFrame(
+            [("C1", 1, "user", "hi"), ("C2", 2, "tool", "x"), ("C3", 3, "user", "y")],
+            "conv_id string, turn_idx int, role string, text string",
+        )
+        spec = {
+            "input": {}, "filter": [],
+            "output": [{"type": "table", "name": "users",
+                        "condition": "role == 'user'"},
+                       {"type": "table", "name": "rest",
+                        "condition": "role != 'user'"}],
+            "aggregate": [{"name": "counts", "group_by": ["role"]}],
+        }
+        base = run_pipeline(spark, spec, input_df=events,
+                            out_dir=str(tmp_path / "pq"), resume=False)
+        fb = run_pipeline(spark, spec, input_df=events,
+                          out_dir=str(tmp_path / "ice"), resume=False,
+                          table_format="iceberg")
+        assert fb.sink_rows == base.sink_rows == {"users": 2, "rest": 1}
+        tf = fb.metrics["table_format"]
+        assert tf["requested"] == "iceberg" and tf["used"] == "parquet"
+        assert "iceberg" in tf["fallback_reason"]
+
+
 class TestKafkaContract:
     """The kafka connector contract: the exact readStream options
     generated from a verbatim gogstash kafka input block

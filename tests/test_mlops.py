@@ -57,6 +57,35 @@ class TestDedup:
         }
         assert (1, 2) in pairs
 
+    def test_dedup_groups_transitive_and_total(self, spark):
+        """The production pipeline labels EVERY doc, exact dups share
+        their rep's group, and near-dup grouping is TRANSITIVE: A~B and
+        B~C land in one group even when A and C are not direct LSH
+        pairs (the label-propagation loop, not a one-hop min)."""
+        chain = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon"),
+                (2, "alpha beta gamma delta epsilon"),        # exact dup of 1
+                (3, "alpha beta gamma delta zeta"),           # near 1
+                # near 3 (j=3/7=0.43) but NOT near 1 (j=2/8=0.25<0.4):
+                # only transitivity through 3 can group it with 1
+                (4, "gamma delta zeta eta theta"),
+                (5, "totally different words entirely here"), # isolated
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r["group_id"]
+            for r in dedup.dedup_groups(
+                chain, n=1, bands=4, threshold=0.4
+            ).collect()
+        }
+        assert set(got) == {1, 2, 3, 4, 5}          # every doc labeled
+        assert got[1] == got[2] == 1                # exact dup follows rep
+        assert got[3] == 1                          # near dup of 1
+        assert got[4] == 1                          # transitive via 3
+        assert got[5] == 5                          # isolated keeps itself
+
     def test_shingle_short_doc_empty_not_error(self, spark):
         short = spark.createDataFrame(
             [(1, "one two"), (2, "a"), (3, ""), (4, "alpha beta gamma delta")],
