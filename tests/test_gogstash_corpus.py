@@ -57,7 +57,9 @@ class TestReferenceConfigCorpus:
         assert res.sink_rows == {"stdout": 1000}
         agg = spark.read.parquet(str(tmp_path / "out_lorem" / "agg_counts"))
         assert agg.groupBy().sum("n").collect()[0][0] == 1000
-        df = spark.read.parquet(str(tmp_path / "out_lorem" / "stdout"))
+        df = spark.read.parquet(str(tmp_path / "out_lorem" / "by_route")).filter(
+            "route = 'stdout'"
+        )
         texts = [r["text"] for r in df.limit(20).collect()]
         assert all(t and t[0].isupper() and t.endswith(".") for t in texts)
 
