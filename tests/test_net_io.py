@@ -909,3 +909,147 @@ class TestNatsInput:
             srv.shutdown()
         assert got == ["nats one", "nats two"]
         assert _Nats.pongs  # keepalive answered
+
+
+class _FakeDockerDaemon(socketserver.StreamRequestHandler):
+    """Live Docker Engine API fake over a UNIX socket: /_ping,
+    /containers/json, multiplexed /logs (c3 served CHUNKED), /stats."""
+
+    import struct as _struct
+
+    containers = [
+        {"Id": "c1", "Names": ["/web"]},
+        {"Id": "c2", "Names": ["/gogstash-agent"]},  # default-excluded
+        {"Id": "c3", "Names": ["/db"]},
+    ]
+    stats_doc = {
+        "read": "2024-03-01T10:00:00Z",
+        "cpu_stats": {
+            "cpu_usage": {"total_usage": 100, "percpu_usage": [50, 50],
+                          "usage_in_kernelmode": 10, "usage_in_usermode": 20},
+            "system_cpu_usage": 99999,
+        },
+        "precpu_stats": {
+            "cpu_usage": {"total_usage": 90, "percpu_usage": [45, 45],
+                          "usage_in_kernelmode": 9, "usage_in_usermode": 18},
+            "system_cpu_usage": 88888,
+        },
+        "memory_stats": {"usage": 1024, "stats": {"cache": 512}},
+        "blkio_stats": {"io_service_bytes_recursive": [1, 2]},
+        "networks": {"eth0": {"rx_bytes": 7, "tx_bytes": 9}},
+    }
+
+    @staticmethod
+    def _mux(stream: int, data: bytes) -> bytes:
+        import struct
+        return bytes([stream, 0, 0, 0]) + struct.pack(">I", len(data)) + data
+
+    def _respond(self, body: bytes, chunked: bool = False):
+        if chunked:
+            hdr = (b"HTTP/1.1 200 OK\r\nContent-Type: application/octet-stream\r\n"
+                   b"Transfer-Encoding: chunked\r\n\r\n")
+            self.wfile.write(hdr)
+            for i in range(0, len(body), 10):  # tiny chunks on purpose
+                chunk = body[i:i + 10]
+                self.wfile.write(b"%x\r\n" % len(chunk) + chunk + b"\r\n")
+            self.wfile.write(b"0\r\n\r\n")
+        else:
+            self.wfile.write(
+                b"HTTP/1.1 200 OK\r\nContent-Length: %d\r\n\r\n" % len(body) + body
+            )
+
+    def handle(self):
+        req = self.rfile.readline().decode()
+        while self.rfile.readline().strip():
+            pass  # drain headers
+        path = req.split(" ")[1]
+        if path == "/_ping":
+            self._respond(b"OK")
+        elif path.startswith("/containers/json"):
+            self._respond(json.dumps(self.containers).encode())
+        elif "/logs" in path:
+            cid = path.split("/")[2]
+            since = 0
+            if "since=" in path:
+                since = int(path.split("since=")[1].split("&")[0])
+            if since > 0:
+                self._respond(b"")  # nothing newer: sincedb honored
+            elif cid == "c1":
+                body = (
+                    self._mux(1, b"hello from web\npart")
+                    + self._mux(2, b"oops happened\n")
+                    + self._mux(1, b"ial line\n")  # stdout continuation
+                )
+                self._respond(body)
+            else:
+                self._respond(self._mux(1, b"db says hi\n"), chunked=True)
+        elif "/stats" in path:
+            self._respond(json.dumps(self.stats_doc).encode())
+        else:
+            self.wfile.write(b"HTTP/1.1 404 Not Found\r\nContent-Length: 0\r\n\r\n")
+
+
+@pytest.fixture()
+def docker_daemon(tmp_path):
+    sock = str(tmp_path / "docker.sock")
+    srv = socketserver.ThreadingUnixStreamServer(sock, _FakeDockerDaemon)
+    srv.daemon_threads = True
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield "unix://" + sock
+    srv.shutdown()
+
+
+class TestDockerInputs:
+    def test_dockerlog_drain_demux_and_filters(self, spark, docker_daemon, tmp_path):
+        """Multiplexed stdout/stderr reassembly (incl. a line split
+        across frames), chunked transfer, default 'gogstash' exclude,
+        sincedb so the second drain returns nothing new."""
+        from gogstash_spark.sources.dockerapi import docker_ping, dockerlog_input
+
+        assert docker_ping(docker_daemon)
+        since = str(tmp_path / "sincedb.json")
+        df = dockerlog_input(spark, docker_daemon, sincepath=since)
+        rows = {(r["containername"], r["stream"], r["text"]) for r in df.collect()}
+        assert rows == {
+            ("web", "stdout", "hello from web"),
+            ("web", "stdout", "partial line"),
+            ("web", "stderr", "oops happened"),
+            ("db", "stdout", "db says hi"),
+        }
+        assert all(r["host"] for r in df.collect())
+        # second drain: sincedb advanced, daemon returns nothing newer
+        again = dockerlog_input(spark, docker_daemon, sincepath=since)
+        assert again.count() == 0
+
+    def test_dockerlog_include_and_start_position_end(self, spark, docker_daemon, tmp_path):
+        from gogstash_spark.sources.dockerapi import dockerlog_input
+
+        only_db = dockerlog_input(
+            spark, docker_daemon, include_patterns=["^db$"],
+            sincepath=str(tmp_path / "s1.json"),
+        )
+        assert {r["containername"] for r in only_db.collect()} == {"db"}
+        skipped = dockerlog_input(
+            spark, docker_daemon, start_position="end",
+            sincepath=str(tmp_path / "s2.json"),
+        )
+        assert skipped.count() == 0  # first drain at 'end' skips history
+
+    def test_dockerstats_full_and_simple(self, spark, docker_daemon):
+        from gogstash_spark.sources.dockerapi import dockerstats_input
+
+        full = {r["containername"]: json.loads(r["stats"])
+                for r in dockerstats_input(spark, docker_daemon).collect()}
+        assert set(full) == {"web", "db"}
+        assert full["web"]["cpu_stats"]["cpu_usage"]["percpu_usage"] == [50, 50]
+        simple = {r["containername"]: json.loads(r["stats"])
+                  for r in dockerstats_input(
+                      spark, docker_daemon, log_mode="simple").collect()}
+        s = simple["web"]
+        # filterStatsByMode: detail subtrees cleared, totals kept
+        assert "percpu_usage" not in s["cpu_stats"]["cpu_usage"]
+        assert "system_cpu_usage" not in s["cpu_stats"]
+        assert "stats" not in s["memory_stats"]
+        assert s["memory_stats"]["usage"] == 1024
+        assert s["networks"]["eth0"] == {}
+        assert s["cpu_stats"]["cpu_usage"]["total_usage"] == 100
