@@ -145,9 +145,11 @@ def encode_json(
             # removePathValue walk (config/pathvalue.go:150-192).
             # Removing EVERY field would be an invalid empty struct —
             # the column is omitted instead (omit-empty rendering).
+            # Only a DOT-FREE sub removes a whole top-level field;
+            # 'b.x' leaves field b (minus x) in place.
             subs = sorted(nested[c])
-            roots = {s.split(".", 1)[0] for s in subs}
-            if set(f.name for f in df.schema[c].dataType.fields) <= roots:
+            whole = {s for s in subs if "." not in s}
+            if set(f.name for f in df.schema[c].dataType.fields) <= whole:
                 named.append((c, F.lit(None)))
             else:
                 named.append((c, F.col(c).dropFields(*subs)))
@@ -157,7 +159,7 @@ def encode_json(
     # must fail loudly, not serialize the field anyway (the reference
     # walks and silently no-ops only on MISSING paths; a scalar root is
     # always a config bug)
-    for root in nested:
+    for root, subs in nested.items():
         if root in (exclude or []) or root in remove:
             continue
         if root not in df.columns:
@@ -165,10 +167,21 @@ def encode_json(
                 "encode_json remove_field: nested root %r is not a column "
                 "(have: %s)" % (root, sorted(df.columns))
             )
-        if not isinstance(df.schema[root].dataType, (MapType, StructType)):
+        dt = df.schema[root].dataType
+        if not isinstance(dt, (MapType, StructType)):
             raise ValueError(
                 "encode_json remove_field: nested root %r is %s, not a "
-                "map/struct" % (root, df.schema[root].dataType.simpleString())
+                "map/struct" % (root, dt.simpleString())
+            )
+        if isinstance(dt, MapType) and any("." in s for s in subs):
+            # map_filter only matches TOP-LEVEL keys; a deeper dotted
+            # path under a map root would silently serialize the field
+            # the config says to scrub — fail loudly instead
+            raise ValueError(
+                "encode_json remove_field: deeper nested removal under "
+                "map column %r is not supported (got %s); only "
+                "'%s.<key>' single-level keys work on maps"
+                % (root, sorted(s for s in subs if "." in s), root)
             )
     if sort_map_keys:
         named.sort(key=lambda nc: nc[0])

@@ -301,9 +301,12 @@ def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # run at sf1+ in a bench session). DETERMINISTIC per-dataset dir,
     # wiped on entry: repeated invocations (bench loops) overwrite one
     # directory instead of leaking a fresh mkdtemp each call.
+    # pid in the path: deterministic within ONE process (bench loops
+    # reuse + overwrite it) while two concurrent processes over the
+    # same dataset can't rmtree each other's live checkpoint
     out = os.path.join(
         tempfile.gettempdir(), "gs_sess_stream",
-        hashlib.md5(data_dir.encode()).hexdigest()[:12],
+        "%s-%d" % (hashlib.md5(data_dir.encode()).hexdigest()[:12], os.getpid()),
     )
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)

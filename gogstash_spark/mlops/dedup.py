@@ -289,8 +289,16 @@ def dedup_groups(
         labels = nxt
         if changed == 0:
             break
+    # truncate the iterative lineage and RELEASE the loop caches before
+    # returning the (lazy) result: the component-label frame is tiny
+    # (candidate-connected reps only), so materializing it is cheap,
+    # and without the unpersists every invocation would leave
+    # edges_sym + labels pinned in executor storage for the session
+    final = labels.localCheckpoint(eager=True)
+    labels.unpersist()
+    edges_sym.unpersist()
     out = (
-        doc_rep.join(labels.withColumnRenamed("id", "rep"), "rep", "left")
+        doc_rep.join(final.withColumnRenamed("id", "rep"), "rep", "left")
         .select(
             "doc_id",
             F.coalesce(F.col("lbl"), F.col("rep")).alias("group_id"),

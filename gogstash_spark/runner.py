@@ -365,9 +365,19 @@ def run_pipeline(
                 # file list is 10^5-10^6 entries, which must never ride
                 # through the driver or the JSON ledger. Only O(routes)
                 # totals are collected.
+                # input_file_name() returns '' under DSv2 scans — use
+                # each format's metadata column instead: iceberg exposes
+                # _file, parquet/delta the _metadata.file_path hidden
+                # column — so per-file lineage survives the ACID path
+                if fmt == "iceberg":
+                    file_col = F.col("_file")
+                elif fmt == "delta":
+                    file_col = F.col("_metadata.file_path")
+                else:
+                    file_col = F.input_file_name()
                 lineage_df = (
                     _read_routed()
-                    .groupBy("route", F.input_file_name().alias("file"))
+                    .groupBy("route", file_col.alias("file"))
                     .agg(F.count(F.lit(1)).alias("rows"))
                 )
                 lin_dir = os.path.join(out_dir, "_lineage")

@@ -186,27 +186,39 @@ def kafka_write_stream(
     output/kafka/outputkafka.go:96) in the record value, one streaming
     query per topic. Raises a clear error naming the missing connector
     jar on this image."""
+    import re as _re
+
     from gogstash_spark.codecs import encode_json
 
     encoded = encode_json(df, **(json_opts or {})).select(
         F.col("encoded").cast("binary").alias("value")
     )
+    # config errors (empty brokers/topics) surface as-is, OUTSIDE the
+    # jar-probe try — masking them as "jar missing" misdirects the fix
+    per_topic = kafka_sink_options_from_gogstash(gogstash_cfg)
     queries = []
     try:
-        for i, opts in enumerate(kafka_sink_options_from_gogstash(gogstash_cfg)):
+        for opts in per_topic:
+            # checkpoint keyed by TOPIC NAME, never list position: a
+            # reordered/shrunk topic list must not re-bind another
+            # topic's committed offsets (silent skip/duplication)
+            ck = _re.sub(r"[^A-Za-z0-9._-]", "_", opts["topic"])
             w = encoded.writeStream.format("kafka").option(
-                "checkpointLocation", "%s/topic_%d" % (checkpoint_dir, i)
+                "checkpointLocation", "%s/topic_%s" % (checkpoint_dir, ck)
             )
             for k, v in opts.items():
                 w = w.option(k, v)
             queries.append(w.start())
-    except Exception as e:  # jar missing -> actionable message
+    except Exception as e:
         for q in queries:
             q.stop()
-        raise RuntimeError(
-            "kafka connector not on classpath; submit with "
-            "--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>"
-        ) from e
+        msg = str(e)
+        if "Failed to find" in msg or "ClassNotFound" in msg or "DATA_SOURCE_NOT_FOUND" in msg:
+            raise RuntimeError(
+                "kafka connector not on classpath; submit with "
+                "--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>"
+            ) from e
+        raise
     return queries
 
 
@@ -235,10 +247,16 @@ def kafka_stream(
             r = r.option(k, v)
         src = r.load()
     except Exception as e:  # jar missing -> actionable message
-        raise RuntimeError(
-            "kafka connector not on classpath; submit with "
-            "--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>"
-        ) from e
+        msg = str(e)
+        if (
+            "Failed to find" in msg or "ClassNotFound" in msg
+            or "DATA_SOURCE_NOT_FOUND" in msg
+        ):
+            raise RuntimeError(
+                "kafka connector not on classpath; submit with "
+                "--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>"
+            ) from e
+        raise
     from gogstash_spark.codecs import decode_default
 
     return decode_default(src, "value")

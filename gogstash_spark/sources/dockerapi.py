@@ -184,6 +184,30 @@ class SinceDB:
             os.replace(tmp, self.path)
 
 
+def _rfc3339_epoch(s: str) -> int | None:
+    """RFC3339Nano docker log prefix -> unix seconds (floor), None when
+    the token isn't a timestamp."""
+    from datetime import datetime
+
+    if "T" not in s:
+        return None
+    try:
+        # trim nanoseconds to microseconds for fromisoformat
+        if "." in s:
+            base, _, frac = s.partition(".")
+            tz = ""
+            for mark in ("Z", "+", "-"):
+                ix = frac.find(mark)
+                if ix >= 0:
+                    tz = frac[ix:]
+                    frac = frac[:ix]
+                    break
+            s = "%s.%s%s" % (base, (frac + "000000")[:6], tz)
+        return int(datetime.fromisoformat(s.replace("Z", "+00:00")).timestamp())
+    except ValueError:
+        return None
+
+
 def dockerlog_input(
     spark: SparkSession,
     dockerurl: str = "unix:///var/run/docker.sock",
@@ -199,7 +223,15 @@ def dockerlog_input(
     input/dockerlog/logloop.go:25-28. `sincepath` persists a per-
     container last-read timestamp so the next drain starts where this
     one stopped (sincedb.go); start_position='end' skips history on a
-    container's FIRST drain (inputdockerlog.go start_position)."""
+    container's FIRST drain (inputdockerlog.go start_position).
+
+    The cursor advances from the DAEMON's own log timestamps
+    (timestamps=1, RFC3339Nano prefix stripped from the emitted text),
+    never the client clock — a tcp:// remote daemon with clock skew
+    would otherwise permanently lose the lines stamped between the two
+    clocks. Docker's `since` has second granularity and is inclusive,
+    so the last second may replay at the next drain: at-least-once,
+    like the reference's sincedb."""
     import time
 
     if host is None:
@@ -216,12 +248,19 @@ def dockerlog_input(
             continue
         payload = _docker_get(
             dockerurl,
-            "/containers/%s/logs?stdout=1&stderr=1&timestamps=0&since=%d"
+            "/containers/%s/logs?stdout=1&stderr=1&timestamps=1&since=%d"
             % (cid, since),
         )
+        max_ts = 0
         for stream, line in demux_docker_log(payload):
+            ts_str, _, rest = line.partition(" ")
+            ts = _rfc3339_epoch(ts_str)
+            if ts is not None:
+                max_ts = max(max_ts, ts)
+                line = rest
             rows.append((line, host, name, cid, stream))
-        sincedb.update(cid, now)
+        if max_ts:
+            sincedb.update(cid, max_ts)
     return spark.createDataFrame(
         rows,
         "text string, host string, containername string, "

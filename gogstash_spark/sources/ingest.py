@@ -590,8 +590,10 @@ def beats_input(
                     write(state["batch"])
 
     tls_ctx = None
-    if ssl_certificate or ssl_key:
+    if ssl_certificate or ssl_key or ssl_verify:
         if not (ssl_certificate and ssl_key):
+            # ssl_verify without a cert must not silently serve
+            # plaintext — the caller asked for mutual TLS
             raise ValueError("beats TLS needs BOTH ssl_certificate and ssl_key")
         import ssl as _ssl
 
@@ -601,17 +603,22 @@ def beats_input(
             tls_ctx.verify_mode = _ssl.CERT_REQUIRED
             tls_ctx.load_verify_locations(ssl_ca or ssl_certificate)
 
-    class Server(socketserver.ThreadingTCPServer):
-        # wrap at accept time so every connection (and only this
-        # listener) speaks TLS; a handshake failure kills that one
-        # connection, not the server
-        def get_request(self):
-            sock, addr = super().get_request()
-            if tls_ctx is not None:
-                sock = tls_ctx.wrap_socket(sock, server_side=True)
-            return sock, addr
+    if tls_ctx is not None:
+        # wrap in the HANDLER thread (setup), never the accept loop: a
+        # client that connects and stalls mid-handshake must block only
+        # its own thread, and a failed handshake must close only that
+        # connection (socketserver's process_request_thread calls
+        # shutdown_request on handler exceptions, so no fd leak)
+        plain_handler = Handler
 
-    srv = Server((host, port), Handler)
+        class Handler(plain_handler):  # noqa: F811
+            def setup(self):
+                self.request.settimeout(30)  # bound a silent handshake
+                self.request = tls_ctx.wrap_socket(self.request, server_side=True)
+                self.request.settimeout(None)
+                super().setup()
+
+    srv = socketserver.ThreadingTCPServer((host, port), Handler)
     srv.daemon_threads = True
     threading.Thread(target=srv.serve_forever, daemon=True).start()
     return srv, "%s:%d" % srv.server_address

@@ -116,6 +116,29 @@ class TestCodecs:
         ).collect()[0]["encoded"]
         assert out2 == '{"message":"m"}'
 
+    def test_encode_json_struct_deep_sub_does_not_count_as_whole_field(self, spark):
+        """'rec.deep.b' removes only deep.b — it must NOT count 'deep'
+        as fully removed and omit the whole struct (rec.keep and
+        rec.deep.a survive)."""
+        df = spark.createDataFrame(
+            [("m", ("1", ("x", "y")))],
+            "text string, rec struct<keep:string,deep:struct<a:string,b:string>>",
+        )
+        out = codecs.encode_json(
+            df, sort_map_keys=True, remove_field=["rec.keep", "rec.deep.b"]
+        ).collect()[0]["encoded"]
+        assert out == '{"message":"m","rec":{"deep":{"a":"x"}}}'
+
+    def test_encode_json_map_deep_sub_raises(self, spark):
+        """map_filter only reaches top-level map keys; a deeper dotted
+        path under a map root must fail loudly, not silently serialize
+        the field the config says to scrub."""
+        df = spark.createDataFrame(
+            [("m", {"k": "v"})], "text string, attrs map<string,string>"
+        )
+        with pytest.raises(ValueError, match="deeper nested removal"):
+            codecs.encode_json(df, remove_field=["attrs.deep.b"])
+
     def test_encode_json_remove_field_bad_root_raises(self, spark):
         df = spark.createDataFrame([("m", 1)], "text string, n int")
         with pytest.raises(ValueError, match="not a column"):

@@ -246,6 +246,16 @@ class TestBeatsInput:
         msgs = sorted(_json.loads(ln)["message"] for ln in lines)
         assert msgs == ["plain json", "plain kv"]
 
+    def test_tls_verify_without_cert_raises(self, tmp_path):
+        """ssl_verify=True with no cert/key must error, never silently
+        serve plaintext when the caller asked for mutual TLS."""
+        import pytest as _pytest
+
+        from gogstash_spark.sources.ingest import beats_input
+
+        with _pytest.raises(ValueError, match="ssl_certificate"):
+            beats_input(str(tmp_path / "sp"), ssl_verify=True)
+
     def test_lumberjack_over_tls(self, tmp_path):
         """TLS listener (reference inputbeats.go:33-40,78-87): same
         lumberjack frames through an ssl-wrapped connection, self-signed
@@ -271,6 +281,11 @@ class TestBeatsInput:
         srv, addr = beats_input(spool, ssl_certificate=cert, ssl_key=key)
         host, _, port = addr.rpartition(":")
         try:
+            # a client that connects and STALLS mid-handshake must only
+            # block its own handler thread — the TLS exchange below has
+            # to succeed while this one sits silent (the handshake runs
+            # in the handler, never the accept loop)
+            stalled = socket.create_connection((host, int(port)), timeout=5)
             ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
             ctx.check_hostname = False
             ctx.verify_mode = ssl.CERT_NONE
@@ -295,6 +310,7 @@ class TestBeatsInput:
                 got = b""
             assert not got.startswith(b"2A")
             plain.close()
+            stalled.close()
             for _ in range(50):
                 if [f for f in os.listdir(spool) if not f.startswith(".")]:
                     break
@@ -975,14 +991,18 @@ class _FakeDockerDaemon(socketserver.StreamRequestHandler):
             if since > 0:
                 self._respond(b"")  # nothing newer: sincedb honored
             elif cid == "c1":
+                # timestamps=1 shape: RFC3339Nano prefix per line
                 body = (
-                    self._mux(1, b"hello from web\npart")
-                    + self._mux(2, b"oops happened\n")
+                    self._mux(1, b"2024-03-01T10:00:01.123456789Z hello from web\n"
+                                 b"2024-03-01T10:00:02Z part")
+                    + self._mux(2, b"2024-03-01T10:00:01.5Z oops happened\n")
                     + self._mux(1, b"ial line\n")  # stdout continuation
                 )
                 self._respond(body)
             else:
-                self._respond(self._mux(1, b"db says hi\n"), chunked=True)
+                self._respond(
+                    self._mux(1, b"2024-03-01T10:00:03Z db says hi\n"), chunked=True
+                )
         elif "/stats" in path:
             self._respond(json.dumps(self.stats_doc).encode())
         else:
@@ -1017,6 +1037,14 @@ class TestDockerInputs:
             ("db", "stdout", "db says hi"),
         }
         assert all(r["host"] for r in df.collect())
+        # the cursor comes from the DAEMON's log timestamps (clock-skew
+        # safe), not the client clock
+        from datetime import datetime, timezone
+
+        state = json.load(open(since))
+        assert state["c1"] == int(
+            datetime(2024, 3, 1, 10, 0, 2, tzinfo=timezone.utc).timestamp()
+        )
         # second drain: sincedb advanced, daemon returns nothing newer
         again = dockerlog_input(spark, docker_daemon, sincepath=since)
         assert again.count() == 0
