@@ -212,6 +212,7 @@ def ivf_assign(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Shuffle-free IVF cell assignment: (vid, vec, probes) where probes
     is the nprobe nearest centroid cells, nearest first.
@@ -238,9 +239,14 @@ def ivf_assign(
     doubles, ties fall through to the id.
     """
     sq = lambda acc, v: acc + v.cast("double") * v.cast("double")  # noqa: E731
-    cent = (
-        emb.orderBy(id_col).limit(n_centroids)
+    cent0 = (
+        centroids
+        if centroids is not None
+        else emb.orderBy(id_col).limit(n_centroids)
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+    )
+    cent = (
+        cent0
         .withColumn("cnorm", F.sqrt(F.aggregate(F.col("cvec"), F.lit(0.0), sq)))
         .agg(F.collect_list(F.struct("cid", "cvec", "cnorm")).alias("cents"))
     )
@@ -273,6 +279,85 @@ def ivf_assign(
     )
 
 
+def ivf_train(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd k-means for IVF centroids: (cid, cvec) after `iters`
+    refinement rounds from the deterministic min-id seed.
+
+    Per iteration, exactly the two scale-shaped jobs the ivf_topk
+    docstring promises: ASSIGN = the same shuffle-free broadcast
+    scoring as ivf_assign (nprobe=1, zero hash exchange on the n rows);
+    RECOMPUTE = posexplode to (cell, dim, value) then ONE
+    groupBy(cell, dim) mean and a collect_list rebuild — one shuffle
+    whose width is C×d rows, independent of n after the partial
+    aggregation. Empty cells keep their previous centroid (standard
+    Lloyd degenerate-cell rule). Deterministic end to end: seed is
+    min-id, means are exact, iteration count fixed — reproducible
+    across runs, which is what lets ivf_topk's serving plan stay
+    oracle-checkable regardless of how centroids were produced.
+    """
+    sq = lambda acc, v: acc + v.cast("double") * v.cast("double")  # noqa: E731
+    cent = (
+        emb.orderBy(id_col).limit(n_centroids)
+        .select(
+            F.col(id_col).alias("cid"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cvec"),
+        )
+    )
+    base = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    for _ in range(iters):
+        carr = cent.withColumn(
+            "cnorm", F.sqrt(F.aggregate(F.col("cvec"), F.lit(0.0), sq))
+        ).agg(F.collect_list(F.struct("cid", "cvec", "cnorm")).alias("cents"))
+
+        def score(c):
+            dot = F.aggregate(
+                F.zip_with(F.col("vec"), c["cvec"],
+                           lambda x, y: x.cast("double") * y),
+                F.lit(0.0), lambda acc, v: acc + v,
+            )
+            ccos = F.round(dot / (F.col("__vn") * c["cnorm"]), 6)
+            return F.struct((-ccos).alias("nc"), c["cid"].alias("cid"))
+
+        assigned = (
+            base.crossJoin(F.broadcast(carr))
+            .withColumn("__vn", F.sqrt(F.aggregate(F.col("vec"), F.lit(0.0), sq)))
+            .withColumn(
+                "cell",
+                F.when(
+                    F.col("__vn") > 0,
+                    F.element_at(
+                        F.array_sort(F.transform(F.col("cents"), score)), 1
+                    )["cid"],
+                ),
+            )
+            .filter(F.col("cell").isNotNull())
+            .select("cell", "vec")
+        )
+        means = (
+            assigned.select("cell", F.posexplode(F.col("vec")).alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s["m"],
+                ).alias("new_cvec")
+            )
+        )
+        cent = (
+            cent.join(means, cent["cid"] == means["cell"], "left")
+            .select("cid", F.coalesce("new_cvec", "cvec").alias("cvec"))
+        )
+    return cent
+
+
 def ivf_topk(
     emb: DataFrame,
     k: int = 5,
@@ -281,9 +366,12 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_query_id: int | None = 100,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat ANN: partition the space into centroid cells, search
-    only the query's nprobe nearest cells.
+    only the query's nprobe nearest cells. Pass `centroids` (cid, cvec
+    — e.g. from ivf_train) to serve against trained cells; the serving
+    plan is identical either way.
 
     Shapes at scale: cell assignment is shuffle-free (see ivf_assign);
     candidate generation is an EQUI-JOIN on the cell id — the cell is
@@ -298,7 +386,7 @@ def ivf_topk(
     shuffle per iteration); the serving-time plan below is identical
     either way, which is what the parity check pins.
     """
-    assigned = ivf_assign(emb, n_centroids, nprobe, id_col, vec_col)
+    assigned = ivf_assign(emb, n_centroids, nprobe, id_col, vec_col, centroids)
     cells = assigned.select(
         F.col("vid").alias("n_id"),
         F.col("vec").alias("n_vec"),

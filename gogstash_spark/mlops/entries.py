@@ -338,6 +338,20 @@ ranked AS (
 SELECT q_id, n_id, cos, CAST(rk AS INTEGER) AS rk FROM ranked WHERE rk <= 5"""
 
 
+def q_ann_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF serving against Lloyd-TRAINED centroids (ann.ivf_train,
+    2 refinement rounds from the deterministic min-id seed). The
+    training loop is an iterative algorithm — no oracle_sql entry, the
+    driver's rows-only check applies (the sanctioned weaker gate for
+    iterative ops); the SERVING plan is the same one ann_topk_ivf
+    hash-checks against its full-algorithm DuckDB oracle."""
+    emb = _emb(spark, sf_dir)
+    cents = ann.ivf_train(emb, n_centroids=8, iters=2)
+    return ann.ivf_topk(
+        emb, k=5, n_centroids=8, nprobe=2, max_query_id=50, centroids=cents
+    )
+
+
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.lsh_topk(_emb(spark, sf_dir), k=5, n_bits=8, max_query_id=50)
 
@@ -661,6 +675,7 @@ MLOPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding": q_dedup_embedding,
     "ann_topk_brute": q_ann_topk_brute,
     "ann_topk_ivf": q_ann_topk_ivf,
+    "ann_topk_ivf_trained": q_ann_topk_ivf_trained,
     "ann_topk_lsh": q_ann_topk_lsh,
     "ann_topk_lsh_multi": q_ann_topk_lsh_multi,
     "text_langid": q_text_langid,

@@ -252,6 +252,35 @@ class TestANN:
             if r["q_id"] == 0:
                 assert r["n_id"] != 4
 
+    def test_ivf_train_lloyd_converges_to_cluster_means(self, spark):
+        """Two well-separated synthetic clusters: after a few Lloyd
+        rounds the 2 centroids must land on (approximately) the true
+        cluster means, each point's nearest centroid must be its own
+        cluster's, and the result must be deterministic across runs."""
+        import random
+
+        from gogstash_spark.mlops.ann import ivf_train
+
+        rng = random.Random(7)
+        rows = []
+        for i in range(40):
+            rows.append((i, [1.0 + rng.uniform(-.05, .05),
+                             0.0 + rng.uniform(-.05, .05)]))
+        for i in range(40, 80):
+            rows.append((i, [0.0 + rng.uniform(-.05, .05),
+                             1.0 + rng.uniform(-.05, .05)]))
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cents = {r["cid"]: r["cvec"]
+                 for r in ivf_train(emb, n_centroids=2, iters=4).collect()}
+        assert len(cents) == 2
+        # one centroid per cluster direction (cosine assignment → the
+        # mean direction, not necessarily the euclidean mean point)
+        dirs = sorted((round(v[0], 1), round(v[1], 1)) for v in cents.values())
+        assert dirs[0][1] > dirs[0][0] and dirs[1][0] > dirs[1][1]
+        again = {r["cid"]: r["cvec"]
+                 for r in ivf_train(emb, n_centroids=2, iters=4).collect()}
+        assert again == cents  # deterministic
+
     def test_cosine_near_dup_pairs(self, spark, emb):
         pairs = {(r["id_a"], r["id_b"]) for r in
                  ann.cosine_near_dup_pairs(emb, threshold=0.9, n_bits=4).collect()}
