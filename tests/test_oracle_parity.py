@@ -69,5 +69,11 @@ def test_entry_returns_rows(spark):
 def test_every_query_has_oracle_or_is_flagged(contract):
     qs, oracles = contract
     missing = sorted(set(qs) - set(oracles))
-    # non-SQL-expressible ops may be rows-only; keep the list explicit
-    assert missing == [], "queries without oracle: %s" % missing
+    # non-SQL-expressible ops may be rows-only; keep the list EXPLICIT
+    # so a query can't silently drop out of the hash gate:
+    # - ann_topk_ivf_trained: Lloyd training is iterative (driver
+    #   rows-only check); the identical serving plan IS hash-checked
+    #   via ann_topk_ivf
+    assert missing == ["ann_topk_ivf_trained"], (
+        "queries without oracle: %s" % missing
+    )
