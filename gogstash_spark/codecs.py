@@ -140,19 +140,16 @@ def encode_json(
                 c, F.map_filter(F.col(c), lambda k, _v: ~F.array_contains(gone, k)),
             ))
         elif c in nested and isinstance(df.schema[c].dataType, StructType):
-            # struct root: dropFields walks nested names (dotted subs
-            # reach deeper levels), mirroring the reference's
-            # removePathValue walk (config/pathvalue.go:150-192).
-            # Removing EVERY field would be an invalid empty struct —
-            # the column is omitted instead (omit-empty rendering).
-            # Only a DOT-FREE sub removes a whole top-level field;
-            # 'b.x' leaves field b (minus x) in place.
-            subs = sorted(nested[c])
-            whole = {s for s in subs if "." not in s}
-            if set(f.name for f in df.schema[c].dataType.fields) <= whole:
-                named.append((c, F.lit(None)))
-            else:
-                named.append((c, F.col(c).dropFields(*subs)))
+            # struct root: recursive removal mirroring the reference's
+            # removePathValue walk (config/pathvalue.go:150-192) —
+            # handles nested structs (a level whose EVERY field is
+            # removed drops the parent field; an empty struct can't be
+            # expressed), maps nested under structs (single-level key
+            # removal via map_filter), and silently no-ops on missing
+            # nested names like the reference. A fully-emptied ROOT is
+            # omitted (omit-empty rendering).
+            newc = _remove_nested(F.col(c), df.schema[c].dataType, nested[c])
+            named.append((c, newc if newc is not None else F.lit(None)))
         else:
             named.append((c, F.col(c)))
     # a nested remove_field whose root is missing or not a container
@@ -188,6 +185,62 @@ def encode_json(
     return df.withColumn(
         "encoded", F.to_json(F.struct(*[col.alias(n) for n, col in named]))
     )
+
+
+def _remove_nested(col: Column, dtype, subs) -> Column | None:
+    """`col` (a struct) minus the dotted removal paths; None when every
+    field is removed (an empty struct is inexpressible — the caller
+    drops the parent field / omits the column instead). Missing nested
+    names silently no-op (the reference's removePathValue walk); a path
+    descending through a scalar, or more than one level under a MAP
+    (map keys are opaque strings, not paths), raises."""
+    from pyspark.sql.types import MapType, StructType
+
+    by_head: dict[str, set[str]] = {}
+    for s in subs:
+        head, _, rest = s.partition(".")
+        by_head.setdefault(head, set())
+        if rest:
+            by_head[head].add(rest)
+    fields = {f.name: f.dataType for f in dtype.fields}
+    whole: set[str] = set()
+    out = col
+    for head, rests in by_head.items():
+        if head not in fields:
+            continue
+        if not rests:
+            whole.add(head)
+            continue
+        ft = fields[head]
+        if isinstance(ft, StructType):
+            child = _remove_nested(col[head], ft, rests)
+            if child is None:
+                whole.add(head)
+            else:
+                out = out.withField(head, child)
+        elif isinstance(ft, MapType):
+            deep = sorted(r for r in rests if "." in r)
+            if deep:
+                raise ValueError(
+                    "encode_json remove_field: deeper nested removal "
+                    "under map field %r is not supported (got %s)"
+                    % (head, deep)
+                )
+            gone = F.array(*[F.lit(k) for k in sorted(rests)])
+            out = out.withField(
+                head,
+                F.map_filter(col[head], lambda k, _v: ~F.array_contains(gone, k)),
+            )
+        else:
+            raise ValueError(
+                "encode_json remove_field: %r is %s, not a map/struct"
+                % (head, ft.simpleString())
+            )
+    if set(fields) <= whole:
+        return None
+    if whole:
+        out = out.dropFields(*sorted(whole))
+    return out
 
 
 def decode_azureeventhubjson(

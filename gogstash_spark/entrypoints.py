@@ -303,9 +303,22 @@ def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # directory instead of leaking a fresh mkdtemp each call.
     # pid in the path: deterministic within ONE process (bench loops
     # reuse + overwrite it) while two concurrent processes over the
-    # same dataset can't rmtree each other's live checkpoint
+    # same dataset can't rmtree each other's live checkpoint. Sibling
+    # dirs whose pid is dead are swept here so exited processes don't
+    # leak one checkpoint dir each into /tmp forever.
+    root = os.path.join(tempfile.gettempdir(), "gs_sess_stream")
+    if os.path.isdir(root):
+        for d in os.listdir(root):
+            pid_s = d.rpartition("-")[2]
+            if pid_s.isdigit() and int(pid_s) != os.getpid():
+                try:
+                    os.kill(int(pid_s), 0)
+                except ProcessLookupError:
+                    shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+                except PermissionError:
+                    pass  # someone else's live process
     out = os.path.join(
-        tempfile.gettempdir(), "gs_sess_stream",
+        root,
         "%s-%d" % (hashlib.md5(data_dir.encode()).hexdigest()[:12], os.getpid()),
     )
     shutil.rmtree(out, ignore_errors=True)

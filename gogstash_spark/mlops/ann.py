@@ -354,6 +354,13 @@ def ivf_train(
         cent = (
             cent.join(means, cent["cid"] == means["cell"], "left")
             .select("cid", F.coalesce("new_cvec", "cvec").alias("cvec"))
+            # cent is referenced TWICE per round (carr seed + join left
+            # side): without truncation the final plan holds ~2^iters
+            # copies of the centroid subtree, each re-scanning emb.
+            # The frame is C rows — materializing it per round is free
+            # and keeps the per-iteration work at exactly the two jobs
+            # described above.
+            .localCheckpoint(eager=True)
         )
     return cent
 

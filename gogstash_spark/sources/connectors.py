@@ -197,12 +197,20 @@ def kafka_write_stream(
     # jar-probe try — masking them as "jar missing" misdirects the fix
     per_topic = kafka_sink_options_from_gogstash(gogstash_cfg)
     queries = []
+    seen: dict[str, int] = {}
     try:
         for opts in per_topic:
             # checkpoint keyed by TOPIC NAME, never list position: a
             # reordered/shrunk topic list must not re-bind another
-            # topic's committed offsets (silent skip/duplication)
+            # topic's committed offsets (silent skip/duplication). A
+            # topic listed TWICE (the reference would publish each
+            # event twice to it) gets a _dupN suffix so the two
+            # concurrent queries never share one streaming checkpoint.
             ck = _re.sub(r"[^A-Za-z0-9._-]", "_", opts["topic"])
+            n = seen.get(ck, 0)
+            seen[ck] = n + 1
+            if n:
+                ck = "%s_dup%d" % (ck, n)
             w = encoded.writeStream.format("kafka").option(
                 "checkpointLocation", "%s/topic_%s" % (checkpoint_dir, ck)
             )

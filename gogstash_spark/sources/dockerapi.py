@@ -159,7 +159,11 @@ def _list_containers(url: str, include_patterns, exclude_patterns) -> list[dict]
 
 class SinceDB:
     """sincedb for dockerlog: last-read unix time per container id
-    (reference input/dockerlog/sincedb.go), JSON file, atomic replace."""
+    (reference input/dockerlog/sincedb.go), JSON file, atomic replace.
+    `update` mutates memory only; call `save()` once per drain — a
+    per-container rewrite would be O(containers^2) bytes per drain, and
+    a crash mid-drain just re-reads from the old cursors (at-least-once
+    either way)."""
 
     def __init__(self, path: str | None):
         import os
@@ -174,14 +178,42 @@ class SinceDB:
         return int(self.state.get(cid, 0))
 
     def update(self, cid: str, ts: int) -> None:
+        self.state[cid] = int(ts)
+
+    def save(self) -> None:
         import os
 
-        self.state[cid] = int(ts)
         if self.path:
             tmp = self.path + ".tmp"
             with open(tmp, "w") as f:
                 json.dump(self.state, f)
             os.replace(tmp, self.path)
+
+
+def _container_log_lines(url: str, cid: str, payload: bytes):
+    """Yield (stream, line): a TTY container's /logs is a RAW character
+    stream (no 8-byte frame headers — feeding it to the demuxer would
+    read log text as frame lengths and garble everything), a non-TTY
+    container's is multiplexed. Config.Tty comes from the inspect
+    endpoint (the list endpoint doesn't carry it, go-dockerclient's
+    RawTerminal handling); a failed inspect falls back to the frame-
+    header shape (stream byte 0-2 + three zero bytes — never the start
+    of text)."""
+    try:
+        info = json.loads(_docker_get(url, "/containers/%s/json" % cid))
+        tty = bool((info.get("Config") or {}).get("Tty"))
+    except Exception:
+        tty = not (
+            len(payload) >= 8
+            and payload[0] in (0, 1, 2)
+            and payload[1:4] == b"\x00\x00\x00"
+        )
+    if tty:
+        for ln in payload.decode("utf-8", "replace").splitlines():
+            if ln:
+                yield "stdout", ln.rstrip("\r")
+        return
+    yield from demux_docker_log(payload)
 
 
 def _rfc3339_epoch(s: str) -> int | None:
@@ -252,7 +284,7 @@ def dockerlog_input(
             % (cid, since),
         )
         max_ts = 0
-        for stream, line in demux_docker_log(payload):
+        for stream, line in _container_log_lines(dockerurl, cid, payload):
             ts_str, _, rest = line.partition(" ")
             ts = _rfc3339_epoch(ts_str)
             if ts is not None:
@@ -261,6 +293,7 @@ def dockerlog_input(
             rows.append((line, host, name, cid, stream))
         if max_ts:
             sincedb.update(cid, max_ts)
+    sincedb.save()
     return spark.createDataFrame(
         rows,
         "text string, host string, containername string, "

@@ -129,6 +129,34 @@ class TestCodecs:
         ).collect()[0]["encoded"]
         assert out == '{"message":"m","rec":{"deep":{"a":"x"}}}'
 
+    def test_encode_json_nested_struct_fully_removed_drops_parent_field(self, spark):
+        """Removing EVERY field of a NESTED struct must drop that
+        parent field (an empty struct is inexpressible), not crash
+        with CANNOT_DROP_ALL_FIELDS."""
+        df = spark.createDataFrame(
+            [("m", ("1", ("x",)))],
+            "text string, rec struct<keep:string,deep:struct<b:string>>",
+        )
+        out = codecs.encode_json(
+            df, sort_map_keys=True, remove_field=["rec.deep.b"]
+        ).collect()[0]["encoded"]
+        assert out == '{"message":"m","rec":{"keep":"1"}}'
+
+    def test_encode_json_map_nested_under_struct(self, spark):
+        """Single-level key removal works for a map NESTED under a
+        struct (the reference's removePathValue walks it); deeper paths
+        under that map still fail loudly."""
+        df = spark.createDataFrame(
+            [("m", ({"keep": "1", "drop": "2"},))],
+            "text string, rec struct<attrs:map<string,string>>",
+        )
+        out = codecs.encode_json(
+            df, sort_map_keys=True, remove_field=["rec.attrs.drop"]
+        ).collect()[0]["encoded"]
+        assert out == '{"message":"m","rec":{"attrs":{"keep":"1"}}}'
+        with pytest.raises(ValueError, match="deeper nested removal"):
+            codecs.encode_json(df, remove_field=["rec.attrs.a.b"]).collect()
+
     def test_encode_json_map_deep_sub_raises(self, spark):
         """map_filter only reaches top-level map keys; a deeper dotted
         path under a map root must fail loudly, not silently serialize

@@ -937,6 +937,7 @@ class _FakeDockerDaemon(socketserver.StreamRequestHandler):
         {"Id": "c1", "Names": ["/web"]},
         {"Id": "c2", "Names": ["/gogstash-agent"]},  # default-excluded
         {"Id": "c3", "Names": ["/db"]},
+        {"Id": "c4", "Names": ["/term"]},  # tty:true -> RAW log stream
     ]
     stats_doc = {
         "read": "2024-03-01T10:00:00Z",
@@ -983,6 +984,11 @@ class _FakeDockerDaemon(socketserver.StreamRequestHandler):
             self._respond(b"OK")
         elif path.startswith("/containers/json"):
             self._respond(json.dumps(self.containers).encode())
+        elif path.endswith("/json"):  # inspect: Config.Tty drives demux
+            cid = path.split("/")[2]
+            self._respond(
+                json.dumps({"Id": cid, "Config": {"Tty": cid == "c4"}}).encode()
+            )
         elif "/logs" in path:
             cid = path.split("/")[2]
             since = 0
@@ -999,6 +1005,9 @@ class _FakeDockerDaemon(socketserver.StreamRequestHandler):
                     + self._mux(1, b"ial line\n")  # stdout continuation
                 )
                 self._respond(body)
+            elif cid == "c4":
+                # tty container: RAW stream, no frame headers
+                self._respond(b"2024-03-01T10:00:04Z tty says hi\n")
             else:
                 self._respond(
                     self._mux(1, b"2024-03-01T10:00:03Z db says hi\n"), chunked=True
@@ -1035,6 +1044,7 @@ class TestDockerInputs:
             ("web", "stdout", "partial line"),
             ("web", "stderr", "oops happened"),
             ("db", "stdout", "db says hi"),
+            ("term", "stdout", "tty says hi"),  # raw (tty) stream, not demuxed
         }
         assert all(r["host"] for r in df.collect())
         # the cursor comes from the DAEMON's log timestamps (clock-skew
@@ -1068,7 +1078,7 @@ class TestDockerInputs:
 
         full = {r["containername"]: json.loads(r["stats"])
                 for r in dockerstats_input(spark, docker_daemon).collect()}
-        assert set(full) == {"web", "db"}
+        assert set(full) == {"web", "db", "term"}
         assert full["web"]["cpu_stats"]["cpu_usage"]["percpu_usage"] == [50, 50]
         simple = {r["containername"]: json.loads(r["stats"])
                   for r in dockerstats_input(
