@@ -340,16 +340,88 @@ SELECT q_id, n_id, cos, CAST(rk AS INTEGER) AS rk FROM ranked WHERE rk <= 5"""
 
 def q_ann_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF serving against Lloyd-TRAINED centroids (ann.ivf_train,
-    2 refinement rounds from the deterministic min-id seed). The
-    training loop is an iterative algorithm — no oracle_sql entry, the
-    driver's rows-only check applies (the sanctioned weaker gate for
-    iterative ops); the SERVING plan is the same one ann_topk_ivf
-    hash-checks against its full-algorithm DuckDB oracle."""
+    2 refinement rounds from the deterministic min-id seed). Fully
+    hash-checked: the fixed iteration count lets the DuckDB oracle
+    UNROLL the training loop as two chained CTE stages (argmax-assign +
+    per-(cell,dim) mean), then serve with the same plan ann_topk_ivf
+    checks — iterative-with-known-depth is SQL-expressible, no
+    rows-only waiver needed."""
     emb = _emb(spark, sf_dir)
     cents = ann.ivf_train(emb, n_centroids=8, iters=2)
     return ann.ivf_topk(
         emb, k=5, n_centroids=8, nprobe=2, max_query_id=50, centroids=cents
     )
+
+
+def _lloyd_iter_cte(i: int, prev: str, dim: int) -> str:
+    """One unrolled Lloyd iteration as CTE text: assign every non-zero
+    vector to its nearest centroid from `prev` (argmax of 6-dp-rounded
+    cosine, ties to min cid — exactly ann.ivf_train's
+    array_sort(struct(-ccos, cid)) order), then recompute each cell's
+    centroid as the per-dimension mean; empty cells keep their previous
+    centroid (the coalesce)."""
+    ccos = _sql_cos("e.embedding", "c.cvec")
+    return f"""a{i} AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {ccos} DESC, c.cid ASC) AS crk
+  FROM embeddings e CROSS JOIN {prev} c
+  WHERE list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) > 0
+),
+m{i} AS (
+  SELECT a.cid AS cell, r.i AS dim, avg(a.embedding[r.i]::DOUBLE) AS m
+  FROM a{i} a CROSS JOIN range(1, {dim + 1}) r(i)
+  WHERE a.crk = 1
+  GROUP BY 1, 2
+),
+mv{i} AS (SELECT cell, list(m ORDER BY dim) AS cvec FROM m{i} GROUP BY cell),
+cent{i} AS (
+  SELECT c.cid, coalesce(v.cvec, c.cvec) AS cvec
+  FROM {prev} c LEFT JOIN mv{i} v ON v.cell = c.cid
+)"""
+
+
+def o_ann_topk_ivf_trained(iters: int = 2, dim: int = 64) -> str:
+    """ann.ivf_train(iters=2) unrolled: cent0 = min-id seed, each
+    iteration = argmax-assign + mean-recompute CTE pair, then the same
+    serving plan as o_ann_topk_ivf against the final centroids. The
+    only cross-engine arithmetic risk is the unrounded per-dim means;
+    they feed cell assignment solely through cosines rounded to 6 dp,
+    which absorbs summation-order noise (same argument as every other
+    green cosine query here)."""
+    train = ",\n".join(
+        _lloyd_iter_cte(i + 1, "cent%d" % i, dim) for i in range(iters)
+    )
+    ccos = _sql_cos("e.embedding", "c.cvec")
+    cos = _sql_cos("p.q_vec", "b.n_vec")
+    return f"""WITH cent0 AS (
+  SELECT vec_id AS cid, [x::DOUBLE FOR x IN embedding] AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 8
+),
+{train},
+assign AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {ccos} DESC, c.cid ASC) AS crk
+  FROM embeddings e CROSS JOIN cent{iters} c
+),
+cells AS (
+  SELECT vec_id AS n_id, embedding AS n_vec, cid FROM assign WHERE crk = 1
+),
+probes AS (
+  SELECT vec_id AS q_id, embedding AS q_vec, cid
+  FROM assign WHERE crk <= 2 AND vec_id < 50
+),
+pairs AS (
+  SELECT p.q_id, b.n_id, {cos} AS cos
+  FROM probes p JOIN cells b ON p.cid = b.cid AND p.q_id <> b.n_id
+),
+ranked AS (
+  SELECT q_id, n_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
+  FROM pairs
+)
+SELECT q_id, n_id, cos, CAST(rk AS INTEGER) AS rk FROM ranked WHERE rk <= 5"""
 
 
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -620,11 +692,29 @@ FROM s"""
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOTH multimodal branches in one hash-checked frame (the driver's
+    correctness artifact caps at 50 rows — README "Correctness gate" —
+    so the former multimodal_features/multimodal_decode pair is one
+    query now; nothing silently drops out of the check):
+    - text branch: utf-8 payloads, byte-level features, null image cols;
+    - decode branch: deterministic PPM payloads generated per doc
+      (Arrow-batched binary UDF) and REALLY decoded in pure numpy
+      inside mapInPandas — width/height/channels/mean-pixel are actual
+      decoded values, not fakes.
+    The modality column keeps the two branches distinguishable."""
     docs = _docs(spark, sf_dir)
-    return multimodal.extract_features(multimodal.attach_binary_payload(docs))
+    text_feats = multimodal.extract_features(multimodal.attach_binary_payload(docs))
+    ppm_feats = multimodal.extract_features(
+        multimodal.attach_ppm_payload(docs.select("doc_id"))
+    )
+    return text_feats.unionByName(ppm_feats)
 
 
 def o_multimodal_features() -> str:
+    # decode branch: payload = 'P6\n{w} {h}\n255\n' + pixels where
+    # pixel i = (doc_id*31 + i) % 256; w in 4..8 and h in 3..6 are
+    # single-digit so the header is always 11 bytes and its first 8
+    # bytes are the ASCII text 'P6\n{w} {h}\n{first-digit-of-255}'
     return """SELECT doc_id,
   CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
   lower(hex(encode(substr(text, 1, 8)))) AS head_hex,
@@ -634,35 +724,18 @@ def o_multimodal_features() -> str:
   CAST(NULL AS INTEGER) AS height,
   CAST(NULL AS INTEGER) AS n_channels,
   CAST(NULL AS DOUBLE) AS mean_pixel
-FROM documents"""
-
-
-def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode path: deterministic PPM payloads generated per
-    doc (Arrow-batched binary UDF), decoded in pure numpy inside
-    mapInPandas — width/height/channels/mean-pixel are actual decoded
-    values, not fakes."""
-    docs = _docs(spark, sf_dir).select("doc_id")
-    feats = multimodal.extract_features(multimodal.attach_ppm_payload(docs))
-    return feats.select(
-        "doc_id", "byte_len", "width", "height", "n_channels", "mean_pixel"
-    )
-
-
-def o_multimodal_decode() -> str:
-    # payload = 'P6\\n{w} {h}\\n255\\n' + pixels where pixel i =
-    # (doc_id*31 + i) % 256; w in 4..8 and h in 3..6 are single-digit so
-    # the header is always 11 bytes
-    return """WITH d AS (
-  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
-)
+FROM documents
+UNION ALL
 SELECT doc_id,
   CAST(11 + w*h*3 AS BIGINT) AS byte_len,
+  lower(hex(encode(substr('P6' || chr(10) || w || ' ' || h || chr(10) || '255' || chr(10), 1, 8)))) AS head_hex,
+  'image/x-portable-pixmap' AS modality,
+  CAST((11 + w*h*3) % 7 AS DOUBLE) AS fake_dim,
   CAST(w AS INTEGER) AS width,
   CAST(h AS INTEGER) AS height,
   3 AS n_channels,
   round(list_avg([(doc_id*31 + i) % 256 FOR i IN range(0, CAST(w*h*3 AS INTEGER))]), 6) AS mean_pixel
-FROM d"""
+FROM (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents)"""
 
 
 MLOPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -685,7 +758,6 @@ MLOPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_redact": q_text_redact,
     "embedding_quantize": q_embedding_quantize,
     "multimodal_features": q_multimodal_features,
-    "multimodal_decode": q_multimodal_decode,
 }
 
 MLOPS_ORACLES: dict[str, Callable[[], str]] = {
@@ -698,6 +770,7 @@ MLOPS_ORACLES: dict[str, Callable[[], str]] = {
     "dedup_embedding": o_dedup_embedding,
     "ann_topk_brute": o_ann_topk_brute,
     "ann_topk_ivf": o_ann_topk_ivf,
+    "ann_topk_ivf_trained": o_ann_topk_ivf_trained,
     "ann_topk_lsh": o_ann_topk_lsh,
     "ann_topk_lsh_multi": o_ann_topk_lsh_multi,
     "text_langid": o_text_langid,
@@ -707,5 +780,4 @@ MLOPS_ORACLES: dict[str, Callable[[], str]] = {
     "text_redact": o_text_redact,
     "embedding_quantize": o_embedding_quantize,
     "multimodal_features": o_multimodal_features,
-    "multimodal_decode": o_multimodal_decode,
 }

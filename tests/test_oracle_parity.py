@@ -66,14 +66,52 @@ def test_entry_returns_rows(spark):
     assert set(df.columns) == {"sink", "tool", "time_bucket", "n"}
 
 
+def test_every_query_is_in_the_latest_correctness_artifact(contract):
+    """Round-4 lesson: the driver's CORRECTNESS_r*.json holds at most 50
+    rows — with 51 exposed queries the last dict entry (then
+    multimodal_decode) silently fell out of the check for a round.
+    Guard both halves: the query dict must never exceed the cap, and
+    every exposed query must have a row in the newest artifact (new
+    queries added since the last driver run go in NEW_QUERIES, an
+    explicit list that must be emptied once their rows land)."""
+    import glob
+    import json
+    import re
+
+    NEW_QUERIES: set[str] = set()  # nothing new-and-unchecked right now
+
+    qs, _ = contract
+    assert len(qs) <= 50, (
+        "driver correctness artifact caps at 50 rows; %d queries exposed "
+        "— merge or retire one (see README 'Correctness gate')" % len(qs)
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest, latest_n = None, -1
+    for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if m and int(m.group(1)) > latest_n:
+            latest, latest_n = p, int(m.group(1))
+    if latest is None:
+        pytest.skip("no CORRECTNESS_r*.json yet (round 1)")
+    with open(latest) as f:
+        checked = set(json.load(f))
+    unchecked = sorted(set(qs) - checked - NEW_QUERIES)
+    assert unchecked == [], (
+        "queries with no row in %s (and not declared NEW_QUERIES): %s"
+        % (os.path.basename(latest), unchecked)
+    )
+    stale_new = sorted(NEW_QUERIES & checked)
+    assert stale_new == [], (
+        "NEW_QUERIES entries already checked in %s — remove them: %s"
+        % (os.path.basename(latest), stale_new)
+    )
+
+
 def test_every_query_has_oracle_or_is_flagged(contract):
     qs, oracles = contract
     missing = sorted(set(qs) - set(oracles))
     # non-SQL-expressible ops may be rows-only; keep the list EXPLICIT
-    # so a query can't silently drop out of the hash gate:
-    # - ann_topk_ivf_trained: Lloyd training is iterative (driver
-    #   rows-only check); the identical serving plan IS hash-checked
-    #   via ann_topk_ivf
-    assert missing == ["ann_topk_ivf_trained"], (
-        "queries without oracle: %s" % missing
-    )
+    # so a query can't silently drop out of the hash gate. Round 5:
+    # empty — even the Lloyd-trained IVF has a full hash oracle (the
+    # fixed iteration count unrolls as chained CTEs).
+    assert missing == [], "queries without oracle: %s" % missing
