@@ -19,6 +19,10 @@ Round-over-round interpretability on this shared, noisy host
   `vs_prev`; any query >2x its previous round gets 2 extra re-runs
   (min kept) before being reported — transient host spikes don't land
   in the record
+- `vs_prev_normalized` divides each vs_prev ratio by the same-run
+  jvm-control ratio (this round's control / previous round's): the
+  host-speed component of a delta is factored out, the raw ratio stays
+  reported beside it
 - the sf1 end-to-end run (5M turns, fixed costs amortized) is the
   headline turns/sec: when it succeeds, the top-level `turns_per_sec`
   IS the sf1 number; the sf0.1 figure always stays available as
@@ -36,24 +40,25 @@ import sys
 import time
 
 
-def _load_prev(repo: str) -> tuple[str | None, dict]:
-    """(round_name, queries dict) from the newest BENCH_r*.json."""
+def _load_prev(repo: str) -> tuple[str | None, dict, float | None]:
+    """(round_name, queries dict, jvm_control_sec) from the newest
+    BENCH_r*.json."""
     best, best_n = None, -1
     for p in glob.glob(os.path.join(repo, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", p)
         if m and int(m.group(1)) > best_n:
             best, best_n = p, int(m.group(1))
     if best is None:
-        return None, {}
+        return None, {}, None
     try:
         with open(best) as f:
             d = json.load(f)
         # the round driver wraps bench stdout under "parsed"
         if "queries" not in d and isinstance(d.get("parsed"), dict):
             d = d["parsed"]
-        return os.path.basename(best), d.get("queries", {})
+        return os.path.basename(best), d.get("queries", {}), d.get("jvm_control_sec")
     except Exception:
-        return None, {}
+        return None, {}, None
 
 
 def main() -> None:
@@ -135,7 +140,7 @@ def main() -> None:
         "sessionize",
         "syslog_parse",
     ]
-    prev_name, prev = _load_prev(repo)
+    prev_name, prev, prev_jvm = _load_prev(repo)
     for name in names:
         if name not in qs:
             continue
@@ -151,6 +156,17 @@ def main() -> None:
         k: round(timings[k] / prev[k], 2)
         for k in timings if prev.get(k)
     }
+    # host-speed-normalized ratios: the per-query suite is one warm pass
+    # whose walls swing with what the shared host gives this JVM (round
+    # 3->4 the pure-JVM control alone moved 1.38x); dividing by the
+    # control ratio separates "the host was slower" from "the query got
+    # slower". Report BOTH — raw for honesty, normalized for reading.
+    host_ratio = (jvm_control / prev_jvm) if prev_jvm else None
+    vs_prev_normalized = (
+        {k: round(v / host_ratio, 2) for k, v in vs_prev.items()}
+        if host_ratio
+        else {}
+    )
 
     # sf1 headline: fixed costs (plan analysis, session) are ~40% of the
     # sf0.1 wall (BASELINE.md), so the honest throughput number needs the
@@ -204,7 +220,10 @@ def main() -> None:
                 "sink_rows": res.sink_rows,
                 "jvm_control_sec": round(jvm_control, 3),
                 "prev_round": prev_name,
+                "prev_jvm_control_sec": prev_jvm,
+                "host_ratio_vs_prev": round(host_ratio, 3) if host_ratio else None,
                 "vs_prev": vs_prev,
+                "vs_prev_normalized": vs_prev_normalized,
                 **sf1_block,
             }
         )

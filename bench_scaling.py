@@ -130,8 +130,25 @@ def main() -> None:
         "efficiency_vs_machine_ceiling": round(speedup / ctrl_speedup, 3),
     }
     print(json.dumps(report))
-    with open(os.path.join(repo, "BENCH_SCALING.json"), "w") as f:
-        json.dump(report, f, indent=2)
+    # MERGE into BENCH_SCALING.json, never overwrite: the sf1 run owns
+    # the top level (round-over-round continuity), every other scale
+    # factor lands under "<sf>_run" — running sf1 then sf3 in either
+    # order yields one file carrying both
+    path = os.path.join(repo, "BENCH_SCALING.json")
+    existing: dict = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                existing = json.load(f)
+        except Exception:
+            existing = {}
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    if sf_name == "sf1":
+        merged = {**existing, **report}
+    else:
+        merged = {**existing, "%s_run" % sf_name: report}
+    with open(path, "w") as f:
+        json.dump(merged, f, indent=2)
 
 
 if __name__ == "__main__":

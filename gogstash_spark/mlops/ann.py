@@ -79,21 +79,41 @@ def hyperplanes(dim: int, n_bits: int, table: int, seed: int = 42) -> list[list[
     return [[rng.choice((-1.0, 1.0)) for _ in range(dim)] for _ in range(n_bits)]
 
 
-def hyperplane_bucket(vec, planes: list[list[float]]):
+def hyperplane_bucket(vec, planes_col):
     """Bucket id from sign(vec . w_b) per plane — a real random-
     projection LSH (sign_bucket's axis-aligned planes are its dim<=bits
-    special case). Left-fold aggregate keeps addition order fixed so
-    the oracle can reproduce the exact double."""
-    bits = []
-    for w in planes:
-        warr = F.array(*[F.lit(x) for x in w])
+    special case). `planes_col` is an array<array<double>> COLUMN (one
+    inner array per plane, from the 1-row broadcast built by
+    hyperplane_tables_df) — never inline literals: the literal form
+    embedded n_bits x dim float constants in the expression tree, which
+    at production d=1024 / 16 bits is 16k literals per table (and
+    multi-table multiplies it); the broadcast keeps plan size O(1) in
+    dim, the same pattern as ivf_assign's centroid row. Left-fold
+    aggregate keeps addition order fixed so the oracle can reproduce
+    the exact double; the per-plane lambda does exactly one O(d) dot —
+    no staged-column need (nothing is re-evaluated per element beyond
+    the required work)."""
+
+    def bit(w):
         proj = F.aggregate(
-            F.zip_with(vec, warr, lambda x, y: x.cast("double") * y),
+            F.zip_with(vec, w, lambda x, y: x.cast("double") * y),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+        return F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    return F.array_join(F.transform(planes_col, bit), "")
+
+
+def hyperplane_tables_df(spark, dim: int, n_bits: int, n_tables: int, seed: int = 42):
+    """ONE-row frame [tables: array<struct<t:int, ws:array<array<double>>>>]
+    holding every LSH table's hyperplanes, for a broadcast cross join —
+    the hyperplane analog of ivf_assign's 1-row centroid frame.
+    sort_array on struct(t, ws) orders by t, so explode yields tables in
+    deterministic order."""
+    rows = [(t, hyperplanes(dim, n_bits, t, seed)) for t in range(n_tables)]
+    pdf = spark.createDataFrame(rows, "t int, ws array<array<double>>")
+    return pdf.agg(F.sort_array(F.collect_list(F.struct("t", "ws"))).alias("tables"))
 
 
 def _cap_buckets(df: DataFrame, keys: list[str], cap: int | None) -> DataFrame:
@@ -132,18 +152,18 @@ def lsh_topk_multi(
     per key, dedup candidates, then exact-cosine rank — candidate
     generation never leaves bucket joins.
     """
-    tables = [
-        F.struct(
-            F.lit(t).alias("t"),
-            hyperplane_bucket(F.col(vec_col), hyperplanes(dim, n_bits, t, seed)).alias("b"),
+    packed = hyperplane_tables_df(emb.sparkSession, dim, n_bits, n_tables, seed)
+    keyed = (
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .crossJoin(F.broadcast(packed))
+        .select("id", "vec", F.explode("tables").alias("tb"))
+        .select(
+            "id",
+            "vec",
+            F.col("tb.t").alias("t"),
+            hyperplane_bucket(F.col("vec"), F.col("tb.ws")).alias("b"),
         )
-        for t in range(n_tables)
-    ]
-    keyed = emb.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        F.explode(F.array(*tables)).alias("tb"),
-    ).select("id", "vec", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+    )
     keyed = _cap_buckets(keyed, ["t", "b"], bucket_cap)
     q = keyed.select(F.col("id").alias("q_id"), "t", "b")
     if max_query_id is not None:

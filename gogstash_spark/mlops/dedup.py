@@ -218,6 +218,8 @@ def dedup_groups(
     threshold: float = 0.5,
     bucket_cap: int | None = None,
     max_iter: int = 20,
+    checkpoint_every: int = 5,
+    strict: bool = True,
 ) -> DataFrame:
     """The PRODUCTION dedup pipeline, end to end: collapse exact dups ->
     MinHash-LSH candidates -> exact-Jaccard verify -> connected
@@ -234,9 +236,15 @@ def dedup_groups(
       scale the edge graph is orders of magnitude smaller than the
       corpus). Each iteration is one equi-join + groupBy(min); dup
       clusters have tiny diameters so this converges in a few rounds
-      (the standard scalable CC shape; a 1000-executor run would
-      checkpoint between iterations — here the loop is bounded by
-      max_iter and stops at the first fixpoint).
+      (the standard scalable CC shape). The label frame is
+      localCheckpoint'ed every `checkpoint_every` iterations — it is
+      tiny, and without truncation a max_iter-deep pathological graph
+      nests max_iter join generations in one plan. A component whose
+      diameter exceeds max_iter would exit with PARTIALLY merged
+      groups; strict=True (default) raises instead of returning that
+      silently-wrong answer (the same no-silent-truncation rule as
+      bucket_cap), strict=False downgrades to a log warning for
+      callers that prefer best-effort labels.
 
     Non-SQL-expressible in one query? No: the DuckDB oracle replicates
     the whole thing, components via a recursive CTE — full value-hash
@@ -262,7 +270,8 @@ def dedup_groups(
         .withColumn("lbl", F.col("id"))
         .persist()
     )
-    for _ in range(max_iter):
+    changed = 0
+    for it in range(max_iter):
         nbr = (
             edges_sym.join(
                 labels.select(F.col("id").alias("dst"), F.col("lbl").alias("dlbl")),
@@ -289,6 +298,27 @@ def dedup_groups(
         labels = nxt
         if changed == 0:
             break
+        if (it + 1) % checkpoint_every == 0:
+            # truncate mid-loop lineage: each round adds a join
+            # generation to the plan, so a long-diameter graph would
+            # otherwise hand Catalyst a max_iter-deep tree; the label
+            # frame is tiny (connected reps only), materializing is free
+            labels = labels.localCheckpoint(eager=True)
+    if changed > 0:
+        msg = (
+            "dedup_groups did not reach a fixpoint in max_iter=%d rounds "
+            "(%d labels still changing): a near-dup chain has diameter > "
+            "max_iter and its groups are PARTIALLY merged. Raise max_iter "
+            "(label propagation needs one round per hop) or pass "
+            "strict=False to accept best-effort labels." % (max_iter, changed)
+        )
+        if strict:
+            edges_sym.unpersist()
+            labels.unpersist()
+            raise RuntimeError(msg)
+        import logging
+
+        logging.getLogger(__name__).warning(msg)
     # truncate the iterative lineage and RELEASE the loop caches before
     # returning the (lazy) result: the component-label frame is tiny
     # (candidate-connected reps only), so materializing it is cheap,

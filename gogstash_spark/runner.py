@@ -197,6 +197,7 @@ def run_pipeline(
     resume: bool = True,
     write_mode: str = "partitioned",  # "per_sink": K separate writes, per-sink resume
     table_format: str = "parquet",  # "iceberg"/"delta": ACID commit when jar present
+    table_ident: str | None = None,  # iceberg only: catalog.db.table for writeTo()
     fail_after_sink: str | None = None,  # test hook for resume tests
 ) -> RunResult:
     """write_mode="partitioned" (default, the scale path): ONE
@@ -291,6 +292,9 @@ def run_pipeline(
         routed = routed.localCheckpoint(eager=True)
 
     result = RunResult()
+    # per_sink mode always materializes `routed` (localCheckpoint above);
+    # partitioned mode only runs it when the write isn't resume-skipped
+    routed_executed = write_mode != "partitioned"
     try:
         if write_mode == "partitioned":
             # ONE pass, no materialization: explode routes -> shuffle on
@@ -301,15 +305,36 @@ def run_pipeline(
             # The salt spreads hot routes/conversations over tasks.
             # Per-sink resume granularity is traded for one atomic commit.
             fmt, fb_reason = resolve_table_format(spark, table_format)
+            if fmt == "iceberg" and not table_ident:
+                raise ValueError(
+                    "table_format='iceberg' needs table_ident='catalog.db.table': "
+                    "Iceberg's v1 save(path) cannot CREATE a partitioned table — "
+                    "the V2 writeTo(ident).partitionedBy(...).createOrReplace() "
+                    "path is used instead"
+                )
             result.metrics["table_format"] = {
                 "requested": table_format, "used": fmt,
                 **({"fallback_reason": fb_reason} if fb_reason else {}),
             }
 
+            # resume must read with the format the data was COMMITTED
+            # under, not this run's request: a run committed as parquet
+            # then resumed with table_format=iceberg would otherwise try
+            # to read the parquet by_route dir through the iceberg source
+            committed_meta = ledger.state.get("sinks", {}).get("__partitioned__", {})
+            if resume and ledger.committed("__partitioned__"):
+                read_fmt = committed_meta.get("table_format", "parquet")
+                read_ident = committed_meta.get("table_ident")
+            else:
+                read_fmt, read_ident = fmt, table_ident
+
             def _read_routed():
-                return spark.read.format(fmt).load(os.path.join(out_dir, "by_route"))
+                if read_fmt == "iceberg" and read_ident:
+                    return spark.read.table(read_ident)
+                return spark.read.format(read_fmt).load(os.path.join(out_dir, "by_route"))
 
             if not (resume and ledger.committed("__partitioned__")):
+                routed_executed = True
                 part_dir = os.path.join(out_dir, "by_route")
                 tmp_dir = part_dir + ".__tmp__"
                 exploded = routed.select(F.explode(ROUTES).alias("route"), "*").drop(ROUTES)
@@ -354,9 +379,21 @@ def run_pipeline(
                     if os.path.exists(part_dir):
                         shutil.rmtree(part_dir)
                     os.replace(tmp_dir, part_dir)
+                elif fmt == "iceberg":
+                    # ACID snapshot commit via DataFrameWriterV2: the v1
+                    # writer's save(path) requires a pre-existing table
+                    # and rejects partitionBy for creation; writeTo()
+                    # creates-or-replaces the partitioned table in one
+                    # transaction. UNTESTED on this image (no iceberg
+                    # runtime jar — the probe above guarantees this
+                    # branch only runs on a provisioned cluster).
+                    exploded.writeTo(table_ident).partitionedBy(
+                        F.col("route")
+                    ).createOrReplace()
                 else:
-                    # ACID table commit (snapshot/transaction-log): the
-                    # format's own commit protocol replaces tmp+rename
+                    # delta: transaction-log commit; the v1 writer DOES
+                    # support partitioned table creation at a path.
+                    # UNTESTED on this image (no delta jar; probe-gated).
                     exploded.write.format(fmt).mode("overwrite").partitionBy(
                         "route"
                     ).save(part_dir)
@@ -365,10 +402,10 @@ def run_pipeline(
                 # file list is 10^5-10^6 entries, which must never ride
                 # through the driver or the JSON ledger. Only O(routes)
                 # totals are collected.
-                # input_file_name() returns '' under DSv2 scans — use
-                # each format's metadata column instead: iceberg exposes
-                # _file, parquet/delta the _metadata.file_path hidden
-                # column — so per-file lineage survives the ACID path
+                # input_file_name() returns '' under DSv2 scans — the
+                # ACID formats use their metadata column instead
+                # (iceberg: _file, delta: _metadata.file_path); the
+                # parquet DSv1 scan keeps input_file_name()
                 if fmt == "iceberg":
                     file_col = F.col("_file")
                 elif fmt == "delta":
@@ -408,7 +445,14 @@ def run_pipeline(
                 ledger.commit(
                     "__partitioned__",
                     sum(result.sink_rows.values()),
-                    extra={"route_rows": counts, "lineage_path": lin_dir},
+                    # the format ACTUALLY used rides in the ledger so a
+                    # resumed run reads by_route with it, whatever
+                    # format the resume invocation asks for
+                    extra={
+                        "route_rows": counts, "lineage_path": lin_dir,
+                        "table_format": fmt,
+                        **({"table_ident": table_ident} if table_ident else {}),
+                    },
                 )
             # protocol sinks (http/socket/gelf/loki) emit from the written
             # columnar output — a pruned per-route scan, committed per sink
@@ -525,10 +569,16 @@ def run_pipeline(
             n = int(agg_obs.get.get("rows") or 0)
             result.agg_rows[name] = n
             ledger.commit("agg_%s" % name, n)
-        try:
-            result.metrics["pipeline"] = dict(obs.get)
-        except Exception:
-            pass  # observation only materializes if the observed node ran
+        if routed_executed:
+            # Observation.get BLOCKS until the observed node runs — it
+            # must only be read when the routed plan actually executed
+            # this run (a partitioned-mode resume that skips the write
+            # serves sinks/aggregates from the written files and never
+            # runs `routed`; reading obs.get there hangs forever)
+            try:
+                result.metrics["pipeline"] = dict(obs.get)
+            except Exception:
+                pass
         # task-side accumulators registered by stages (e.g. grok rows/misses)
         for stage_name, accs in (ctx.options.get("accumulators") or {}).items():
             result.metrics["acc_%s" % stage_name] = {

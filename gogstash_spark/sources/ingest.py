@@ -103,6 +103,68 @@ def redis_input(
     return _lines_df(spark, lines)
 
 
+class _NatsWire:
+    """Buffered NATS wire client shared by the core SUB drain and the
+    JetStream pull consumer: INFO/CONNECT handshake plus line/exact
+    reads. The buffer is explicit, NOT sock.makefile: a BufferedReader
+    drops its buffered bytes when the underlying recv times out, so a
+    mid-line timeout would silently lose data — here the buffer survives
+    and only a timeout with an EMPTY buffer counts as idle."""
+
+    def __init__(self, host: str, timeout: float, name: str = "gogstash_spark"):
+        import json as _json
+        import socket as so
+
+        h, _, port = host.rpartition(":")
+        self.conn = so.create_connection((h, int(port)), timeout=timeout)
+        self.buf = bytearray()
+        info = self.readline(idle_ok=False)
+        if info is None or not info.startswith(b"INFO "):
+            raise RuntimeError("nats: expected INFO, got %r" % (info or b"")[:40])
+        self.send(
+            b"CONNECT %s\r\n"
+            % _json.dumps({"verbose": False, "name": name}).encode()
+        )
+
+    def send(self, data: bytes) -> None:
+        self.conn.sendall(data)
+
+    def settimeout(self, t: float) -> None:
+        self.conn.settimeout(t)
+
+    def close(self) -> None:
+        self.conn.close()
+
+    def _fill(self) -> None:
+        chunk = self.conn.recv(65536)
+        if not chunk:
+            raise ConnectionError("nats: server closed")
+        self.buf.extend(chunk)
+
+    def readline(self, idle_ok: bool) -> bytes | None:
+        while b"\r\n" not in self.buf:
+            try:
+                self._fill()
+            except TimeoutError:
+                if idle_ok and not self.buf:
+                    return None  # clean idle: nothing pending
+                raise RuntimeError("nats: timeout mid-line") from None
+        i = self.buf.index(b"\r\n")
+        line = bytes(self.buf[:i])
+        del self.buf[: i + 2]
+        return line
+
+    def readn(self, n: int) -> bytes:
+        while len(self.buf) < n:
+            try:
+                self._fill()
+            except TimeoutError:
+                raise RuntimeError("nats: timeout mid-payload") from None
+        data = bytes(self.buf[:n])
+        del self.buf[:n]
+        return data
+
+
 def nats_input(
     spark: SparkSession,
     host: str = "localhost:4222",
@@ -119,77 +181,121 @@ def nats_input(
     payload; PING must be answered PONG. Core NATS is at-most-once
     pub/sub (no replay), so the batch drain collects what arrives until
     idle_timeout — schedule it alongside live publishers, or use
-    JetStream durable consumers for replayable history (out of scope).
+    nats_jetstream_input for at-least-once replayable history.
     Driver-side pull like exec/http/redis/nsq."""
-    import json as _json
-    import socket as so
-
-    h, _, port = host.rpartition(":")
-    conn = so.create_connection((h, int(port)), timeout=timeout)
-    # explicit buffer, NOT sock.makefile: a BufferedReader drops its
-    # buffered bytes when the underlying recv times out, so a mid-line
-    # timeout would silently lose data — here the buffer survives and
-    # only a timeout with an EMPTY buffer counts as idle
-    buf = bytearray()
-
-    def fill() -> None:
-        chunk = conn.recv(65536)
-        if not chunk:
-            raise ConnectionError("nats: server closed")
-        buf.extend(chunk)
-
-    def readline(idle_ok: bool) -> bytes | None:
-        while b"\r\n" not in buf:
-            try:
-                fill()
-            except TimeoutError:
-                if idle_ok and not buf:
-                    return None  # clean idle: nothing pending
-                raise RuntimeError("nats: timeout mid-line") from None
-        i = buf.index(b"\r\n")
-        line = bytes(buf[:i])
-        del buf[: i + 2]
-        return line
-
-    def readn(n: int) -> bytes:
-        while len(buf) < n:
-            try:
-                fill()
-            except TimeoutError:
-                raise RuntimeError("nats: timeout mid-payload") from None
-        data = bytes(buf[:n])
-        del buf[:n]
-        return data
-
+    w = _NatsWire(host, timeout)
     lines: list[str] = []
     try:
-        info = readline(idle_ok=False)
-        if info is None or not info.startswith(b"INFO "):
-            raise RuntimeError("nats: expected INFO, got %r" % (info or b"")[:40])
-        conn.sendall(
-            b"CONNECT %s\r\n"
-            % _json.dumps({"verbose": False, "name": "gogstash_spark"}).encode()
-        )
-        conn.sendall(b"SUB %s 1\r\n" % topic.encode())
-        conn.settimeout(idle_timeout)
+        w.send(b"SUB %s 1\r\n" % topic.encode())
+        w.settimeout(idle_timeout)
         while max_events is None or len(lines) < max_events:
-            line = readline(idle_ok=True)
+            line = w.readline(idle_ok=True)
             if line is None:
                 break  # drained
             if line.startswith(b"PING"):
-                conn.sendall(b"PONG\r\n")
+                w.send(b"PONG\r\n")
                 continue
             if line.startswith(b"-ERR"):
                 raise RuntimeError("nats: %s" % line.decode().strip())
             if not line.startswith(b"MSG "):
                 continue  # +OK / INFO updates
             nbytes = int(line.decode().split()[-1])  # reply-to optional
-            conn.settimeout(timeout)  # payload started: full budget
-            lines.append(readn(nbytes).decode("utf-8", errors="replace"))
-            readn(2)  # trailing \r\n
-            conn.settimeout(idle_timeout)
+            w.settimeout(timeout)  # payload started: full budget
+            lines.append(w.readn(nbytes).decode("utf-8", errors="replace"))
+            w.readn(2)  # trailing \r\n
+            w.settimeout(idle_timeout)
     finally:
-        conn.close()
+        w.close()
+    return _lines_df(spark, lines)
+
+
+def nats_jetstream_input(
+    spark: SparkSession,
+    host: str = "localhost:4222",
+    stream: str = "gogstash",
+    durable: str = "gogstash_spark",
+    batch: int = 512,
+    timeout: float = 5.0,
+    idle_timeout: float = 1.0,
+    max_events: int | None = None,
+) -> DataFrame:
+    """JetStream pull-consume with explicit per-message acks — the
+    at-least-once upgrade over core NATS's at-most-once SUB drain (the
+    reference consumes core subjects via nats.go; the JetStream pull
+    API is public: docs.nats.io/reference/reference-protocols/
+    nats-protocol + the $JS.API.CONSUMER.MSG.NEXT request contract).
+
+    Flow: SUB a private inbox, publish the pull request
+    {"batch": N, "no_wait": true} to
+    $JS.API.CONSUMER.MSG.NEXT.<stream>.<durable> with the inbox as the
+    reply subject; each delivered MSG carries a $JS.ACK.* reply subject
+    and is acked (+ACK publish) only AFTER its payload is recorded, so
+    a consumer that dies mid-drain leaves the un-acked tail for
+    redelivery after the consumer's ack_wait — the same at-least-once
+    shape as nsq's FIN path. A 404 No Messages / 408 Request Timeout
+    status (headers-only HMSG) or an idle timeout ends the drain."""
+    import json as _json
+
+    w = _NatsWire(host, timeout)
+    inbox = "_INBOX.gogstash_spark_pull"
+    api = "$JS.API.CONSUMER.MSG.NEXT.%s.%s" % (stream, durable)
+    lines: list[str] = []
+    try:
+        w.send(b"SUB %s 1\r\n" % inbox.encode())
+        done = False
+        while not done and (max_events is None or len(lines) < max_events):
+            want = (
+                batch if max_events is None else min(batch, max_events - len(lines))
+            )
+            req = _json.dumps({"batch": want, "no_wait": True}).encode()
+            w.send(
+                b"PUB %s %s %d\r\n%s\r\n"
+                % (api.encode(), inbox.encode(), len(req), req)
+            )
+            got = 0
+            w.settimeout(idle_timeout)
+            while got < want:
+                line = w.readline(idle_ok=True)
+                if line is None:
+                    done = True
+                    break
+                if line.startswith(b"PING"):
+                    w.send(b"PONG\r\n")
+                    continue
+                if line.startswith(b"-ERR"):
+                    raise RuntimeError("nats: %s" % line.decode().strip())
+                parts = line.decode().split()
+                if parts and parts[0] == "HMSG":
+                    # HMSG <subject> <sid> [reply] <#hdr> <#total>:
+                    # a headers-only frame carries the pull status
+                    total = int(parts[-1])
+                    w.settimeout(timeout)
+                    payload = w.readn(total)
+                    w.readn(2)
+                    status = payload.split(b"\r\n", 1)[0]
+                    if b" 404" in status or b" 408" in status:
+                        done = True  # no messages / request expired
+                        break
+                    w.settimeout(idle_timeout)
+                    continue
+                if not parts or parts[0] != "MSG":
+                    continue  # +OK / INFO updates
+                # MSG <subject> <sid> [reply] <#bytes>
+                reply = parts[3] if len(parts) == 5 else None
+                nbytes = int(parts[-1])
+                w.settimeout(timeout)
+                body = w.readn(nbytes)
+                w.readn(2)
+                lines.append(body.decode("utf-8", errors="replace"))
+                got += 1
+                # record-THEN-ack: a crash above this line redelivers
+                if reply and reply.startswith("$JS.ACK."):
+                    w.send(b"PUB %s 4\r\n+ACK\r\n" % reply.encode())
+                w.settimeout(idle_timeout)
+            if got < want:
+                done = True  # no_wait pull returned a partial batch
+    finally:
+        w.close()
     return _lines_df(spark, lines)
 
 
@@ -590,10 +696,11 @@ def beats_input(
                     write(state["batch"])
 
     tls_ctx = None
-    if ssl_certificate or ssl_key or ssl_verify:
+    if ssl_certificate or ssl_key or ssl_verify or ssl_ca:
         if not (ssl_certificate and ssl_key):
-            # ssl_verify without a cert must not silently serve
-            # plaintext — the caller asked for mutual TLS
+            # ANY tls option without a cert+key must not silently serve
+            # plaintext — ssl_ca alone means the caller asked for
+            # client-cert verification, same as ssl_verify
             raise ValueError("beats TLS needs BOTH ssl_certificate and ssl_key")
         import ssl as _ssl
 

@@ -170,6 +170,78 @@ class TestTableFormatProbe:
         assert tf["requested"] == "iceberg" and tf["used"] == "parquet"
         assert "iceberg" in tf["fallback_reason"]
 
+    def test_iceberg_without_ident_raises(self, spark, tmp_path, monkeypatch):
+        """When the probe says iceberg IS available, the write goes
+        through DataFrameWriterV2 (writeTo), which needs a catalog table
+        identifier — a path alone must fail at plan time, not at the
+        first save() against a non-existent table."""
+        import pytest
+
+        from gogstash_spark import runner
+        from gogstash_spark.sources import connectors
+
+        monkeypatch.setattr(
+            connectors, "table_format_available", lambda s, f: (True, None)
+        )
+        events = spark.createDataFrame(
+            [("C1", 1, "user", "hi")],
+            "conv_id string, turn_idx int, role string, text string",
+        )
+        spec = {
+            "input": {}, "filter": [],
+            "output": [{"type": "table", "name": "users"}],
+        }
+        with pytest.raises(ValueError, match="table_ident"):
+            runner.run_pipeline(
+                spark, spec, input_df=events, out_dir=str(tmp_path / "o"),
+                resume=False, table_format="iceberg",
+            )
+
+    def test_resume_reads_with_committed_format(self, spark, tmp_path, monkeypatch):
+        """A run COMMITTED as parquet then RESUMED with
+        table_format=iceberg must read by_route with the committed
+        format from the ledger, not this run's request (otherwise the
+        resume tries to read a parquet directory through the iceberg
+        source and dies)."""
+        import json
+
+        from gogstash_spark import runner
+        from gogstash_spark.sources import connectors
+
+        events = spark.createDataFrame(
+            [("C1", 1, "user", "hi"), ("C2", 2, "tool", "x")],
+            "conv_id string, turn_idx int, role string, text string",
+        )
+        spec = {
+            "input": {}, "filter": [],
+            "output": [{"type": "table", "name": "users",
+                        "condition": "role == 'user'"},
+                       {"type": "table", "name": "rest",
+                        "condition": "role != 'user'"}],
+            "aggregate": [{"name": "counts", "group_by": ["role"]}],
+        }
+        out = str(tmp_path / "o")
+        base = runner.run_pipeline(spark, spec, input_df=events, out_dir=out,
+                                   resume=False)
+        assert base.sink_rows == {"users": 1, "rest": 1}
+        # drop the aggregate commit so the resume has real work that
+        # goes through _read_routed()
+        ledger_path = tmp_path / "o" / "_ledger.json"
+        state = json.loads(ledger_path.read_text())
+        assert state["sinks"]["__partitioned__"]["table_format"] == "parquet"
+        del state["sinks"]["agg_counts"]
+        ledger_path.write_text(json.dumps(state))
+        # pretend iceberg is available now; the resume must STILL read
+        # parquet because that is what the ledger says was committed
+        monkeypatch.setattr(
+            connectors, "table_format_available", lambda s, f: (True, None)
+        )
+        res = runner.run_pipeline(
+            spark, spec, input_df=events, out_dir=out, resume=True,
+            table_format="iceberg", table_ident="cat.db.by_route",
+        )
+        assert res.agg_rows == {"counts": 2}
+
 
 class TestKafkaContract:
     """The kafka connector contract: the exact readStream options

@@ -86,6 +86,49 @@ class TestDedup:
         assert got[4] == 1                          # transitive via 3
         assert got[5] == 5                          # isolated keeps itself
 
+    def _word_chain(self, spark, n_docs: int):
+        """doc i = 5-word window starting at word 2i: adjacent docs share
+        3/7 words (j=0.43 >= 0.4), docs 2+ apart share at most 1/9
+        (j=0.11 < 0.4) — a path graph whose diameter is n_docs-1, so
+        label propagation needs ~n_docs rounds (one hop per round)."""
+        words = ["t%02d" % i for i in range(2 * n_docs + 5)]
+        return spark.createDataFrame(
+            [(i, " ".join(words[2 * i: 2 * i + 5])) for i in range(n_docs)],
+            "doc_id long, text string",
+        )
+
+    def test_dedup_groups_long_chain_checkpoint_cadence(self, spark):
+        """A 13-doc near-dup PATH (diameter 12) forces >10 propagation
+        rounds, crossing the checkpoint_every=5 lineage truncations
+        twice — the loop must still converge to one group and the plan
+        must not nest 12 join generations."""
+        chain = self._word_chain(spark, 13)
+        got = {
+            r["doc_id"]: r["group_id"]
+            for r in dedup.dedup_groups(
+                chain, n=1, bands=8, threshold=0.4, checkpoint_every=5
+            ).collect()
+        }
+        assert set(got) == set(range(13))
+        assert all(g == 0 for g in got.values()), got
+
+    def test_dedup_groups_nonconvergence_is_loud(self, spark):
+        """Exiting by max_iter with labels still changing means groups
+        are PARTIALLY merged — strict mode (default) must raise, never
+        return the silently wrong answer; strict=False downgrades to a
+        warning and returns the best-effort labels."""
+        chain = self._word_chain(spark, 13)
+        with pytest.raises(RuntimeError, match="did not reach a fixpoint"):
+            dedup.dedup_groups(chain, n=1, bands=8, threshold=0.4, max_iter=3)
+        got = {
+            r["doc_id"]: r["group_id"]
+            for r in dedup.dedup_groups(
+                chain, n=1, bands=8, threshold=0.4, max_iter=3, strict=False
+            ).collect()
+        }
+        assert set(got) == set(range(13))  # every doc still labeled
+        assert got[0] == 0 and got[12] != 0  # far end provably unmerged
+
     def test_shingle_short_doc_empty_not_error(self, spark):
         short = spark.createDataFrame(
             [(1, "one two"), (2, "a"), (3, ""), (4, "alpha beta gamma delta")],

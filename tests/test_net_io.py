@@ -926,6 +926,85 @@ class TestNatsInput:
         assert got == ["nats one", "nats two"]
         assert _Nats.pongs  # keepalive answered
 
+    def test_jetstream_pull_ack_and_redelivery(self, spark):
+        """JetStream pull-consume is at-least-once: payloads are
+        recorded BEFORE their +ACK goes out, and an ack the server
+        never sees means redelivery on the next pull. The fake drops
+        the FIRST ack it receives (a lost ack / consumer crash), so the
+        second drain must redeliver exactly that message; a third pull
+        gets the 404 status and returns empty without waiting out the
+        idle timeout."""
+
+        class _Js(socketserver.StreamRequestHandler):
+            msgs = {1: b"js one", 2: b"js two", 3: b"js three"}
+            acked: set = set()
+            dropped_first_ack = False
+
+            def handle(self):
+                self.wfile.write(b'INFO {"server_id":"fakejs"}\r\n')
+                inbox = None
+                while True:
+                    line = self.rfile.readline()
+                    if not line:
+                        return
+                    parts = line.decode().split()
+                    if not parts or parts[0] == "CONNECT":
+                        continue
+                    if parts[0] == "SUB":
+                        inbox = parts[1]
+                        continue
+                    if parts[0] != "PUB":
+                        continue
+                    subject, nbytes = parts[1], int(parts[-1])
+                    body = self.rfile.read(nbytes + 2)[:-2]
+                    if subject.startswith("$JS.API.CONSUMER.MSG.NEXT."):
+                        req = json.loads(body)
+                        pending = [s for s in sorted(_Js.msgs) if s not in _Js.acked]
+                        out = pending[: req["batch"]]
+                        for seq in out:
+                            m = _Js.msgs[seq]
+                            ack = "$JS.ACK.S.D.1.%d.%d.0.0" % (seq, seq)
+                            self.wfile.write(
+                                b"MSG orders.x 1 %s %d\r\n%s\r\n"
+                                % (ack.encode(), len(m), m)
+                            )
+                        if not out:
+                            hdr = b"NATS/1.0 404 No Messages\r\n\r\n"
+                            self.wfile.write(
+                                b"HMSG %s 1 %d %d\r\n%s\r\n"
+                                % (inbox.encode(), len(hdr), len(hdr), hdr)
+                            )
+                    elif subject.startswith("$JS.ACK."):
+                        seq = int(subject.split(".")[5])
+                        if not _Js.dropped_first_ack:
+                            _Js.dropped_first_ack = True  # lost ack
+                        else:
+                            _Js.acked.add(seq)
+
+        import time
+
+        from gogstash_spark.sources.ingest import nats_jetstream_input
+
+        _Js.acked = set()
+        _Js.dropped_first_ack = False
+        srv, addr = _tcp_server(_Js)
+        try:
+            d1 = [r["text"] for r in nats_jetstream_input(
+                spark, addr, "S", "D", idle_timeout=0.5).collect()]
+            d2 = [r["text"] for r in nats_jetstream_input(
+                spark, addr, "S", "D", idle_timeout=0.5).collect()]
+            t0 = time.time()
+            d3 = [r["text"] for r in nats_jetstream_input(
+                spark, addr, "S", "D", idle_timeout=5.0).collect()]
+            fast_404 = time.time() - t0
+        finally:
+            srv.shutdown()
+        assert sorted(d1) == ["js one", "js three", "js two"]
+        assert d2 == ["js one"]  # the lost-ack message, redelivered
+        assert d3 == [] and _Js.acked == {1, 2, 3}
+        # the 404 status ended the drain, not the 5s idle timeout
+        assert fast_404 < 4.0
+
 
 class _FakeDockerDaemon(socketserver.StreamRequestHandler):
     """Live Docker Engine API fake over a UNIX socket: /_ping,
@@ -1072,6 +1151,48 @@ class TestDockerInputs:
             sincepath=str(tmp_path / "s2.json"),
         )
         assert skipped.count() == 0  # first drain at 'end' skips history
+
+    def test_dockerstats_to_metrics_pipeline(self, spark, docker_daemon, tmp_path):
+        """The reference's stats-to-metrics use end to end
+        (input/dockerstats/inputdockerstats.go:24-58 feeds the filter
+        chain like any other input): stats drain -> schema-first json
+        parse -> sql projection -> statsd-shape aggregate, through
+        run_pipeline itself."""
+        from gogstash_spark.runner import run_pipeline
+        from gogstash_spark.sources.dockerapi import dockerstats_input
+
+        stats = dockerstats_input(spark, docker_daemon, log_mode="simple")
+        spec = {
+            "input": {},
+            "filter": [
+                {"type": "json", "source": "stats",
+                 "schema": ("memory_stats struct<usage:bigint>, "
+                            "cpu_stats struct<cpu_usage:struct<total_usage:bigint>>"),
+                 "tag_on_failure": False},
+                {"type": "sql", "expr": {
+                    "mem_usage": "memory_stats.usage",
+                    "cpu_total": "cpu_stats.cpu_usage.total_usage",
+                }},
+            ],
+            "output": [{"type": "table", "name": "docker_stats"}],
+            "aggregate": [{
+                "name": "docker_metrics",
+                "metric_key": "docker.%{containername}",
+                "ops": ["count", "avg:mem_usage", "max:cpu_total"],
+            }],
+        }
+        out = str(tmp_path / "out")
+        res = run_pipeline(spark, spec, input_df=stats, out_dir=out, resume=False)
+        assert res.sink_rows["docker_stats"] == 3  # web, db, term
+        agg = {
+            r["metric"]: r
+            for r in spark.read.parquet(out + "/agg_docker_metrics").collect()
+        }
+        assert set(agg) == {"docker.web", "docker.db", "docker.term"}
+        for m in agg.values():
+            assert m["n"] == 1
+            assert m["avg_mem_usage"] == 1024.0
+            assert m["max_cpu_total"] == 100
 
     def test_dockerstats_full_and_simple(self, spark, docker_daemon):
         from gogstash_spark.sources.dockerapi import dockerstats_input

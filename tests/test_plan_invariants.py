@@ -128,6 +128,35 @@ class TestIvfAssignNoShuffle:
         assert "SortMergeJoin" not in plan, plan
 
 
+class TestHyperplanePlanSize:
+    def test_lsh_multi_plan_is_o1_in_dim(self, spark):
+        """The LSH hyperplanes must ride a 1-row broadcast (the
+        ivf_assign centroid pattern), never inline literals: the
+        literal form put n_tables x n_bits x dim float constants in
+        the expression tree — at d=1024 / 16 bits / 4 tables that is
+        65k literals before Catalyst even starts. Pin it by building
+        the WORST-case keyed plan and bounding the full
+        queryExecution dump (the literal form measured ~8 MB here;
+        the broadcast form is a few hundred KB of ordinary plan
+        text dominated by the join/window subtree)."""
+        from gogstash_spark.mlops.ann import lsh_topk_multi
+
+        emb = spark.range(4).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[(F.col("id") + i).cast("float") for i in range(8)]).alias(
+                "embedding"
+            ),
+        )
+        df = lsh_topk_multi(
+            emb, dim=1024, n_bits=16, n_tables=4, max_query_id=2, k=2
+        )
+        dump = df._jdf.queryExecution().toString()
+        assert len(dump) < 500_000, (
+            "plan dump %d chars — hyperplane literals leaked back into "
+            "the expression tree?" % len(dump)
+        )
+
+
 class TestFanoutDistribution:
     def test_default_path_is_rebalance_not_fixed_repartition(self, spark):
         """the fan-out shuffle must size itself by DATA (AQE rebalance),
