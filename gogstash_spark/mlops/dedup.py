@@ -298,12 +298,16 @@ def dedup_groups(
         labels = nxt
         if changed == 0:
             break
-        if (it + 1) % checkpoint_every == 0:
+        if checkpoint_every > 0 and (it + 1) % checkpoint_every == 0:
             # truncate mid-loop lineage: each round adds a join
             # generation to the plan, so a long-diameter graph would
             # otherwise hand Catalyst a max_iter-deep tree; the label
-            # frame is tiny (connected reps only), materializing is free
-            labels = labels.localCheckpoint(eager=True)
+            # frame is tiny (connected reps only), materializing is free.
+            # Unpersist the persisted frame being replaced — rebinding
+            # without it pins its cache blocks for the session
+            ckpt = labels.localCheckpoint(eager=True)
+            labels.unpersist()
+            labels = ckpt
     if changed > 0:
         msg = (
             "dedup_groups did not reach a fixpoint in max_iter=%d rounds "

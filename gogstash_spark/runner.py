@@ -305,13 +305,6 @@ def run_pipeline(
             # The salt spreads hot routes/conversations over tasks.
             # Per-sink resume granularity is traded for one atomic commit.
             fmt, fb_reason = resolve_table_format(spark, table_format)
-            if fmt == "iceberg" and not table_ident:
-                raise ValueError(
-                    "table_format='iceberg' needs table_ident='catalog.db.table': "
-                    "Iceberg's v1 save(path) cannot CREATE a partitioned table — "
-                    "the V2 writeTo(ident).partitionedBy(...).createOrReplace() "
-                    "path is used instead"
-                )
             result.metrics["table_format"] = {
                 "requested": table_format, "used": fmt,
                 **({"fallback_reason": fb_reason} if fb_reason else {}),
@@ -320,13 +313,28 @@ def run_pipeline(
             # resume must read with the format the data was COMMITTED
             # under, not this run's request: a run committed as parquet
             # then resumed with table_format=iceberg would otherwise try
-            # to read the parquet by_route dir through the iceberg source
+            # to read the parquet by_route dir through the iceberg
+            # source. (Ledgers written before the format was recorded
+            # can only be parquet commits on this image — the ACID
+            # branch was probe-gated off — so parquet is the right
+            # default for a missing key.)
             committed_meta = ledger.state.get("sinks", {}).get("__partitioned__", {})
-            if resume and ledger.committed("__partitioned__"):
+            write_skipped = resume and ledger.committed("__partitioned__")
+            if write_skipped:
                 read_fmt = committed_meta.get("table_format", "parquet")
                 read_ident = committed_meta.get("table_ident")
             else:
                 read_fmt, read_ident = fmt, table_ident
+            if fmt == "iceberg" and not table_ident and not write_skipped:
+                # only a run that will actually WRITE iceberg needs the
+                # identifier — a resume serving from an earlier commit
+                # reads with the ledger's format and must not be blocked
+                raise ValueError(
+                    "table_format='iceberg' needs table_ident='catalog.db.table': "
+                    "Iceberg's v1 save(path) cannot CREATE a partitioned table — "
+                    "the V2 writeTo(ident).partitionedBy(...).createOrReplace() "
+                    "path is used instead"
+                )
 
             def _read_routed():
                 if read_fmt == "iceberg" and read_ident:

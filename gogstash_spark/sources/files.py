@@ -57,6 +57,20 @@ def read_input(spark: SparkSession, inp: dict) -> DataFrame:
             max_events=inp.get("max_events"),
         )
     if typ == "nats":
+        if inp.get("jetstream") or inp.get("stream") or inp.get("durable"):
+            # at-least-once pull-consume: {jetstream: true, stream,
+            # durable} (any of the three keys selects it)
+            from gogstash_spark.sources.ingest import nats_jetstream_input
+
+            return nats_jetstream_input(
+                spark, inp.get("host", "localhost:4222"),
+                stream=inp.get("stream", "gogstash"),
+                durable=inp.get("durable", "gogstash_spark"),
+                batch=int(inp.get("batch", 512)),
+                timeout=float(inp.get("timeout", 5.0)),
+                idle_timeout=float(inp.get("idle_timeout", 1.0)),
+                max_events=inp.get("max_events"),
+            )
         from gogstash_spark.sources.ingest import nats_input
 
         return nats_input(

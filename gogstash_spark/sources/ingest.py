@@ -111,20 +111,36 @@ class _NatsWire:
     mid-line timeout would silently lose data — here the buffer survives
     and only a timeout with an EMPTY buffer counts as idle."""
 
-    def __init__(self, host: str, timeout: float, name: str = "gogstash_spark"):
+    def __init__(
+        self,
+        host: str,
+        timeout: float,
+        name: str = "gogstash_spark",
+        headers: bool = False,
+    ):
         import json as _json
         import socket as so
 
         h, _, port = host.rpartition(":")
         self.conn = so.create_connection((h, int(port)), timeout=timeout)
         self.buf = bytearray()
-        info = self.readline(idle_ok=False)
-        if info is None or not info.startswith(b"INFO "):
-            raise RuntimeError("nats: expected INFO, got %r" % (info or b"")[:40])
-        self.send(
-            b"CONNECT %s\r\n"
-            % _json.dumps({"verbose": False, "name": name}).encode()
-        )
+        try:
+            info = self.readline(idle_ok=False)
+            if info is None or not info.startswith(b"INFO "):
+                raise RuntimeError(
+                    "nats: expected INFO, got %r" % (info or b"")[:40]
+                )
+            # "headers": the server only sends HMSG frames (which carry
+            # JetStream pull statuses and message headers) to clients
+            # that advertised support — without it statuses arrive as
+            # headers-stripped plain MSGs
+            opts = {"verbose": False, "name": name, "headers": headers}
+            self.send(b"CONNECT %s\r\n" % _json.dumps(opts).encode())
+        except BaseException:
+            # a reachable-but-not-NATS endpoint must not leak the fd:
+            # the caller never gets the object, so its close() can't run
+            self.conn.close()
+            raise
 
     def send(self, data: bytes) -> None:
         self.conn.sendall(data)
@@ -235,9 +251,13 @@ def nats_jetstream_input(
     shape as nsq's FIN path. A 404 No Messages / 408 Request Timeout
     status (headers-only HMSG) or an idle timeout ends the drain."""
     import json as _json
+    import os as _os
 
-    w = _NatsWire(host, timeout)
-    inbox = "_INBOX.gogstash_spark_pull"
+    w = _NatsWire(host, timeout, headers=True)
+    # unique inbox per drain: a fixed subject would make two concurrent
+    # consumers on one server receive (and double-ingest) each other's
+    # pull deliveries — NATS fans a subject out to every subscriber
+    inbox = "_INBOX.gogstash_spark.%s" % _os.urandom(8).hex()
     api = "$JS.API.CONSUMER.MSG.NEXT.%s.%s" % (stream, durable)
     lines: list[str] = []
     try:
@@ -266,26 +286,34 @@ def nats_jetstream_input(
                     raise RuntimeError("nats: %s" % line.decode().strip())
                 parts = line.decode().split()
                 if parts and parts[0] == "HMSG":
-                    # HMSG <subject> <sid> [reply] <#hdr> <#total>:
-                    # a headers-only frame carries the pull status
-                    total = int(parts[-1])
+                    # HMSG <subject> <sid> [reply] <#hdr> <#total>: a
+                    # STATUS frame (pull 404 No Messages / 408 Request
+                    # Timeout) is headers-only (hdr == total); anything
+                    # with a body is a real message published WITH
+                    # headers — record + ack it like a plain MSG, never
+                    # drop it (an un-acked drop would redeliver forever)
+                    reply = parts[3] if len(parts) == 6 else None
+                    hdr_len, total = int(parts[-2]), int(parts[-1])
                     w.settimeout(timeout)
                     payload = w.readn(total)
                     w.readn(2)
-                    status = payload.split(b"\r\n", 1)[0]
-                    if b" 404" in status or b" 408" in status:
-                        done = True  # no messages / request expired
-                        break
-                    w.settimeout(idle_timeout)
-                    continue
-                if not parts or parts[0] != "MSG":
-                    continue  # +OK / INFO updates
-                # MSG <subject> <sid> [reply] <#bytes>
-                reply = parts[3] if len(parts) == 5 else None
-                nbytes = int(parts[-1])
-                w.settimeout(timeout)
-                body = w.readn(nbytes)
-                w.readn(2)
+                    if hdr_len >= total:
+                        status = payload.split(b"\r\n", 1)[0]
+                        if b" 404" in status or b" 408" in status:
+                            done = True  # no messages / request expired
+                            break
+                        w.settimeout(idle_timeout)
+                        continue
+                    body = payload[hdr_len:]
+                else:
+                    if not parts or parts[0] != "MSG":
+                        continue  # +OK / INFO updates
+                    # MSG <subject> <sid> [reply] <#bytes>
+                    reply = parts[3] if len(parts) == 5 else None
+                    nbytes = int(parts[-1])
+                    w.settimeout(timeout)
+                    body = w.readn(nbytes)
+                    w.readn(2)
                 lines.append(body.decode("utf-8", errors="replace"))
                 got += 1
                 # record-THEN-ack: a crash above this line redelivers
@@ -706,7 +734,9 @@ def beats_input(
 
         tls_ctx = _ssl.SSLContext(_ssl.PROTOCOL_TLS_SERVER)
         tls_ctx.load_cert_chain(ssl_certificate, ssl_key)
-        if ssl_verify:
+        if ssl_verify or ssl_ca:
+            # a CA bundle IS a request to verify client certs — honoring
+            # it only under ssl_verify would silently accept any client
             tls_ctx.verify_mode = _ssl.CERT_REQUIRED
             tls_ctx.load_verify_locations(ssl_ca or ssl_certificate)
 

@@ -236,9 +236,12 @@ class TestTableFormatProbe:
         monkeypatch.setattr(
             connectors, "table_format_available", lambda s, f: (True, None)
         )
+        # no table_ident on purpose: a resume that serves from the
+        # parquet commit never writes iceberg, so the ident requirement
+        # must not block it
         res = runner.run_pipeline(
             spark, spec, input_df=events, out_dir=out, resume=True,
-            table_format="iceberg", table_ident="cat.db.by_route",
+            table_format="iceberg",
         )
         assert res.agg_rows == {"counts": 2}
 

@@ -255,6 +255,9 @@ class TestBeatsInput:
 
         with _pytest.raises(ValueError, match="ssl_certificate"):
             beats_input(str(tmp_path / "sp"), ssl_verify=True)
+        # ssl_ca alone is also a TLS request (client-cert verification)
+        with _pytest.raises(ValueError, match="ssl_certificate"):
+            beats_input(str(tmp_path / "sp"), ssl_ca="ca.pem")
 
     def test_lumberjack_over_tls(self, tmp_path):
         """TLS listener (reference inputbeats.go:33-40,78-87): same
@@ -939,6 +942,7 @@ class TestNatsInput:
             msgs = {1: b"js one", 2: b"js two", 3: b"js three"}
             acked: set = set()
             dropped_first_ack = False
+            connect_opts: dict = {}
 
             def handle(self):
                 self.wfile.write(b'INFO {"server_id":"fakejs"}\r\n')
@@ -948,7 +952,10 @@ class TestNatsInput:
                     if not line:
                         return
                     parts = line.decode().split()
-                    if not parts or parts[0] == "CONNECT":
+                    if not parts:
+                        continue
+                    if parts[0] == "CONNECT":
+                        _Js.connect_opts = json.loads(line.decode()[8:])
                         continue
                     if parts[0] == "SUB":
                         inbox = parts[1]
@@ -964,10 +971,19 @@ class TestNatsInput:
                         for seq in out:
                             m = _Js.msgs[seq]
                             ack = "$JS.ACK.S.D.1.%d.%d.0.0" % (seq, seq)
-                            self.wfile.write(
-                                b"MSG orders.x 1 %s %d\r\n%s\r\n"
-                                % (ack.encode(), len(m), m)
-                            )
+                            if seq == 2:
+                                # published WITH headers: arrives as HMSG
+                                # with a header block before the body
+                                h = b"NATS/1.0\r\nNats-Msg-Id: m2\r\n\r\n"
+                                self.wfile.write(
+                                    b"HMSG orders.x 1 %s %d %d\r\n%s%s\r\n"
+                                    % (ack.encode(), len(h), len(h) + len(m), h, m)
+                                )
+                            else:
+                                self.wfile.write(
+                                    b"MSG orders.x 1 %s %d\r\n%s\r\n"
+                                    % (ack.encode(), len(m), m)
+                                )
                         if not out:
                             hdr = b"NATS/1.0 404 No Messages\r\n\r\n"
                             self.wfile.write(
@@ -1004,6 +1020,9 @@ class TestNatsInput:
         assert d3 == [] and _Js.acked == {1, 2, 3}
         # the 404 status ended the drain, not the 5s idle timeout
         assert fast_404 < 4.0
+        # the client must advertise header support or a real server
+        # would strip HMSG down to plain MSGs (and statuses to empties)
+        assert _Js.connect_opts.get("headers") is True
 
 
 class _FakeDockerDaemon(socketserver.StreamRequestHandler):
