@@ -305,11 +305,6 @@ def run_pipeline(
             # The salt spreads hot routes/conversations over tasks.
             # Per-sink resume granularity is traded for one atomic commit.
             fmt, fb_reason = resolve_table_format(spark, table_format)
-            result.metrics["table_format"] = {
-                "requested": table_format, "used": fmt,
-                **({"fallback_reason": fb_reason} if fb_reason else {}),
-            }
-
             # resume must read with the format the data was COMMITTED
             # under, not this run's request: a run committed as parquet
             # then resumed with table_format=iceberg would otherwise try
@@ -335,13 +330,21 @@ def run_pipeline(
                     "the V2 writeTo(ident).partitionedBy(...).createOrReplace() "
                     "path is used instead"
                 )
+            # "used" reports what this run actually READS AND SERVES:
+            # on a write-skipping resume that is the ledger's committed
+            # format, not this invocation's request
+            result.metrics["table_format"] = {
+                "requested": table_format, "used": read_fmt,
+                **({"fallback_reason": fb_reason} if fb_reason else {}),
+                **({"resumed_from_commit": True} if write_skipped else {}),
+            }
 
             def _read_routed():
                 if read_fmt == "iceberg" and read_ident:
                     return spark.read.table(read_ident)
                 return spark.read.format(read_fmt).load(os.path.join(out_dir, "by_route"))
 
-            if not (resume and ledger.committed("__partitioned__")):
+            if not write_skipped:
                 routed_executed = True
                 part_dir = os.path.join(out_dir, "by_route")
                 tmp_dir = part_dir + ".__tmp__"

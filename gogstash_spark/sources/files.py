@@ -57,9 +57,10 @@ def read_input(spark: SparkSession, inp: dict) -> DataFrame:
             max_events=inp.get("max_events"),
         )
     if typ == "nats":
-        if inp.get("jetstream") or inp.get("stream") or inp.get("durable"):
-            # at-least-once pull-consume: {jetstream: true, stream,
-            # durable} (any of the three keys selects it)
+        # at-least-once pull-consume: jetstream:true selects it, an
+        # EXPLICIT jetstream:false forces the core drain, and with the
+        # key absent a stream/durable key implies it
+        if inp.get("jetstream", bool(inp.get("stream") or inp.get("durable"))):
             from gogstash_spark.sources.ingest import nats_jetstream_input
 
             return nats_jetstream_input(

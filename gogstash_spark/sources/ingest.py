@@ -286,24 +286,32 @@ def nats_jetstream_input(
                     raise RuntimeError("nats: %s" % line.decode().strip())
                 parts = line.decode().split()
                 if parts and parts[0] == "HMSG":
-                    # HMSG <subject> <sid> [reply] <#hdr> <#total>: a
-                    # STATUS frame (pull 404 No Messages / 408 Request
-                    # Timeout) is headers-only (hdr == total); anything
-                    # with a body is a real message published WITH
-                    # headers — record + ack it like a plain MSG, never
-                    # drop it (an un-acked drop would redeliver forever)
+                    # HMSG <subject> <sid> [reply] <#hdr> <#total>.
+                    # Status vs message is decided by the REPLY subject,
+                    # not by header/total arithmetic: pull statuses come
+                    # back on the inbox with NO reply, while every real
+                    # JetStream delivery — including a headers-ONLY
+                    # message like a KV tombstone (hdr == total, empty
+                    # body) — carries its $JS.ACK reply and must be
+                    # recorded + acked, never dropped (an un-acked drop
+                    # would redeliver forever)
                     reply = parts[3] if len(parts) == 6 else None
                     hdr_len, total = int(parts[-2]), int(parts[-1])
                     w.settimeout(timeout)
                     payload = w.readn(total)
                     w.readn(2)
-                    if hdr_len >= total:
+                    if reply is None:
                         status = payload.split(b"\r\n", 1)[0]
                         if b" 404" in status or b" 408" in status:
                             done = True  # no messages / request expired
                             break
-                        w.settimeout(idle_timeout)
-                        continue
+                        # 409 Exceeded MaxRequestBatch / Consumer
+                        # Deleted / 503 ...: a persistent pull error
+                        # must be LOUD, not an empty frame every run
+                        raise RuntimeError(
+                            "nats jetstream pull status: %s"
+                            % status.decode("utf-8", errors="replace")
+                        )
                     body = payload[hdr_len:]
                 else:
                     if not parts or parts[0] != "MSG":

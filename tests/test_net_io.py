@@ -1024,6 +1024,42 @@ class TestNatsInput:
         # would strip HMSG down to plain MSGs (and statuses to empties)
         assert _Js.connect_opts.get("headers") is True
 
+    def test_jetstream_error_status_raises(self, spark):
+        """A persistent pull error (409 Exceeded MaxRequestBatch,
+        Consumer Deleted, 503...) must raise, never return an empty
+        frame every run with no operator-visible signal."""
+
+        class _JsErr(socketserver.StreamRequestHandler):
+            def handle(self):
+                self.wfile.write(b'INFO {"server_id":"fakejs"}\r\n')
+                inbox = None
+                while True:
+                    line = self.rfile.readline()
+                    if not line:
+                        return
+                    parts = line.decode().split()
+                    if not parts or parts[0] in ("CONNECT",):
+                        continue
+                    if parts[0] == "SUB":
+                        inbox = parts[1]
+                        continue
+                    if parts[0] == "PUB":
+                        self.rfile.read(int(parts[-1]) + 2)
+                        hdr = b"NATS/1.0 409 Exceeded MaxRequestBatch\r\n\r\n"
+                        self.wfile.write(
+                            b"HMSG %s 1 %d %d\r\n%s\r\n"
+                            % (inbox.encode(), len(hdr), len(hdr), hdr)
+                        )
+
+        from gogstash_spark.sources.ingest import nats_jetstream_input
+
+        srv, addr = _tcp_server(_JsErr)
+        try:
+            with pytest.raises(RuntimeError, match="409"):
+                nats_jetstream_input(spark, addr, "S", "D", idle_timeout=0.5)
+        finally:
+            srv.shutdown()
+
 
 class _FakeDockerDaemon(socketserver.StreamRequestHandler):
     """Live Docker Engine API fake over a UNIX socket: /_ping,
