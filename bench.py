@@ -11,10 +11,13 @@ turns/sec; per-operator queries are timed as noop-write actions.
 
 Round-over-round interpretability on this shared, noisy host
 (BASELINE.md noise notes — identical runs swing 2-3x):
-- every query is min-of-3
-- a pure-JVM codegen control (zero I/O / Python / shuffle) is timed in
-  the same session -> `jvm_control_sec`; compare THAT across rounds
-  before reading anything into a pipeline delta
+- every query is min-of-3, taken as three interleaved passes over the
+  whole suite so each query's samples land in three different host
+  windows (a back-to-back rep block can sit entirely inside one
+  multi-minute load burst)
+- a pure-JVM codegen control (zero I/O / Python / shuffle) is timed
+  once per pass in the same session -> `jvm_control_sec` (min); compare
+  THAT across rounds before reading anything into a pipeline delta
 - the previous BENCH_r*.json is loaded and per-query ratios emitted as
   `vs_prev`; any query >2x its previous round gets 2 extra re-runs
   (min kept) before being reported — transient host spikes don't land
@@ -90,11 +93,20 @@ def main() -> None:
     ctrl_df = spark.range(0, 10_000_000_000, 1, max(int(cpus), 64))
     ctrl_expr = F.count(F.when(F.xxhash64("id") % 1000 == 0, 1))
     spark.range(0, 1000).agg(F.count("id")).collect()  # session warm-up
-    jvm_control = float("inf")
-    for _ in range(3):
+
+    def control_rep() -> float:
         t0 = time.time()
         ctrl_df.agg(ctrl_expr).collect()
-        jvm_control = min(jvm_control, time.time() - t0)
+        return time.time() - t0
+
+    # the control is SPREAD across the suite (here, after the e2e block,
+    # after the query loop) rather than burst-sampled up front: the host
+    # window moves over the ~10 min the suite takes, and a control that
+    # only saw the first window normalizes later queries against a host
+    # speed they never had (observed round 5: start-burst control read
+    # 2.05 s in a fast first window, inflating normalized ratios of
+    # queries measured minutes later)
+    jvm_control = control_rep()
 
     # headline: end-to-end pipeline with real sink writes.
     # One warm-up run first: JVM codegen + Python worker pool spin-up are
@@ -105,17 +117,15 @@ def main() -> None:
     shutil.rmtree(out_dir, ignore_errors=True)
     run_pipeline(spark, spec, out_dir=out_dir, base_dir=data_dir, resume=False,
                  write_mode="partitioned")
-    e2e = float("inf")
-    for _ in range(3):
+
+    def e2e_rep() -> tuple[float, object]:
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.time()
-        res = run_pipeline(
+        r = run_pipeline(
             spark, spec, out_dir=out_dir, base_dir=data_dir, resume=False,
             write_mode="partitioned",
         )
-        e2e = min(e2e, time.time() - t0)
-    timings["pipeline_e2e_write"] = round(e2e, 3)
-    n_turns = res.metrics.get("pipeline", {}).get("rows_total", 0)
+        return time.time() - t0, r
 
     def run_query(name: str, reps: int) -> float:
         best = float("inf")
@@ -141,16 +151,36 @@ def main() -> None:
         "syslog_parse",
     ]
     prev_name, prev, prev_jvm = _load_prev(repo)
+    # min-of-3 as three INTERLEAVED passes over the whole suite, not 3
+    # back-to-back reps per query: this shared host's load bursts last
+    # minutes (observed round 5: one burst covered a query's entire
+    # rep block and its outlier re-runs, poisoning the min with every
+    # sample from the same bad window). Passes put each query's 3
+    # samples in 3 different windows ~4 min apart; the min then needs
+    # only ONE quiet window anywhere in the suite. Same total work.
+    # The e2e headline and the JVM control ride the same passes, so
+    # every metric (and the normalizer) samples the same three windows.
+    e2e, res = float("inf"), None
+    for _pass in range(3):
+        w, r = e2e_rep()
+        if w < e2e:
+            e2e, res = w, r
+        jvm_control = min(jvm_control, control_rep())
+        for name in names:
+            if name not in qs:
+                continue
+            w = run_query(name, 1)
+            timings[name] = round(min(timings.get(name, float("inf")), w), 3)
+    timings["pipeline_e2e_write"] = round(e2e, 3)
+    n_turns = res.metrics.get("pipeline", {}).get("rows_total", 0)
+    # outlier control: >2x the previous round is more likely a host
+    # spike than a regression — re-measure before recording
     for name in names:
-        if name not in qs:
+        if name not in timings:
             continue
-        best = run_query(name, 3)
-        # outlier control: >2x the previous round is more likely a host
-        # spike than a regression — re-measure before recording
         p = prev.get(name)
-        if p and best > 2 * p:
-            best = min(best, run_query(name, 2))
-        timings[name] = round(best, 3)
+        if p and timings[name] > 2 * p:
+            timings[name] = round(min(timings[name], run_query(name, 2)), 3)
 
     vs_prev = {
         k: round(timings[k] / prev[k], 2)
@@ -161,6 +191,9 @@ def main() -> None:
     # 3->4 the pure-JVM control alone moved 1.38x); dividing by the
     # control ratio separates "the host was slower" from "the query got
     # slower". Report BOTH — raw for honesty, normalized for reading.
+    # Caveat for readers: on sub-0.5 s queries a single +-0.1 s
+    # scheduling jitter is a 1.2-1.4x ratio all by itself — judge
+    # normalized ratios only on queries whose wall is >=1 s.
     host_ratio = (jvm_control / prev_jvm) if prev_jvm else None
     vs_prev_normalized = (
         {k: round(v / host_ratio, 2) for k, v in vs_prev.items()}
