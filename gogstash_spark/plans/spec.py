@@ -84,7 +84,8 @@ class PipelineSpec:
                     "type": "text", "path": i.get("path"),
                     "codec": codec or "default",
                 })
-            elif t in ("exec", "http", "lorem", "redis", "nsq", "nats"):
+            elif t in ("exec", "http", "lorem", "redis", "nsq", "nats",
+                       "dockerlog", "dockerstats"):
                 inputs.append(dict(i))
             elif t in ("beats", "httplisten", "socket") and i.get("spool_dir"):
                 # push listeners (sources/ingest.py beats_input /

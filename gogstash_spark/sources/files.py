@@ -20,7 +20,25 @@ def read_input(spark: SparkSession, inp: dict) -> DataFrame:
     text honors `codec` (default|json) exactly like the reference's
     file input; json reads JSON-lines natively (schema inferred or
     given as DDL via `schema`); csv honors `header`/`sep`.
+
+    Every returned frame carries a `ts` event-time column: the
+    reference stamps LogEvent.Timestamp at event creation
+    (config/logevent/logevent.go NewLogEvent/@timestamp), so inputs
+    whose payload has no time of its own (exec, redis drains, docker
+    stats, ...) get read-time as the event time — downstream
+    time-bucketed aggregates and %{+@...} templates always resolve.
     """
+    df = _read_input_typed(spark, inp)
+    from gogstash_spark import logevent
+
+    if logevent.TS not in df.columns:
+        from pyspark.sql import functions as F
+
+        df = df.withColumn(logevent.TS, F.current_timestamp())
+    return df
+
+
+def _read_input_typed(spark: SparkSession, inp: dict) -> DataFrame:
     typ = inp.get("type", "parquet")
     if typ == "multi":
         # several inputs union into one frame (a gogstash config may
@@ -55,6 +73,30 @@ def read_input(spark: SparkSession, inp: dict) -> DataFrame:
             spark, host, key=inp.get("key", "gogstash"),
             timeout=float(inp.get("timeout", 5.0)),
             max_events=inp.get("max_events"),
+        )
+    if typ in ("dockerlog", "dockerstats"):
+        # reference key names verbatim (input/dockerlog/
+        # inputdockerlog.go:24-29, input/dockerstats/
+        # inputdockerstats.go:24-29); interval keys are the daemon's
+        # poll cadence — the batch analog is one drain per run,
+        # scheduled externally like exec/http
+        from gogstash_spark.sources.dockerapi import (
+            dockerlog_input,
+            dockerstats_input,
+        )
+
+        url = inp.get("dockerurl", "unix:///var/run/docker.sock")
+        include = inp.get("include_patterns")
+        exclude = inp.get("exclude_patterns", ("gogstash",))
+        if typ == "dockerlog":
+            return dockerlog_input(
+                spark, url, include_patterns=include, exclude_patterns=exclude,
+                sincepath=inp.get("sincepath"),
+                start_position=inp.get("start_position", "beginning"),
+            )
+        return dockerstats_input(
+            spark, url, include_patterns=include, exclude_patterns=exclude,
+            log_mode=inp.get("log_mode", "full"),
         )
     if typ == "nats":
         # at-least-once pull-consume: jetstream:true selects it, an

@@ -21,6 +21,34 @@ def _lines_df(spark: SparkSession, lines: list[str]) -> DataFrame:
     return spark.createDataFrame([(ln,) for ln in lines], "%s string" % logevent.TEXT)
 
 
+def _render_prefix(prefix: str) -> str:
+    """Driver-side replica of event.Format() on message_prefix
+    (reference input/exec/inputexec.go:123): at input time the event
+    holds only its creation timestamp, so %{@timestamp} renders UTC-now
+    in the reference's trim-trailing-zero nanosecond layout
+    (config/logevent/logevent.go:35,122); unknown %{field} refs fall
+    back to env / HOSTNAME and otherwise stay verbatim, exactly like
+    Format. Rendered once per drain — the batch analog of per-event
+    creation times milliseconds apart within one exec run."""
+    import re as _re
+    from datetime import datetime, timezone
+
+    from gogstash_spark.logevent import _env_fallback
+
+    def sub(m) -> str:
+        key = m.group(1)
+        if key == "@timestamp":
+            now = datetime.now(timezone.utc)
+            frac = ("%06d" % now.microsecond).rstrip("0")
+            return now.strftime("%Y-%m-%dT%H:%M:%S") + (
+                "." + frac if frac else ""
+            ) + "Z"
+        env = _env_fallback(key)
+        return env if env is not None else m.group(0)
+
+    return _re.sub(r"%\{([^}]+)\}", sub, prefix)
+
+
 def exec_input(
     spark: SparkSession,
     command: str,
@@ -36,18 +64,28 @@ def exec_input(
     """
     import subprocess
 
+    message_prefix = _render_prefix(message_prefix) if message_prefix else ""
     out = subprocess.run(
         [command, *(args or [])], capture_output=True, text=True, timeout=timeout,
         check=True,
     ).stdout
+    # every exec event carries the node's hostname
+    # (reference input/exec/inputexec.go:103)
+    import socket as _so
+
+    host = _so.gethostname()
     if message_type == "json":
-        return _lines_df(spark, [out.strip(message_trim)])
-    lines = [
-        message_prefix + ln.strip(message_trim)
-        for ln in out.splitlines()
-        if ln.strip(message_trim)
-    ]
-    return _lines_df(spark, lines)
+        lines = [out.strip(message_trim)]
+    else:
+        lines = [
+            message_prefix + ln.strip(message_trim)
+            for ln in out.splitlines()
+            if ln.strip(message_trim)
+        ]
+    return spark.createDataFrame(
+        [(ln, host) for ln in lines],
+        "%s string, host string" % logevent.TEXT,
+    )
 
 
 def redis_input(

@@ -1,6 +1,7 @@
 """The reference's OWN config corpus through PipelineSpec.from_gogstash.
 
-Three configs run verbatim (module names, key names, filter order):
+Every example config the reference ships runs verbatim (module names,
+key names, filter order):
 - /root/reference/testdata/config.yaml (lorem -> stdout, event options)
 - README.md nginx example (gonx x2, date, remove_field, add_field,
   geoip2, typeconv -> elastic) — the redis broker input swapped for a
@@ -9,6 +10,10 @@ Three configs run verbatim (module names, key names, filter order):
 - README.md beats example (grok + patterns_path, date, remove_field,
   add_field, geoip2, typeconv -> elastic) — driven LIVE through the
   lumberjack v2 listener
+- README.md ubuntu-sys example (5 exec inputs, %{@timestamp} message
+  prefixes -> report + redis) — against a live RESP fake
+- README.md dockerstats example (dockerstats -> report + redis) —
+  against a live Engine-API fake daemon
 
 Only environment-bound values are substituted: broker endpoints -> a
 file with identical content, the MaxMind .mmdb path -> a parquet lookup
@@ -195,3 +200,122 @@ output:
         got = {r["clientip"]: r["response"] for r in df.collect()}
         assert got == {"1.1.1.1": 503, "2.2.2.2": 500} or len(got) == 2
         assert all(r["ts"].year == 2017 for r in df.collect())
+
+    def test_readme_sys_example_live(self, spark, tmp_path):
+        """README ubuntu-sys.json verbatim: five exec inputs with
+        %{@timestamp}-templated message prefixes -> report aggregate +
+        redis list keyed gogstash-ubuntu-sys-%{host}, driven against a
+        live RESP fake. Only the redis endpoint is substituted; every
+        command runs as written (this host has vda + eth0, so the
+        README's own greps match)."""
+        import re
+        import socket as so
+
+        from test_net_io import _RespRecorder, _tcp_server
+
+        _RespRecorder.commands = []
+        srv, addr = _tcp_server(_RespRecorder)
+        cfg = {
+            "input": [
+                {"type": "exec", "command": "sh", "interval": 60,
+                 "message_prefix": "%{@timestamp} [df] ",
+                 "args": ["-c", "df -B 1 / | sed 1d"]},
+                {"type": "exec", "command": "sh", "interval": 60,
+                 "message_prefix": "%{@timestamp} [diskstat] ",
+                 "args": ["-c", "grep '0 [sv]da ' /proc/diskstats"]},
+                {"type": "exec", "command": "sh", "interval": 60,
+                 "message_prefix": "%{@timestamp} [loadavg] ",
+                 "args": ["-c", "cat /proc/loadavg"]},
+                {"type": "exec", "command": "sh", "interval": 60,
+                 "message_prefix": "%{@timestamp} [netdev] ",
+                 "args": ["-c", "grep '\\beth0:' /proc/net/dev"]},
+                {"type": "exec", "command": "sh", "interval": 60,
+                 "message_prefix": "%{@timestamp} [meminfo]\n",
+                 "args": ["-c", "cat /proc/meminfo"]},
+            ],
+            "output": [
+                {"type": "report"},
+                {"type": "redis", "key": "gogstash-ubuntu-sys-%{host}",
+                 "host": [addr]},
+            ],
+        }
+        try:
+            spec = PipelineSpec.from_gogstash(cfg)
+            res = run_pipeline(
+                spark, spec, out_dir=str(tmp_path / "out_sys"), resume=False
+            )
+        finally:
+            srv.shutdown()
+        cmds = _RespRecorder.commands
+        assert cmds and all(c[0] == b"LPUSH" for c in cmds)
+        assert res.sink_rows.get("redis") == len(cmds)
+        # %{host} renders from the event's host field, set by the exec
+        # input like the reference (input/exec/inputexec.go:103)
+        assert {c[1].decode() for c in cmds} == {
+            "gogstash-ubuntu-sys-" + so.gethostname()
+        }
+        msgs = [json.loads(c[2])["message"] for c in cmds]
+        # each message carries its rendered prefix: reference timestamp
+        # layout (trim-ns UTC) then the [tag]
+        ts_re = re.compile(
+            r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?Z \[(df|diskstat|loadavg|netdev)\] |"
+            r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?Z \[meminfo\]\n"
+        )
+        assert all(ts_re.match(m) for m in msgs)
+        tags = {m.split("[", 1)[1].split("]")[0] for m in msgs}
+        assert tags == {"df", "diskstat", "loadavg", "netdev", "meminfo"}
+        # the report aggregate counted every event
+        agg = spark.read.parquet(str(tmp_path / "out_sys" / "agg_report"))
+        assert agg.groupBy().sum("n").collect()[0][0] == len(cmds)
+
+    def test_readme_dockerstats_example_live(self, spark, tmp_path):
+        """README dockerstats YAML example verbatim against a live
+        Engine-API fake daemon: one stats document per (non-excluded)
+        container -> report aggregate + redis keyed
+        gogstash-docker-%{host}. Substituted: dockerurl (the daemon
+        socket) and the redis endpoint."""
+        import socket as so
+        import socketserver
+        import threading
+
+        from test_net_io import _FakeDockerDaemon, _RespRecorder, _tcp_server
+
+        sock = str(tmp_path / "docker.sock")
+        daemon = socketserver.ThreadingUnixStreamServer(sock, _FakeDockerDaemon)
+        daemon.daemon_threads = True
+        threading.Thread(target=daemon.serve_forever, daemon=True).start()
+        _RespRecorder.commands = []
+        srv, addr = _tcp_server(_RespRecorder)
+        cfg = yaml.safe_load(f"""
+input:
+  - type: dockerstats
+    dockerurl: unix://{sock}
+output:
+  - type: report
+  - type: redis
+    key: "gogstash-docker-%{{host}}"
+    host:
+      - "{addr}"
+""")
+        try:
+            spec = PipelineSpec.from_gogstash(cfg)
+            res = run_pipeline(
+                spark, spec, out_dir=str(tmp_path / "out_docker"), resume=False
+            )
+        finally:
+            srv.shutdown()
+            daemon.shutdown()
+        cmds = _RespRecorder.commands
+        assert all(c[0] == b"LPUSH" for c in cmds)
+        assert res.sink_rows.get("redis") == 3
+        assert {c[1].decode() for c in cmds} == {
+            "gogstash-docker-" + so.gethostname()
+        }
+        docs = [json.loads(c[2]) for c in cmds]
+        # default 'gogstash' exclude drops the agent's own container
+        assert {d["containername"] for d in docs} == {"web", "db", "term"}
+        # the stats payload is the daemon's document, intact
+        stats = json.loads(docs[0]["stats"])
+        assert stats["memory_stats"]["usage"] == 1024
+        agg = spark.read.parquet(str(tmp_path / "out_docker" / "agg_report"))
+        assert agg.groupBy().sum("n").collect()[0][0] == 3
