@@ -220,8 +220,13 @@ class PipelineSpec:
         def xlate_filter(f: dict) -> dict:
             f = dict(f)
             for k in ("source", "field", "ip_field", "target"):
-                if f.get(k) in reserved:
-                    f[k] = reserved[f[k]]
+                v = f.get(k)
+                # hash takes source as a LIST of fields
+                # (filter/hash/filterhash.go Source []string)
+                if isinstance(v, list):
+                    f[k] = [reserved.get(x, x) for x in v]
+                elif isinstance(v, str) and v in reserved:
+                    f[k] = reserved[v]
             if isinstance(f.get("fields"), list):
                 f["fields"] = [reserved.get(x, x) for x in f["fields"]]
             return f
