@@ -99,8 +99,19 @@ def main() -> None:
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     repo = os.path.dirname(os.path.abspath(__file__))
     n_rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    # N and 4N cores: default 8->32 (saturates this 32-vCPU host — the
+    # pure-JVM control itself only speeds up ~2.5x there, so that pair's
+    # raw efficiency is ceiling-normalized). An undersubscribed pair
+    # like "4,16" leaves the machine headroom and measures the job's own
+    # scaling without the host in the way.
+    lo, hi = (
+        (int(x) for x in sys.argv[4].split(","))
+        if len(sys.argv) > 4
+        else (8, 32)
+    )
+    ratio = hi / lo
     results: dict[int, dict] = {}
-    controls: dict[int, list[float]] = {8: [], 32: []}
+    controls: dict[int, list[float]] = {lo: [], hi: []}
     rounds: list[dict] = []
     # the CONTROL is interleaved with the pipeline configs inside each
     # round, never run as a trailing block: on this shared host the
@@ -116,7 +127,7 @@ def main() -> None:
     # happened in either.
     for round_ix in range(n_rounds):
         rd: dict = {}
-        for cores in (8, 32):
+        for cores in (lo, hi):
             c = control_at(cores, repo)
             controls[cores].append(c)
             r = run_at(cores, sf_dir, repo, reps)
@@ -126,31 +137,32 @@ def main() -> None:
                 results[cores]["walls"].extend(r["walls"])
             else:
                 results[cores] = r
-        rd["speedup"] = round(rd["wall8"] / rd["wall32"], 3)
-        rd["ctrl_speedup"] = round(rd["c8"] / rd["c32"], 3)
+        rd["speedup"] = round(rd["wall%d" % lo] / rd["wall%d" % hi], 3)
+        rd["ctrl_speedup"] = round(rd["c%d" % lo] / rd["c%d" % hi], 3)
         rd["efficiency_vs_ceiling"] = round(rd["speedup"] / rd["ctrl_speedup"], 3)
+        rd["raw_efficiency"] = round(rd["speedup"] / ratio, 3)
         rounds.append(rd)
     for cores, r in results.items():
         r["wall_sec"] = min(r["walls"])
         r["turns_per_sec"] = round(r["rows"] / r["wall_sec"], 1)
-    c8 = min(controls[8])
-    c32 = min(controls[32])
-    r8, r32 = results[8], results[32]
-    speedup = r8["wall_sec"] / r32["wall_sec"]
-    efficiency = speedup / (32 / 8)
-    ctrl_speedup = c8 / c32
+    c_lo = min(controls[lo])
+    c_hi = min(controls[hi])
+    r_lo, r_hi = results[lo], results[hi]
+    speedup = r_lo["wall_sec"] / r_hi["wall_sec"]
+    efficiency = speedup / ratio
+    ctrl_speedup = c_lo / c_hi
     best = max(rounds, key=lambda rd: rd["efficiency_vs_ceiling"])
     report = {
         "sf_dir": sf_dir,
-        "local8": r8,
-        "local32": r32,
-        "speedup_8_to_32": round(speedup, 3),
+        "local%d" % lo: r_lo,
+        "local%d" % hi: r_hi,
+        "speedup_%d_to_%d" % (lo, hi): round(speedup, 3),
         "scaling_efficiency": round(efficiency, 3),
         "control_pure_jvm": {
-            "wall8": round(c8, 2),
-            "wall32": round(c32, 2),
+            "wall%d" % lo: round(c_lo, 2),
+            "wall%d" % hi: round(c_hi, 2),
             "speedup": round(ctrl_speedup, 3),
-            "efficiency": round(ctrl_speedup / 4, 3),
+            "efficiency": round(ctrl_speedup / ratio, 3),
         },
         "efficiency_vs_machine_ceiling": round(speedup / ctrl_speedup, 3),
         # same-window measurement: every wall and control in `rounds[i]`
@@ -173,7 +185,11 @@ def main() -> None:
         except Exception:
             existing = {}
     sf_name = os.path.basename(sf_dir.rstrip("/"))
-    if sf_name == "sf1":
+    if (lo, hi) != (8, 32):
+        # a non-default core pair never disturbs the canonical 8->32
+        # record; it lands under its own key (e.g. "sf1_c4x16_run")
+        merged = {**existing, "%s_c%dx%d_run" % (sf_name, lo, hi): report}
+    elif sf_name == "sf1":
         merged = {**existing, **report}
     else:
         merged = {**existing, "%s_run" % sf_name: report}

@@ -143,3 +143,95 @@ def fingerprint(df: DataFrame, text_col: str = "text", n: int = 5) -> DataFrame:
         F.array_min(F.transform(shingles, F.md5)),
     ).otherwise(F.md5(F.col(text_col)))
     return df.withColumn("fingerprint", fp)
+
+
+def ngram_shingles(col: Column, n: int) -> Column:
+    """array<string> of word n-gram shingles; empty for docs with
+    fewer than n words (F.sequence would otherwise count DOWN for a
+    negative span and fabricate shingles)."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def contamination(
+    df: DataFrame,
+    bench_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    n: int = 8,
+    broadcast_matches: bool = True,
+) -> DataFrame:
+    """Benchmark-contamination check: flag corpus documents that share
+    at least one word n-gram with an evaluation/benchmark set (the
+    standard train/test leakage control before an LLM training run;
+    n=8..13 words is the usual window).
+
+    Adds: n_ngrams (shingle count of the doc), n_matched_ngrams
+    (shingle OCCURRENCES that appear anywhere in the benchmark set —
+    a shingle repeated in the doc counts each time), contaminated.
+
+    Scale shape (100 TB corpus, benchmark sets are ~10^4-10^6 n-grams):
+    the corpus is never shuffled — the benchmark side collapses to
+    DISTINCT md5 hashes and is broadcast, so the explode + inner join
+    is map-side; only the MATCHED occurrences (rare by construction)
+    shuffle into the per-doc count, and that small aggregate is
+    broadcast back onto the corpus (disable via broadcast_matches=False
+    if a poisoned corpus makes the matched set genuinely large).
+    """
+    bench_hashes = (
+        bench_df.select(
+            F.explode(ngram_shingles(F.col(bench_text_col), n)).alias("s")
+        )
+        .select(F.md5("s").alias("_h"))
+        .distinct()
+    )
+    shingled = df.withColumn("_sh", ngram_shingles(F.col(text_col), n))
+    matched = (
+        shingled.select(id_col, F.explode("_sh").alias("s"))
+        .select(id_col, F.md5("s").alias("_h"))
+        .join(F.broadcast(bench_hashes), "_h")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_matched_ngrams"))
+    )
+    if broadcast_matches:
+        matched = F.broadcast(matched)
+    return (
+        shingled.withColumn("n_ngrams", F.size("_sh"))
+        .drop("_sh")
+        .join(matched, id_col, "left")
+        .withColumn(
+            "n_matched_ngrams", F.coalesce("n_matched_ngrams", F.lit(0).cast("long"))
+        )
+        .withColumn("contaminated", F.col("n_matched_ngrams") > 0)
+    )
+
+
+def _dup_frac(arr: Column) -> Column:
+    n = F.size(arr)
+    return F.when(
+        n > 0,
+        (n - F.size(F.array_distinct(arr))).cast("double") / n.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition-based quality signals in the style of the Gopher /
+    MassiveText filters: fraction of duplicate non-blank lines,
+    duplicate words, and duplicate word 2-grams. High values mark
+    boilerplate/spam documents a training pipeline should drop.
+    Pure codegen column arithmetic — no UDF, no shuffle."""
+    t = F.col(text_col)
+    lines = F.filter(F.split(t, "\n"), lambda s: F.length(F.trim(s)) > 0)
+    toks = tokens(t)
+    return df.withColumns(
+        {
+            "dup_line_frac": F.round(_dup_frac(lines), 6),
+            "dup_word_frac": F.round(_dup_frac(toks), 6),
+            "dup_2gram_frac": F.round(_dup_frac(ngram_shingles(t, 2)), 6),
+        }
+    )

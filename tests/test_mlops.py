@@ -455,3 +455,147 @@ class TestMultimodal:
         assert got[3]["width"] == 4 + 3 % 5 and got[3]["height"] == 3 + 3 % 4
         assert all(r["n_channels"] == 3 for r in got.values())
         assert all(r["mean_pixel"] is not None for r in got.values())
+
+
+class TestContamination:
+    def test_flags_overlapping_docs(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon zeta"),       # shares 4-grams w/ bench
+                (2, "one two three four five six seven"),          # clean
+                (3, "alpha beta gamma delta unrelated tail here"), # shares exactly one
+                (4, "too short"),                                  # < n words -> 0 shingles
+            ],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [(100, "prefix alpha beta gamma delta suffix")], "bid long, text string"
+        )
+        got = {
+            r["doc_id"]: r
+            for r in textops.contamination(
+                df, bench, n=4, bench_text_col="text"
+            ).collect()
+        }
+        assert got[1]["contaminated"] and got[1]["n_matched_ngrams"] == 1
+        assert not got[2]["contaminated"] and got[2]["n_matched_ngrams"] == 0
+        assert got[3]["contaminated"] and got[3]["n_matched_ngrams"] == 1
+        assert got[4]["n_ngrams"] == 0 and not got[4]["contaminated"]
+
+    def test_repeated_shingle_counts_per_occurrence(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c d x a b c d")], "doc_id long, text string"
+        )
+        bench = spark.createDataFrame([(9, "a b c d")], "bid long, text string")
+        r = textops.contamination(df, bench, n=4).collect()[0]
+        assert r["n_matched_ngrams"] == 2
+
+    def test_corpus_side_never_sort_merge_joins(self, spark):
+        df = spark.createDataFrame(
+            [(i, "w%d x y z a b c d e" % i) for i in range(50)],
+            "doc_id long, text string",
+        )
+        bench = df.where(F.col("doc_id") % 7 == 0)
+        plan = textops.contamination(df, bench)._jdf.queryExecution().toString()
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+    def test_matches_duckdb_oracle_on_documents(self, spark):
+        """Same rigor as the driver gate (rows+schema+value-hash), run
+        repo-side because the driver correctness artifact caps at 50
+        rows (README 'Correctness gate') and every slot is taken."""
+        import duckdb
+
+        from tools.parity import compare
+
+        sf_dir = "/root/testdata/sf0.001"
+        docs = spark.read.parquet(sf_dir + "/documents.parquet")
+        bench = docs.where(F.col("doc_id") % 37 == 0)
+        out = textops.contamination(docs, bench, n=8).select(
+            "doc_id", "n_ngrams", "n_matched_ngrams", "contaminated"
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet('%s/documents.parquet')"
+            % sf_dir
+        )
+        sql = r"""WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id, CASE WHEN len(toks) >= 8 THEN
+      [md5(array_to_string(toks[i:i+7], ' ')) FOR i IN range(1, greatest(len(toks)-6, 1))]
+    ELSE [] END AS hs
+  FROM w
+),
+bench AS (SELECT DISTINCT unnest(hs) AS h FROM sh WHERE doc_id % 37 = 0),
+occ AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+m AS (
+  SELECT occ.doc_id, count(*) AS n_matched_ngrams
+  FROM occ JOIN bench USING (h) GROUP BY occ.doc_id
+)
+SELECT s.doc_id,
+  CAST(len(s.hs) AS INTEGER) AS n_ngrams,
+  CAST(coalesce(m.n_matched_ngrams, 0) AS BIGINT) AS n_matched_ngrams,
+  coalesce(m.n_matched_ngrams, 0) > 0 AS contaminated
+FROM sh s LEFT JOIN m USING (doc_id)"""
+        r = compare("contamination", out, sql, con)
+        assert r["rows_match"] and r["schema_match"] and r["hash_match"], r
+        # the check is only meaningful if the fixture actually overlaps
+        assert out.where("contaminated").count() > 0
+
+
+class TestRepetitionSignals:
+    def test_signal_values(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "spam spam spam spam"),
+                (2, "all unique words here"),
+                (3, "line\nline\nother"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in textops.repetition_signals(df).collect()}
+        assert got[1]["dup_word_frac"] == 0.75
+        assert got[1]["dup_2gram_frac"] == pytest.approx(2 / 3, abs=1e-6)
+        assert got[2]["dup_word_frac"] == 0.0
+        assert got[3]["dup_line_frac"] == pytest.approx(1 / 3, abs=1e-6)
+
+    def test_matches_duckdb_oracle_on_documents(self, spark):
+        import duckdb
+
+        from tools.parity import compare
+
+        sf_dir = "/root/testdata/sf0.001"
+        docs = spark.read.parquet(sf_dir + "/documents.parquet")
+        out = textops.repetition_signals(docs).select(
+            "doc_id", "dup_line_frac", "dup_word_frac", "dup_2gram_frac"
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet('%s/documents.parquet')"
+            % sf_dir
+        )
+        sql = r"""WITH w AS (
+  SELECT doc_id,
+    list_filter(string_split(text, chr(10)), s -> len(trim(s)) > 0) AS lines,
+    regexp_split_to_array(trim(text), '\s+') AS toks,
+    CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= 2 THEN
+        [array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+1], ' ')
+         FOR i IN range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')), 1))]
+      ELSE [] END AS grams
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN len(lines) > 0
+    THEN round((len(lines) - len(list_distinct(lines)))::DOUBLE / len(lines), 6)
+    ELSE 0.0 END AS dup_line_frac,
+  CASE WHEN len(toks) > 0
+    THEN round((len(toks) - len(list_distinct(toks)))::DOUBLE / len(toks), 6)
+    ELSE 0.0 END AS dup_word_frac,
+  CASE WHEN len(grams) > 0
+    THEN round((len(grams) - len(list_distinct(grams)))::DOUBLE / len(grams), 6)
+    ELSE 0.0 END AS dup_2gram_frac
+FROM w"""
+        r = compare("repetition_signals", out, sql, con)
+        assert r["rows_match"] and r["schema_match"] and r["hash_match"], r
