@@ -599,3 +599,74 @@ SELECT doc_id,
 FROM w"""
         r = compare("repetition_signals", out, sql, con)
         assert r["rows_match"] and r["schema_match"] and r["hash_match"], r
+
+
+class TestStratifiedSample:
+    def test_deterministic_and_rate_accurate(self, spark):
+        from gogstash_spark.mlops import sampling
+
+        df = spark.range(10_000).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 2 == 0).cast("string").alias("stratum"),
+        )
+        rates = {"true": 0.5, "false": 0.1}
+        a = sampling.stratified_sample(df, rates, "stratum")
+        b = sampling.stratified_sample(df, rates, "stratum")
+        ids_a = sorted(r["doc_id"] for r in a.collect())
+        assert ids_a == sorted(r["doc_id"] for r in b.collect())  # rerun-stable
+        n_true = a.where("stratum = 'true'").count()
+        n_false = a.where("stratum = 'false'").count()
+        assert abs(n_true / 5000 - 0.5) < 0.05
+        assert abs(n_false / 5000 - 0.1) < 0.03
+        # different seed -> a different (roughly independent) sample
+        c = sampling.stratified_sample(df, rates, "stratum", seed=7)
+        assert sorted(r["doc_id"] for r in c.collect()) != ids_a
+
+    def test_edge_rates(self, spark):
+        from gogstash_spark.mlops import sampling
+
+        df = spark.range(100).select(
+            F.col("id").alias("doc_id"), F.lit("x").alias("s")
+        )
+        assert sampling.stratified_sample(df, {"x": 1.0}, "s").count() == 100
+        assert sampling.stratified_sample(df, {"x": 0.0}, "s").count() == 0
+        # stratum not in dict -> default_rate (0.0)
+        assert sampling.stratified_sample(df, {"y": 1.0}, "s").count() == 0
+
+    def test_plan_is_a_pure_filter(self, spark):
+        from gogstash_spark.mlops import sampling
+
+        df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = sampling.stratified_sample(
+            df, {"src0": 0.5, "src1": 0.25}, "source"
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Join" not in plan
+
+    def test_matches_duckdb_oracle_on_documents(self, spark):
+        import duckdb
+
+        from gogstash_spark.mlops import sampling
+        from tools.parity import compare
+
+        sf_dir = "/root/testdata/sf0.001"
+        docs = spark.read.parquet(sf_dir + "/documents.parquet")
+        out = sampling.stratified_sample(
+            docs, {"src0": 0.5, "src1": 0.25, "src2": 1.0}, "source",
+            default_rate=0.05,
+        ).select("doc_id", "source")
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet('%s/documents.parquet')"
+            % sf_dir
+        )
+        sql = """SELECT doc_id, source FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 4) <
+  CASE source
+    WHEN 'src2' THEN 'g'
+    WHEN 'src1' THEN '4000'
+    WHEN 'src0' THEN '8000'
+    ELSE '0ccc' END"""
+        r = compare("stratified_sample", out, sql, con)
+        assert r["rows_match"] and r["schema_match"] and r["hash_match"], r
+        assert 0 < out.count() < docs.count()
