@@ -190,9 +190,8 @@ def contamination(
         .select(F.md5("s").alias("_h"))
         .distinct()
     )
-    shingled = df.withColumn("_sh", ngram_shingles(F.col(text_col), n))
     matched = (
-        shingled.select(id_col, F.explode("_sh").alias("s"))
+        df.select(id_col, F.explode(ngram_shingles(F.col(text_col), n)).alias("s"))
         .select(id_col, F.md5("s").alias("_h"))
         .join(F.broadcast(bench_hashes), "_h")
         .groupBy(id_col)
@@ -200,9 +199,14 @@ def contamination(
     )
     if broadcast_matches:
         matched = F.broadcast(matched)
+    # the output branch only needs the COUNT of shingles — arithmetic on
+    # the token count, so the shingle arrays are materialized once (in
+    # the match branch), not twice
+    n_ngrams = F.greatest(
+        F.size(tokens(F.col(text_col))) - (n - 1), F.lit(0)
+    )
     return (
-        shingled.withColumn("n_ngrams", F.size("_sh"))
-        .drop("_sh")
+        df.withColumn("n_ngrams", n_ngrams)
         .join(matched, id_col, "left")
         .withColumn(
             "n_matched_ngrams", F.coalesce("n_matched_ngrams", F.lit(0).cast("long"))
