@@ -1,0 +1,123 @@
+"""Sequence packing for LLM pretraining: concatenate documents in a
+deterministic shuffled order and cut the token stream every `capacity`
+tokens ("concat-and-chunk" packing — the standard way training
+pipelines turn variable-length documents into fixed-length sequences
+with zero padding waste; documents crossing a boundary are split
+across consecutive sequences).
+
+The whole op reduces to a global token prefix-sum over a deterministic
+total order. A naive window over the corpus would funnel 100 TB
+through ONE task (Exchange SinglePartition), so the prefix-sum is
+two-level:
+
+  1. order key = md5(doc_id ":" seed) — the deterministic shuffle a
+     training run wants anyway; its first 2 hex chars define 256
+     shards whose lexicographic ranges tile the global order, so
+     (shard, key) ascending IS the global order.
+  2. per-shard token subtotals -> a 256-row frame; the only
+     single-partition window in the plan runs over those 256 rows.
+  3. shard start offsets broadcast-join back; a window PARTITIONED BY
+     shard (256-way parallel) adds the within-shard prefix.
+
+Every expression is codegen (md5/substring/split/size + two window
+sums); no UDFs, no RNG, rerun/repartition/engine-stable — the same
+arithmetic runs in the DuckDB oracle as one ORDER BY window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from gogstash_spark.mlops.sampling import sample_key
+
+
+def ws_token_len(col: Column) -> Column:
+    """whitespace token count; 0 for empty/blank text (mirrors
+    textops.token_counts n_ws_tokens)."""
+    return (
+        F.when(F.length(F.trim(col)) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.trim(col), r"\s+")))
+        .cast("long")
+    )
+
+
+def deterministic_shuffle_key(df: DataFrame, key_col: str = "doc_id", seed: int = 42) -> DataFrame:
+    """Add `shuffle_key`: the md5 hex draw used as a reproducible
+    global training order (ORDER BY shuffle_key, key). Same idiom as
+    sampling.sample_key, so a mix recipe's sample and its pack order
+    share one primitive."""
+    return df.withColumn("shuffle_key", F.md5(
+        F.concat_ws(":", F.col(key_col).cast("string"), F.lit(str(seed)))
+    ))
+
+
+def pack_sequences(
+    df: DataFrame,
+    capacity: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Assign each document its slice of the packed token stream.
+
+    Adds: n_tokens (whitespace tokens), tok_offset (global start
+    position in the concatenated stream under the seeded shuffle
+    order), seq_id (first training sequence the doc lands in =
+    tok_offset // capacity), seq_last (last sequence it spans),
+    n_seqs (how many sequences the doc is split across; empty docs
+    occupy a point -> 1).
+
+    Scale shape (100 TB): one narrow projection computes key + length;
+    the 256-row shard-totals frame is the ONLY thing that ever sits in
+    a single partition; the corpus itself sees one hash exchange on
+    `_shard` (256-way) for the partitioned window and a broadcast join
+    of the offsets. No global sort, no SinglePartition window over
+    data, no UDFs.
+    """
+    key = F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed))))
+    t = df.select(
+        id_col,
+        key.alias("_key"),
+        F.substring(key, 1, 2).alias("_shard"),
+        ws_token_len(F.col(text_col)).alias("n_tokens"),
+    )
+
+    shard_offsets = (
+        t.groupBy("_shard")
+        .agg(F.sum("n_tokens").alias("_shard_total"))
+        .withColumn(
+            "_shard_offset",
+            F.coalesce(
+                F.sum("_shard_total").over(
+                    Window.orderBy("_shard").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("_shard_total")
+    )
+
+    within = Window.partitionBy("_shard").orderBy("_key", id_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    out = (
+        t.join(F.broadcast(shard_offsets), "_shard")
+        .withColumn(
+            "tok_offset",
+            F.col("_shard_offset") + F.coalesce(F.sum("n_tokens").over(within), F.lit(0)),
+        )
+        .withColumn("seq_id", F.floor(F.col("tok_offset") / capacity))
+        .withColumn(
+            "seq_last",
+            F.floor(
+                (F.col("tok_offset") + F.greatest(F.col("n_tokens"), F.lit(1)) - 1)
+                / capacity
+            ),
+        )
+        .withColumn("n_seqs", F.col("seq_last") - F.col("seq_id") + 1)
+        .drop("_key", "_shard", "_shard_offset")
+    )
+    return out

@@ -1,0 +1,128 @@
+"""Sequence packing (concat-and-chunk): semantics, scale-shape plan
+assertions, and DuckDB hash-parity at the driver gate's rigor."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gogstash_spark.mlops import packing
+
+
+class TestPackSemantics:
+    def test_contiguous_chunking_by_hand(self, spark):
+        """4 docs, capacity 5, seed order worked out from the md5 keys:
+        offsets are a cumsum over (shuffle_key, doc_id) order and the
+        seq span is pure integer arithmetic on them."""
+        df = spark.createDataFrame(
+            [
+                (1, "a b c"),          # 3 tokens
+                (2, "d e f g"),        # 4 tokens
+                (3, "h i"),            # 2 tokens
+                (4, ""),               # 0 tokens
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in packing.pack_sequences(df, capacity=5).collect()}
+        # reconstruct the expected order independently
+        import hashlib
+
+        order = sorted(
+            [1, 2, 3, 4], key=lambda d: (hashlib.md5(f"{d}:42".encode()).hexdigest(), d)
+        )
+        lens = {1: 3, 2: 4, 3: 2, 4: 0}
+        off = 0
+        for d in order:
+            r = rows[d]
+            assert r["n_tokens"] == lens[d]
+            assert r["tok_offset"] == off, (d, order)
+            assert r["seq_id"] == off // 5
+            assert r["seq_last"] == (off + max(lens[d], 1) - 1) // 5
+            assert r["n_seqs"] == r["seq_last"] - r["seq_id"] + 1
+            off += lens[d]
+
+    def test_total_stream_is_gapless(self, spark):
+        """offset of each doc == sum of all earlier docs' tokens: the
+        packed stream has no holes and no overlaps, so every token of
+        every doc lands in exactly one sequence slot."""
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = packing.pack_sequences(docs, capacity=2048).orderBy("tok_offset")
+        pdf = out.select("tok_offset", "n_tokens").toPandas()
+        run = 0
+        for _, r in pdf.iterrows():
+            assert r["tok_offset"] == run
+            run += r["n_tokens"]
+        # and a doc longer than capacity really spans multiple seqs
+        assert out.where("n_seqs > 1").count() == out.where(
+            f"n_tokens > 0 AND seq_last > seq_id"
+        ).count()
+
+    def test_split_docs_span_adjacent_sequences(self, spark):
+        df = spark.createDataFrame(
+            [(i, " ".join(["w"] * 7)) for i in range(10)], "doc_id long, text string"
+        )
+        out = packing.pack_sequences(df, capacity=10).collect()
+        for r in out:
+            assert r["seq_last"] in (r["seq_id"], r["seq_id"] + 1)
+
+
+class TestPackScaleShape:
+    def test_no_single_partition_window_over_data(self, spark):
+        """The only SinglePartition exchange feeds the 256-row
+        shard-totals window; the corpus window is partitioned by shard
+        and the offsets come back via broadcast join."""
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = (
+            packing.pack_sequences(docs, capacity=2048)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("SinglePartition") == 1, plan
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+        # the data-sized window is keyed on the shard column
+        assert "windowspecdefinition(_shard" in plan, plan
+
+
+class TestPackOracleParity:
+    def test_matches_duckdb_oracle_on_documents(self, spark):
+        """rows+schema+value-hash vs a one-window DuckDB restatement —
+        repo-side because the driver artifact caps at 50 rows and
+        every slot is taken (README 'Correctness gate')."""
+        import duckdb
+
+        from tools.parity import compare
+
+        sf_dir = "/root/testdata/sf0.001"
+        docs = spark.read.parquet(sf_dir + "/documents.parquet")
+        out = packing.pack_sequences(docs, capacity=1024).select(
+            "doc_id", "n_tokens", "tok_offset", "seq_id", "seq_last", "n_seqs"
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet('%s/documents.parquet')"
+            % sf_dir
+        )
+        sql = r"""WITH t AS (
+  SELECT doc_id,
+    md5(CAST(doc_id AS VARCHAR) || ':42') AS sk,
+    CASE WHEN len(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT doc_id, n_tokens,
+    COALESCE(SUM(n_tokens) OVER (
+      ORDER BY sk, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ), 0) AS tok_offset
+  FROM t
+)
+SELECT doc_id,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(tok_offset AS BIGINT) AS tok_offset,
+  CAST(tok_offset // 1024 AS BIGINT) AS seq_id,
+  CAST((tok_offset + greatest(n_tokens, 1) - 1) // 1024 AS BIGINT) AS seq_last,
+  CAST((tok_offset + greatest(n_tokens, 1) - 1) // 1024
+       - tok_offset // 1024 + 1 AS BIGINT) AS n_seqs
+FROM o"""
+        r = compare("pack_sequences", out, sql, con)
+        assert r["rows_match"] and r["schema_match"] and r["hash_match"], r
