@@ -58,6 +58,7 @@ def pack_sequences(
     text_col: str = "text",
     id_col: str = "doc_id",
     seed: int = 42,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Assign each document its slice of the packed token stream.
 
@@ -78,6 +79,7 @@ def pack_sequences(
     key = F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed))))
     t = df.select(
         id_col,
+        *(carry_cols or []),
         key.alias("_key"),
         F.substring(key, 1, 2).alias("_shard"),
         ws_token_len(F.col(text_col)).alias("n_tokens"),
