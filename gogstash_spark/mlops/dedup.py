@@ -18,7 +18,7 @@ the dedup semantics).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from gogstash_spark.mlops.textops import tokens
@@ -514,4 +514,58 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def repeated_substring_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """Substring-level exact dedup (the Lee et al. 2021 "Deduplicating
+    Training Data" signal, hash-based instead of suffix-array): find
+    every maximal span of tokens covered by k-token windows that occur
+    >= min_count times ANYWHERE in the corpus (across or within
+    documents). Training pipelines cut these spans — boilerplate
+    headers, license blocks, templated passages — rather than dropping
+    whole documents.
+
+    Returns one row per (doc, span): doc_id, span_start / span_end
+    (0-based token positions, inclusive), span_tokens.
+
+    Scale shape (100 TB): positions explode to ~n_tokens rows of
+    (md5, pos) — big but narrow (two columns), and the pipeline is
+    shuffle-minimal from there: ONE map-side-combinable groupBy(h)
+    keeps only hashes with count >= min_count (a tiny fraction by
+    construction), the join back to positions is an equi-join on h
+    that AQE co-partitions with the aggregate, and the
+    gaps-and-islands merge windows over (doc, pos) touch only the
+    surviving duplicated positions. Nothing quadratic, no crossJoin,
+    no driver-side state.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    t = df.select(id_col, toks.alias("_toks")).where(F.size("_toks") >= k)
+    sh = t.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_toks") - (k - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("_toks"), i, k))),
+            )
+        ).alias("pos", "h"),
+    )
+    hot = sh.groupBy("h").agg(F.count("*").alias("c")).where(F.col("c") >= min_count)
+    dup = sh.join(hot, "h").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = dup.withColumn("_isl", F.col("pos") - F.row_number().over(w))
+    return (
+        islands.groupBy(id_col, "_isl")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + (k - 1)).cast("long").alias("span_end"),
+        )
+        .drop("_isl")
+        .withColumn("span_tokens", F.col("span_end") - F.col("span_start") + 1)
     )
