@@ -239,3 +239,69 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
             "dup_2gram_frac": F.round(_dup_frac(ngram_shingles(t, 2)), 6),
         }
     )
+
+
+def unigram_lm(df: DataFrame, text_col: str = "text") -> tuple[DataFrame, DataFrame]:
+    """Train a unigram language model over a reference corpus: returns
+    (lm, stats) where lm = (token, logp) with add-one smoothing over
+    lowercased whitespace tokens, and stats is ONE row (n_total,
+    n_vocab, oov_logp) — p(tok) = (c+1)/(N+V), p(oov) = 1/(N+V).
+
+    Scale shape: one map-side-combinable groupBy(token); the stats
+    frame is a single row. The vocabulary frame is what the scorer
+    broadcasts — unigram vocabularies are millions of rows, not
+    billions, so the broadcast is the right default at 100 TB (CCNet
+    ships whole KenLM models to every worker the same way).
+    """
+    toks = df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+    counts = toks.groupBy("token").agg(F.count("*").alias("c"))
+    stats = counts.agg(
+        F.sum("c").alias("n_total"), F.count("*").alias("n_vocab")
+    ).withColumn(
+        "oov_logp", -F.log(F.col("n_total") + F.col("n_vocab"))
+    )
+    lm = counts.crossJoin(F.broadcast(stats)).select(
+        "token",
+        F.log((F.col("c") + 1) / (F.col("n_total") + F.col("n_vocab"))).alias("logp"),
+    )
+    return lm, stats
+
+
+def lm_perplexity(
+    df: DataFrame,
+    lm: DataFrame,
+    stats: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_lm: bool = True,
+) -> DataFrame:
+    """CCNet-style LM quality scoring: per-document mean token
+    log-probability under a (reference-corpus) unigram LM, and the
+    corresponding perplexity — low-likelihood documents are the noise
+    a training pipeline routes to review or drops.
+
+    Adds: n_lm_tokens, avg_logprob (round 6), ppl (= exp(-avg), round
+    6). Unseen tokens score at the model's OOV mass.
+
+    Scale shape: explode -> broadcast left join on token -> ONE
+    groupBy(id). With broadcast_lm=False the join shuffles on token:
+    stopword keys are heavily skewed — leave AQE skew-join on (it is,
+    by default) if a vocabulary ever genuinely outgrows broadcast.
+    """
+    exploded = df.select(
+        id_col, F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
+    )
+    lm_side = F.broadcast(lm) if broadcast_lm else lm
+    scored = (
+        exploded.join(lm_side, "token", "left")
+        .crossJoin(F.broadcast(stats.select("oov_logp")))
+        .select(id_col, F.coalesce("logp", "oov_logp").alias("lp"))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_lm_tokens"),
+            F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        )
+        .withColumn("ppl", F.round(F.exp(-F.col("avg_logprob")), 6))
+    )

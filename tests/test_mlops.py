@@ -764,3 +764,87 @@ FROM isl GROUP BY doc_id, grp"""
         )
         assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
         assert "SinglePartition" not in plan, plan
+
+
+class TestLMPerplexity:
+    def test_rare_tokens_score_worse(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "the the the the the the"),
+                (2, "zxqv qwpo mnbv lkjh zzzz"),
+            ],
+            "doc_id long, text string",
+        )
+        lm, stats = textops.unigram_lm(df)
+        got = {
+            r["doc_id"]: r for r in textops.lm_perplexity(df, lm, stats).collect()
+        }
+        assert got[1]["ppl"] < got[2]["ppl"]
+        assert got[1]["n_lm_tokens"] == 6 and got[2]["n_lm_tokens"] == 5
+
+    def test_oov_scores_at_oov_mass(self, spark):
+        train = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        score = spark.createDataFrame([(9, "zz zz")], "doc_id long, text string")
+        lm, stats = textops.unigram_lm(train)
+        st = stats.collect()[0]
+        import math
+
+        r = textops.lm_perplexity(score, lm, stats).collect()[0]
+        assert r["avg_logprob"] == pytest.approx(
+            round(-math.log(st["n_total"] + st["n_vocab"]), 6), abs=1e-6
+        )
+
+    def test_matches_duckdb_oracle_on_documents(self, spark):
+        """rows+schema+value-hash — repo-side because the driver
+        artifact caps at 50 rows and every slot is taken."""
+        import duckdb
+
+        from tools.parity import compare
+
+        sf_dir = "/root/testdata/sf0.001"
+        docs = spark.read.parquet(sf_dir + "/documents.parquet")
+        lm, stats = textops.unigram_lm(docs)
+        out = textops.lm_perplexity(docs, lm, stats).select(
+            "doc_id", "n_lm_tokens", "avg_logprob", "ppl"
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet('%s/documents.parquet')"
+            % sf_dir
+        )
+        sql = r"""WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  FROM documents
+),
+counts AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+stats AS (SELECT sum(c) AS n_total, count(*) AS n_vocab FROM counts),
+lm AS (
+  SELECT token, ln((c + 1)::DOUBLE / (n_total + n_vocab)) AS logp
+  FROM counts, stats
+),
+sc AS (
+  SELECT tok.doc_id,
+    coalesce(lm.logp, -ln((SELECT n_total + n_vocab FROM stats))) AS lp
+  FROM tok LEFT JOIN lm USING (token)
+)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_lm_tokens,
+  round(avg(lp), 6) AS avg_logprob,
+  round(exp(-round(avg(lp), 6)), 6) AS ppl
+FROM sc GROUP BY doc_id"""
+        r = compare("lm_perplexity", out, sql, con)
+        assert r["rows_match"] and r["schema_match"] and r["hash_match"], r
+
+    def test_scale_shape(self, spark):
+        """LM join is broadcast; the only corpus shuffle is the final
+        groupBy(doc_id)."""
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        lm, stats = textops.unigram_lm(docs)
+        plan = (
+            textops.lm_perplexity(docs, lm, stats)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "SortMergeJoin" not in plan, plan
+        assert "CartesianProduct" not in plan
