@@ -64,6 +64,36 @@ def _load_prev(repo: str) -> tuple[str | None, dict, float | None]:
         return None, {}, None
 
 
+def _bench_extras():
+    """Training-data ops timed alongside the driver queries. They are
+    not in __spark_entry__.queries() (the driver's correctness artifact
+    caps at 50 rows and every slot is taken — their hash-parity checks
+    live in tests/), but their walls belong in the round record."""
+    from pyspark.sql import functions as F
+
+    from gogstash_spark.mlops.dedup import repeated_substring_spans
+    from gogstash_spark.mlops.recipe import curate_mix
+    from gogstash_spark.mlops.textops import lm_perplexity, unigram_lm
+
+    def q_curate(spark, sf_dir):
+        docs = spark.read.parquet(sf_dir + "/documents.parquet")
+        bench = docs.where(F.col("doc_id") % 37 == 0)
+        return curate_mix(
+            docs, bench, {"src0": 0.5, "src1": 0.25, "src2": 1.0}, default_rate=0.05
+        )
+
+    def q_spans(spark, sf_dir):
+        docs = spark.read.parquet(sf_dir + "/documents.parquet")
+        return repeated_substring_spans(docs, k=8)
+
+    def q_lm(spark, sf_dir):
+        docs = spark.read.parquet(sf_dir + "/documents.parquet")
+        lm, stats = unigram_lm(docs)
+        return lm_perplexity(docs, lm, stats)
+
+    return {"curate_mix": q_curate, "repeated_spans": q_spans, "lm_perplexity": q_lm}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -84,6 +114,7 @@ def main() -> None:
     import __spark_entry__ as entry
 
     qs = entry.queries()
+    qs.update(_bench_extras())
     timings: dict[str, float] = {}
 
     # machine-ceiling control, measured FIRST and in-session: a pure-JVM
@@ -149,6 +180,9 @@ def main() -> None:
         "token_count",
         "sessionize",
         "syslog_parse",
+        "curate_mix",
+        "repeated_spans",
+        "lm_perplexity",
     ]
     prev_name, prev, prev_jvm = _load_prev(repo)
     # min-of-3 as three INTERLEAVED passes over the whole suite, not 3

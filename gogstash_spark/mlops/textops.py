@@ -130,31 +130,57 @@ def redact_pii(df: DataFrame, text_col: str = "text", target: str | None = None)
     return df.withColumn("n_redactions", n).withColumn(out_col, red)
 
 
+def _staged(expr: Column, build) -> Column:
+    """Evaluate `expr` ONCE per row and feed it to `build(value)`.
+
+    Catalyst inlines a plain Python reference to an array expression
+    into every site that uses it — inside a `transform` lambda that
+    means the array is rebuilt PER ELEMENT (measured: 2-gram shingling
+    re-ran the regex split once per shingle, O(n²) splits per row,
+    ~40× the wall on the documents table). A higher-order-function
+    lambda VARIABLE, by contrast, is bound once — so stage the value
+    through a 1-element transform and index it back out. Same values,
+    same oracles; purely an evaluation-count fix (the same trick the
+    ANN code uses to stage HOF scalars)."""
+    return F.transform(F.array(expr), build)[0]
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", n: int = 5) -> DataFrame:
     """Document fingerprint: minimum md5 over word n-gram shingles
     (rolling-hash style winnowing, engine-portable via md5).
     Short docs (< n words) fall back to md5 of the whole text.
     """
-    toks = tokens(F.col(text_col))
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    fp = F.when(
-        F.size(toks) >= n,
-        F.array_min(F.transform(shingles, F.md5)),
-    ).otherwise(F.md5(F.col(text_col)))
+    fp = _staged(
+        tokens(F.col(text_col)),
+        lambda toks: F.when(
+            F.size(toks) >= n,
+            F.array_min(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))),
+                )
+            ),
+        ).otherwise(F.md5(F.col(text_col))),
+    )
     return df.withColumn("fingerprint", fp)
 
 
 def ngram_shingles(col: Column, n: int) -> Column:
     """array<string> of word n-gram shingles; empty for docs with
     fewer than n words (F.sequence would otherwise count DOWN for a
-    negative span and fabricate shingles)."""
-    toks = tokens(col)
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
-    ).otherwise(F.array().cast("array<string>"))
+    negative span and fabricate shingles). The token array is staged
+    once per row (see _staged) — the shingling lambda must never
+    re-split the text per shingle."""
+    return _staged(
+        tokens(col),
+        lambda toks: F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
 
 
 def contamination(
@@ -216,11 +242,16 @@ def contamination(
 
 
 def _dup_frac(arr: Column) -> Column:
-    n = F.size(arr)
-    return F.when(
-        n > 0,
-        (n - F.size(F.array_distinct(arr))).cast("double") / n.cast("double"),
-    ).otherwise(F.lit(0.0))
+    # arr is referenced 3x — stage it so a shingle/split argument is
+    # built once per row, not three times
+    return _staged(
+        arr,
+        lambda a: F.when(
+            F.size(a) > 0,
+            (F.size(a) - F.size(F.array_distinct(a))).cast("double")
+            / F.size(a).cast("double"),
+        ).otherwise(F.lit(0.0)),
+    )
 
 
 def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
