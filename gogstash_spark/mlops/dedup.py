@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from gogstash_spark.functions.hof import staged
 from gogstash_spark.mlops.textops import tokens
 
 
@@ -36,23 +37,29 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 def shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
     """(id, sh_set array<string>) — distinct word n-gram shingles per doc."""
-    toks = tokens(F.col(text_col))
     if n == 1:
-        sh = F.array_distinct(toks)
+        sh = F.array_distinct(tokens(F.col(text_col)))
     else:
         # slice-based shingling: one HOF call per shingle instead of n
         # element_at calls (measured 2.3x faster; HOF lambdas are
-        # interpreted, not codegen'd)
-        idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+        # interpreted, not codegen'd). The token array is STAGED so the
+        # regex split runs once per row, not once per shingle (the
+        # O(n²) trap functions/hof.py documents).
         # docs with < n tokens have no n-shingles: sequence(1, <1) would
         # descend and slice() would throw, so guard with a lazily-evaluated
         # CASE WHEN (CaseWhen short-circuits per row)
-        sh = F.when(
-            F.size(toks) >= n,
-            F.array_distinct(
-                F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+        sh = staged(
+            tokens(F.col(text_col)),
+            lambda toks: F.when(
+                F.size(toks) >= n,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+                    )
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        )
     return df.select(F.col(id_col).alias("id"), sh.alias("sh_set"))
 
 

@@ -130,19 +130,10 @@ def redact_pii(df: DataFrame, text_col: str = "text", target: str | None = None)
     return df.withColumn("n_redactions", n).withColumn(out_col, red)
 
 
-def _staged(expr: Column, build) -> Column:
-    """Evaluate `expr` ONCE per row and feed it to `build(value)`.
-
-    Catalyst inlines a plain Python reference to an array expression
-    into every site that uses it — inside a `transform` lambda that
-    means the array is rebuilt PER ELEMENT (measured: 2-gram shingling
-    re-ran the regex split once per shingle, O(n²) splits per row,
-    ~40× the wall on the documents table). A higher-order-function
-    lambda VARIABLE, by contrast, is bound once — so stage the value
-    through a 1-element transform and index it back out. Same values,
-    same oracles; purely an evaluation-count fix (the same trick the
-    ANN code uses to stage HOF scalars)."""
-    return F.transform(F.array(expr), build)[0]
+# measured here: 2-gram shingling re-ran the regex split once per
+# shingle (O(n²) splits per row, 14× the wall on the documents table)
+# before staging
+from gogstash_spark.functions.hof import staged as _staged  # noqa: E402
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", n: int = 5) -> DataFrame:

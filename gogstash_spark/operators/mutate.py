@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from gogstash_spark import logevent
 from gogstash_spark.functions.conds import cond_to_sql
+from gogstash_spark.functions.hof import staged
 from gogstash_spark.operators import Context, Stage, apply_common, register
 
 
@@ -239,13 +240,19 @@ _UNSUPPORTED_ALGOS = {"fnv64a", "fnv128a", "murmur3_128"}
 
 def _utf8_bytes(col: Column) -> Column:
     """array<long> of the UTF-8 bytes of a string column (via hex pairs —
-    stays entirely in native expressions, no UDF)."""
-    hx = F.hex(F.encode(col, "UTF-8"))
-    n = (F.length(hx) / 2).cast("int")
-    return F.when(n > 0, F.transform(
-        F.sequence(F.lit(1), n),
-        lambda i: F.conv(F.substr(hx, i * 2 - 1, F.lit(2)), 16, 10).cast("long"),
-    )).otherwise(F.array().cast("array<long>"))
+    stays entirely in native expressions, no UDF). The hex string is
+    STAGED so it is built once per row, not once per byte (the O(n²)
+    HOF-inlining trap functions/hof.py documents)."""
+    return staged(
+        F.hex(F.encode(col, "UTF-8")),
+        lambda hx: F.when(
+            F.length(hx) > 0,
+            F.transform(
+                F.sequence(F.lit(1), (F.length(hx) / 2).cast("int")),
+                lambda i: F.conv(F.substr(hx, i * 2 - 1, F.lit(2)), 16, 10).cast("long"),
+            ),
+        ).otherwise(F.array().cast("array<long>")),
+    )
 
 
 def _fnv32a(col: Column) -> Column:
@@ -263,16 +270,24 @@ def _adler32(col: Column) -> Column:
     """Adler-32 via the closed-form weighted sum: a = 1 + sum(bytes),
     b = n + sum((n-i)*byte_i) [0-based], result = (b mod 65521)*65536 +
     (a mod 65521). Exact for inputs < ~250 MB (sum fits in a long)."""
-    bs = _utf8_bytes(col)
-    n = F.size(bs)
-    a = F.pmod(F.lit(1) + F.aggregate(bs, F.lit(0).cast("long"), lambda x, y: x + y), F.lit(65521))
-    weighted = F.when(n > 0, F.aggregate(
-        F.zip_with(bs, F.sequence(F.lit(0), n - 1), lambda b, i: b * (n.cast("long") - i)),
-        F.lit(0).cast("long"),
-        lambda x, y: x + y,
-    )).otherwise(F.lit(0).cast("long"))
-    b = F.pmod(n.cast("long") + weighted, F.lit(65521))
-    return b * F.lit(65536) + a
+    def body(bs: Column) -> Column:
+        # bs is a staged lambda variable: size() on it is O(1), and the
+        # byte array is decoded once per row (not per byte — the O(n²)
+        # HOF-inlining trap functions/hof.py documents)
+        n = F.size(bs)
+        a = F.pmod(
+            F.lit(1) + F.aggregate(bs, F.lit(0).cast("long"), lambda x, y: x + y),
+            F.lit(65521),
+        )
+        weighted = F.when(n > 0, F.aggregate(
+            F.zip_with(bs, F.sequence(F.lit(0), n - 1), lambda b, i: b * (n.cast("long") - i)),
+            F.lit(0).cast("long"),
+            lambda x, y: x + y,
+        )).otherwise(F.lit(0).cast("long"))
+        b = F.pmod(n.cast("long") + weighted, F.lit(65521))
+        return b * F.lit(65536) + a
+
+    return staged(_utf8_bytes(col), body)
 
 
 @register("hash")
