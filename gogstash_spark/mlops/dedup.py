@@ -552,8 +552,14 @@ def repeated_substring_spans(
     surviving duplicated positions. Nothing quadratic, no crossJoin,
     no driver-side state.
     """
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    t = df.select(id_col, toks.alias("_toks")).where(F.size("_toks") >= k)
+    t = df.select(id_col, tokens(F.col(text_col)).alias("_toks")).where(
+        F.size("_toks") >= k
+    )
+    # sh feeds two plan branches (the hot-hash aggregate and the join
+    # back to positions); persist so the window hashing of the corpus —
+    # the dominant cost — runs once per action, not twice (same
+    # self-reference pattern minhash_lsh_pairs persists its signature
+    # frame for)
     sh = t.select(
         id_col,
         F.posexplode(
@@ -562,7 +568,7 @@ def repeated_substring_spans(
                 lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("_toks"), i, k))),
             )
         ).alias("pos", "h"),
-    )
+    ).persist()
     hot = sh.groupBy("h").agg(F.count("*").alias("c")).where(F.col("c") >= min_count)
     dup = sh.join(hot, "h").select(id_col, "pos")
     w = Window.partitionBy(id_col).orderBy("pos")

@@ -29,27 +29,28 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from gogstash_spark.mlops.sampling import sample_key
+from gogstash_spark.mlops.textops import tokens
 
 
 def ws_token_len(col: Column) -> Column:
-    """whitespace token count; 0 for empty/blank text (mirrors
-    textops.token_counts n_ws_tokens)."""
-    return (
-        F.when(F.length(F.trim(col)) == 0, F.lit(0))
-        .otherwise(F.size(F.split(F.trim(col), r"\s+")))
-        .cast("long")
-    )
+    """whitespace token count; 0 for empty/blank/NULL text (mirrors
+    textops.token_counts n_ws_tokens; the coalesce covers NULL text,
+    where both the length guard and size(split(NULL)) go NULL)."""
+    return F.coalesce(
+        F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(F.size(tokens(col))),
+        F.lit(0),
+    ).cast("long")
 
 
-def deterministic_shuffle_key(df: DataFrame, key_col: str = "doc_id", seed: int = 42) -> DataFrame:
-    """Add `shuffle_key`: the md5 hex draw used as a reproducible
-    global training order (ORDER BY shuffle_key, key). Same idiom as
-    sampling.sample_key, so a mix recipe's sample and its pack order
-    share one primitive."""
-    return df.withColumn("shuffle_key", F.md5(
-        F.concat_ws(":", F.col(key_col).cast("string"), F.lit(str(seed)))
-    ))
+def shuffle_key(id_col: str, seed: int) -> Column:
+    """The md5 hex draw used as the reproducible global training order
+    (ORDER BY key, id). Same md5(id ':' seed) idiom as
+    sampling.sample_key — but pack callers must use a seed INDEPENDENT
+    of any sampling seed applied upstream: a stratified sample keeps
+    exactly the keys below its rate threshold, so ordering by the SAME
+    draw would concentrate every low-rate stratum at the front of the
+    stream instead of mixing uniformly."""
+    return F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed))))
 
 
 def pack_sequences(
@@ -76,14 +77,18 @@ def pack_sequences(
     of the offsets. No global sort, no SinglePartition window over
     data, no UDFs.
     """
-    key = F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed))))
+    key = shuffle_key(id_col, seed)
+    # t feeds TWO plan branches (the shard-totals aggregate and the
+    # window side of the join); persist so the upstream lineage — in a
+    # curation chain, the whole filter/sample pipeline — runs once per
+    # action, not twice. The frame is narrow (id + carry + key + len).
     t = df.select(
         id_col,
         *(carry_cols or []),
         key.alias("_key"),
         F.substring(key, 1, 2).alias("_shard"),
         ws_token_len(F.col(text_col)).alias("n_tokens"),
-    )
+    ).persist()
 
     shard_offsets = (
         t.groupBy("_shard")

@@ -36,6 +36,7 @@ def curate_mix(
     id_col: str = "doc_id",
     capacity: int = 2048,
     seed: int = 42,
+    pack_seed: int | None = None,
     max_dup_2gram_frac: float = 0.2,
     max_dup_line_frac: float = 0.3,
     contamination_ngram: int = 8,
@@ -66,11 +67,17 @@ def curate_mix(
     mixed = stratified_sample(
         clean, rates, strata_col, key_col=id_col, seed=seed, default_rate=default_rate
     )
+    # the pack order MUST ride a different draw than the sample filter:
+    # stratified_sample keeps exactly the ids whose md5(id:seed) prefix
+    # sorts below the stratum threshold, so packing by the same key
+    # would put every low-rate stratum's survivors at the FRONT of the
+    # training stream (a rate-0.25 stratum would appear only in the
+    # first quarter) instead of mixing uniformly along it
     return pack_sequences(
         mixed,
         capacity=capacity,
         text_col=text_col,
         id_col=id_col,
-        seed=seed,
+        seed=seed + 1 if pack_seed is None else pack_seed,
         carry_cols=[strata_col],
     )

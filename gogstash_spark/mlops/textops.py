@@ -275,8 +275,12 @@ def unigram_lm(df: DataFrame, text_col: str = "text") -> tuple[DataFrame, DataFr
     billions, so the broadcast is the right default at 100 TB (CCNet
     ships whole KenLM models to every worker the same way).
     """
-    toks = df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
-    counts = toks.groupBy("token").agg(F.count("*").alias("c"))
+    toks = df.select(
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
+    ).where(F.col("token") != "")  # blank docs tokenize to [''] — not a word
+    # counts feeds both the stats row and the lm projection; persist so
+    # the corpus-wide tokenize+groupBy runs once per action
+    counts = toks.groupBy("token").agg(F.count("*").alias("c")).persist()
     stats = counts.agg(
         F.sum("c").alias("n_total"), F.count("*").alias("n_vocab")
     ).withColumn(
@@ -303,7 +307,11 @@ def lm_perplexity(
     a training pipeline routes to review or drops.
 
     Adds: n_lm_tokens, avg_logprob (round 6), ppl (= exp(-avg), round
-    6). Unseen tokens score at the model's OOV mass.
+    6). Unseen tokens score at the model's OOV mass. Blank/whitespace
+    documents have no tokens to score and are EXCLUDED from the output
+    (route them on n_chars/quality instead — a likelihood over zero
+    words is undefined, and letting the '' split artifact stand in for
+    one would rank empty docs by the frequency of other empty docs).
 
     Scale shape: explode -> broadcast left join on token -> ONE
     groupBy(id). With broadcast_lm=False the join shuffles on token:
@@ -312,7 +320,7 @@ def lm_perplexity(
     """
     exploded = df.select(
         id_col, F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
-    )
+    ).where(F.col("token") != "")
     lm_side = F.broadcast(lm) if broadcast_lm else lm
     scored = (
         exploded.join(lm_side, "token", "left")

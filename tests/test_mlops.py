@@ -782,6 +782,16 @@ class TestLMPerplexity:
         assert got[1]["ppl"] < got[2]["ppl"]
         assert got[1]["n_lm_tokens"] == 6 and got[2]["n_lm_tokens"] == 5
 
+    def test_blank_docs_are_excluded(self, spark):
+        df = spark.createDataFrame(
+            [(1, "real words here"), (2, "   "), (3, "")],
+            "doc_id long, text string",
+        )
+        lm, stats = textops.unigram_lm(df)
+        got = textops.lm_perplexity(df, lm, stats).collect()
+        assert [r["doc_id"] for r in got] == [1]
+        assert got[0]["n_lm_tokens"] == 3  # '' never entered the vocab
+
     def test_oov_scores_at_oov_mass(self, spark):
         train = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
         score = spark.createDataFrame([(9, "zz zz")], "doc_id long, text string")
@@ -812,10 +822,11 @@ class TestLMPerplexity:
             "CREATE VIEW documents AS SELECT * FROM read_parquet('%s/documents.parquet')"
             % sf_dir
         )
-        sql = r"""WITH tok AS (
+        sql = r"""WITH tok0 AS (
   SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
   FROM documents
 ),
+tok AS (SELECT * FROM tok0 WHERE token <> ''),
 counts AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
 stats AS (SELECT sum(c) AS n_total, count(*) AS n_vocab FROM counts),
 lm AS (

@@ -61,8 +61,10 @@ mixed AS (
                 ELSE '0ccc' END
 ),
 t AS (
+  -- pack order rides seed 43 (sample seed + 1): ordering by the SAME
+  -- draw the sample filtered on would front-load low-rate strata
   SELECT doc_id, source,
-    md5(CAST(doc_id AS VARCHAR) || ':42') AS sk,
+    md5(CAST(doc_id AS VARCHAR) || ':43') AS sk,
     CASE WHEN len(trim(text)) = 0 THEN 0
          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
   FROM mixed
@@ -119,6 +121,17 @@ class TestCurateMix:
         plan = _run(spark)._jdf.queryExecution().executedPlan().toString()
         assert plan.count("SinglePartition") == 1, plan
         assert "SortMergeJoin" not in plan, plan
+
+    def test_strata_mix_along_the_stream(self, spark):
+        """Regression for the seed-coupling bug: sampling keeps ids
+        whose md5(id:seed) prefix is below the rate threshold, so
+        packing by the SAME draw concentrated every low-rate stratum at
+        the front of the stream (the tail was 100% full-rate strata).
+        With the decoupled pack seed, the tail quartile must still be a
+        mix of sources."""
+        out = _run(spark).toPandas().sort_values("tok_offset")
+        tail = out.tail(max(len(out) // 4, 1))
+        assert tail["source"].nunique() > 1, tail["source"].value_counts()
 
     def test_packed_stream_is_gapless_after_drops(self, spark):
         """Offsets are over the surviving set only — dropped documents
