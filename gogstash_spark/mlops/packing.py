@@ -128,3 +128,52 @@ def pack_sequences(
         .drop("_key", "_shard", "_shard_offset")
     )
     return out
+
+
+def pack_manifest(
+    df: DataFrame,
+    capacity: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """The per-sequence composition a training job consumes: one row
+    per (sequence, document-slice) with
+
+      seq_id     — the training sequence,
+      doc_id     — the document contributing tokens,
+      doc_start / doc_end — the contributed token range WITHIN the doc
+                   (0-based, inclusive; empty docs contribute -1/-1),
+      seq_start  — where that slice begins WITHIN the sequence.
+
+    A sequence's rows, ordered by seq_start, reconstruct it exactly;
+    a split doc appears once per spanned sequence. Built by exploding
+    each doc's [seq_id..seq_last] span from pack_sequences — spans are
+    ceil(L/capacity)+1 at most, so the explode multiplies rows by ~1,
+    not by sequence length. No extra shuffle beyond pack_sequences.
+    """
+    packed = pack_sequences(df, capacity, text_col=text_col, id_col=id_col, seed=seed)
+    s = F.col("s")
+    o = F.col("tok_offset")
+    L = F.col("n_tokens")
+    return (
+        packed.select(
+            id_col,
+            "tok_offset",
+            "n_tokens",
+            F.explode(F.sequence(F.col("seq_id"), F.col("seq_last"))).alias("s"),
+        )
+        .select(
+            s.alias("seq_id"),
+            F.col(id_col),
+            F.when(L > 0, F.greatest(s * capacity - o, F.lit(0)))
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("doc_start"),
+            F.when(L > 0, F.least(L - 1, (s + 1) * capacity - 1 - o))
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("doc_end"),
+            F.greatest(o - s * capacity, F.lit(0)).cast("long").alias("seq_start"),
+        )
+    )

@@ -126,3 +126,84 @@ SELECT doc_id,
 FROM o"""
         r = compare("pack_sequences", out, sql, con)
         assert r["rows_match"] and r["schema_match"] and r["hash_match"], r
+
+
+class TestPackManifest:
+    def test_sequences_tile_exactly(self, spark):
+        """Every sequence except the last reconstructs to exactly
+        `capacity` tokens with no gaps/overlaps: slices ordered by
+        seq_start are contiguous and their lengths sum to capacity."""
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        cap = 64
+        m = packing.pack_manifest(docs, capacity=cap).toPandas()
+        m = m[m["doc_start"] >= 0]  # empty docs contribute no tokens
+        last_seq = m["seq_id"].max()
+        for seq_id, g in m.groupby("seq_id"):
+            g = g.sort_values("seq_start")
+            pos = 0
+            for _, r in g.iterrows():
+                assert r["seq_start"] == pos, (seq_id, r)
+                pos += r["doc_end"] - r["doc_start"] + 1
+            if seq_id < last_seq:
+                assert pos == cap, (seq_id, pos)
+            else:
+                assert 0 < pos <= cap
+
+    def test_split_doc_slices_partition_the_doc(self, spark):
+        """A doc split across sequences contributes disjoint adjacent
+        ranges that cover [0, n_tokens)."""
+        df = spark.createDataFrame(
+            [(i, " ".join(["w"] * 37)) for i in range(8)], "doc_id long, text string"
+        )
+        m = packing.pack_manifest(df, capacity=10).toPandas()
+        for doc_id, g in m.groupby("doc_id"):
+            g = g.sort_values("doc_start")
+            nxt = 0
+            for _, r in g.iterrows():
+                assert r["doc_start"] == nxt
+                nxt = r["doc_end"] + 1
+            assert nxt == 37
+
+    def test_matches_duckdb_oracle_on_documents(self, spark):
+        import duckdb
+
+        from tools.parity import compare
+
+        sf_dir = "/root/testdata/sf0.001"
+        docs = spark.read.parquet(sf_dir + "/documents.parquet")
+        out = packing.pack_manifest(docs, capacity=64)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet('%s/documents.parquet')"
+            % sf_dir
+        )
+        sql = r"""WITH t AS (
+  SELECT doc_id,
+    md5(CAST(doc_id AS VARCHAR) || ':42') AS sk,
+    CASE WHEN len(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT doc_id, n_tokens,
+    COALESCE(SUM(n_tokens) OVER (
+      ORDER BY sk, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ), 0) AS tok_offset
+  FROM t
+)
+SELECT CAST(gs.s AS BIGINT) AS seq_id, doc_id,
+  CAST(CASE WHEN n_tokens > 0 THEN greatest(gs.s * 64 - tok_offset, 0)
+       ELSE -1 END AS BIGINT) AS doc_start,
+  CAST(CASE WHEN n_tokens > 0 THEN least(n_tokens - 1, (gs.s + 1) * 64 - 1 - tok_offset)
+       ELSE -1 END AS BIGINT) AS doc_end,
+  CAST(greatest(tok_offset - gs.s * 64, 0) AS BIGINT) AS seq_start
+FROM o, LATERAL (
+  SELECT unnest(generate_series(
+    CAST(tok_offset // 64 AS BIGINT),
+    CAST((tok_offset + greatest(n_tokens, 1) - 1) // 64 AS BIGINT)
+  )) AS s
+) gs"""
+        r = compare("pack_manifest", out, sql, con)
+        assert r["rows_match"] and r["schema_match"] and r["hash_match"], r
+        # capacity 64 on ~54-token docs: splits must actually occur
+        assert out.groupBy("doc_id").count().where("count > 1").count() > 0
