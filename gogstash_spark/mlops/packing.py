@@ -143,21 +143,37 @@ def pack_manifest(
       seq_id     — the training sequence,
       doc_id     — the document contributing tokens,
       doc_start / doc_end — the contributed token range WITHIN the doc
-                   (0-based, inclusive; empty docs contribute -1/-1),
+                   (0-based, inclusive),
       seq_start  — where that slice begins WITHIN the sequence.
 
     A sequence's rows, ordered by seq_start, reconstruct it exactly;
-    a split doc appears once per spanned sequence. Built by exploding
-    each doc's [seq_id..seq_last] span from pack_sequences — spans are
+    a split doc appears once per spanned sequence. Empty/blank docs
+    contribute no tokens and are EXCLUDED — an empty doc whose offset
+    lands on a capacity boundary would otherwise mint a phantom
+    sequence id one past the real stream. Built by exploding each
+    doc's [seq_id..seq_last] span from pack_sequences — spans are
     ceil(L/capacity)+1 at most, so the explode multiplies rows by ~1,
     not by sequence length. No extra shuffle beyond pack_sequences.
     """
-    packed = pack_sequences(df, capacity, text_col=text_col, id_col=id_col, seed=seed)
+    return manifest_from_packed(
+        pack_sequences(df, capacity, text_col=text_col, id_col=id_col, seed=seed),
+        capacity,
+        id_col=id_col,
+    )
+
+
+def manifest_from_packed(
+    packed: DataFrame, capacity: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """pack_manifest over an ALREADY-packed frame (the pack_sequences
+    output, possibly materialized) — callers needing both the packed
+    frame and the manifest must not pay the prefix-sum twice."""
     s = F.col("s")
     o = F.col("tok_offset")
     L = F.col("n_tokens")
     return (
-        packed.select(
+        packed.where(F.col("n_tokens") > 0)
+        .select(
             id_col,
             "tok_offset",
             "n_tokens",
@@ -166,14 +182,8 @@ def pack_manifest(
         .select(
             s.alias("seq_id"),
             F.col(id_col),
-            F.when(L > 0, F.greatest(s * capacity - o, F.lit(0)))
-            .otherwise(F.lit(-1))
-            .cast("long")
-            .alias("doc_start"),
-            F.when(L > 0, F.least(L - 1, (s + 1) * capacity - 1 - o))
-            .otherwise(F.lit(-1))
-            .cast("long")
-            .alias("doc_end"),
+            F.greatest(s * capacity - o, F.lit(0)).cast("long").alias("doc_start"),
+            F.least(L - 1, (s + 1) * capacity - 1 - o).cast("long").alias("doc_end"),
             F.greatest(o - s * capacity, F.lit(0)).cast("long").alias("seq_start"),
         )
     )

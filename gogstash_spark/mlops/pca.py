@@ -37,8 +37,10 @@ from gogstash_spark.functions.hof import staged
 
 def _gram_partials(emb: DataFrame, vec_col: str) -> DataFrame:
     """(n long, s array<double>, g array<double>) — one row per
-    non-empty partition: count, column sums, flattened upper X^T X."""
-    import pandas as pd  # noqa: F401 (mapInPandas contract)
+    non-empty partition: count, column sums, full flattened d×d X^T X
+    (row-major; pca_train reshapes it back — the shuffle is
+    O(partitions × d²)). NULL vectors are excluded up front: a numpy
+    stack over ragged/None rows dies with an opaque executor error."""
 
     def partials(batches):
         import numpy as np
@@ -59,8 +61,10 @@ def _gram_partials(emb: DataFrame, vec_col: str) -> DataFrame:
                 {"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]}
             )
 
-    return emb.select(F.col(vec_col).alias("v")).mapInPandas(
-        partials, "n long, s array<double>, g array<double>"
+    return (
+        emb.select(F.col(vec_col).alias("v"))
+        .where(F.col("v").isNotNull())
+        .mapInPandas(partials, "n long, s array<double>, g array<double>")
     )
 
 
@@ -88,16 +92,25 @@ def pca_train(
     """Fit PCA; returns {components: k×d, mean: d, explained_variance_
     ratio: k, n: int}. Components follow the deterministic sign
     convention (largest-|coeff| entry positive) so retrains and other
-    engines agree."""
+    engines agree. NULL embedding rows are skipped in training (and
+    project to NULL in pca_apply)."""
     import numpy as np
 
+    # persist: the partials feed three actions (count + two elementwise
+    # sums); all actions finish inside this function, so unpersist on
+    # the way out (dedup.py's rule: never leave blocks pinned)
     p = _gram_partials(emb, vec_col).persist()
-    n = p.agg(F.sum("n")).collect()[0][0]
-    if not n or n < 2:
-        raise ValueError("pca_train needs at least 2 vectors (got %s)" % n)
-    s = np.array(_sum_elementwise(p, "s"))
-    g = np.array(_sum_elementwise(p, "g"))
+    try:
+        n = p.agg(F.sum("n")).collect()[0][0]
+        if not n or n < 2:
+            raise ValueError("pca_train needs at least 2 vectors (got %s)" % n)
+        s = np.array(_sum_elementwise(p, "s"))
+        g = np.array(_sum_elementwise(p, "g"))
+    finally:
+        p.unpersist()
     d = s.shape[0]
+    if not 1 <= k <= d:
+        raise ValueError("k must be in [1, %d] (got %d)" % (d, k))
     gram = g.reshape(d, d)
     mean = s / n
     cov = (gram - n * np.outer(mean, mean)) / (n - 1) if center else gram / (n - 1)
@@ -146,6 +159,10 @@ def pca_apply(
             ),
         ),
     )
-    return emb.crossJoin(F.broadcast(mdl)).withColumn(target, centered).drop(
-        "__comps", "__mu"
+    # NULL in -> NULL out (not an array of k NULLs, which downstream
+    # size()/HOF consumers would treat as a real k-dim vector)
+    return (
+        emb.crossJoin(F.broadcast(mdl))
+        .withColumn(target, F.when(F.col(vec_col).isNotNull(), centered))
+        .drop("__comps", "__mu")
     )

@@ -136,7 +136,6 @@ class TestPackManifest:
         docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
         cap = 64
         m = packing.pack_manifest(docs, capacity=cap).toPandas()
-        m = m[m["doc_start"] >= 0]  # empty docs contribute no tokens
         last_seq = m["seq_id"].max()
         for seq_id, g in m.groupby("seq_id"):
             g = g.sort_values("seq_start")
@@ -163,6 +162,20 @@ class TestPackManifest:
                 assert r["doc_start"] == nxt
                 nxt = r["doc_end"] + 1
             assert nxt == 37
+
+    def test_empty_doc_on_boundary_mints_no_phantom_sequence(self, spark):
+        """Regression: an empty doc whose shuffled offset lands exactly
+        on a capacity boundary (incl. one past the stream end) must not
+        appear in the manifest as a phantom sequence id."""
+        df = spark.createDataFrame(
+            [(i, " ".join(["w"] * 5)) for i in range(4)] + [(99, "")],
+            "doc_id long, text string",
+        )
+        # whatever offset doc 99 draws, it contributes nothing
+        m = packing.pack_manifest(df, capacity=5).toPandas()
+        assert 99 not in set(m["doc_id"])
+        # manifest seq ids are exactly the real stream's sequences
+        assert set(m["seq_id"]) == set(range(int(20 / 5)))
 
     def test_matches_duckdb_oracle_on_documents(self, spark):
         import duckdb
@@ -192,12 +205,10 @@ o AS (
   FROM t
 )
 SELECT CAST(gs.s AS BIGINT) AS seq_id, doc_id,
-  CAST(CASE WHEN n_tokens > 0 THEN greatest(gs.s * 64 - tok_offset, 0)
-       ELSE -1 END AS BIGINT) AS doc_start,
-  CAST(CASE WHEN n_tokens > 0 THEN least(n_tokens - 1, (gs.s + 1) * 64 - 1 - tok_offset)
-       ELSE -1 END AS BIGINT) AS doc_end,
+  CAST(greatest(gs.s * 64 - tok_offset, 0) AS BIGINT) AS doc_start,
+  CAST(least(n_tokens - 1, (gs.s + 1) * 64 - 1 - tok_offset) AS BIGINT) AS doc_end,
   CAST(greatest(tok_offset - gs.s * 64, 0) AS BIGINT) AS seq_start
-FROM o, LATERAL (
+FROM (SELECT * FROM o WHERE n_tokens > 0) o, LATERAL (
   SELECT unnest(generate_series(
     CAST(tok_offset // 64 AS BIGINT),
     CAST((tok_offset + greatest(n_tokens, 1) - 1) // 64 AS BIGINT)

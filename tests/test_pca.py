@@ -85,3 +85,22 @@ class TestPcaApply:
         assert "SortMergeJoin" not in plan
         assert "hashpartitioning" not in plan, plan
         assert "BroadcastNestedLoopJoin" in plan  # the 1-row attach
+
+
+class TestPcaValidation:
+    def test_k_out_of_range_raises(self, spark):
+        emb = spark.read.parquet(SF_DIR + "/embeddings.parquet")
+        with pytest.raises(ValueError, match=r"k must be in \[1, 64\]"):
+            pca.pca_train(emb, k=65)
+        with pytest.raises(ValueError, match="k must be"):
+            pca.pca_train(emb, k=0)
+
+    def test_null_vectors_skipped_in_train_null_in_apply(self, spark):
+        emb = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 2.0]), (3, [3.0, 1.0]), (4, None)],
+            "vec_id long, embedding array<double>",
+        )
+        model = pca.pca_train(emb, k=2)
+        assert model["n"] == 3
+        got = {r["vec_id"]: r["embedding_pca"] for r in pca.pca_apply(emb, model).collect()}
+        assert got[4] is None and got[1] is not None
