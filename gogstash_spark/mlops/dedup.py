@@ -101,18 +101,24 @@ def minhash_signatures_from_sets(sets: DataFrame, k: int = 4) -> DataFrame:
 
 
 def collapse_exact_texts(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """One representative row per distinct text: id = min(id) per md5(text).
 
     Run BEFORE near-dup detection so a million-way boilerplate cluster
     contributes ONE row to every LSH bucket instead of n (the n² pair
     explosion lives in exact duplicates, which exact_dup_groups already
-    reports cheaply)."""
+    reports cheaply). keep_cols carry extra columns through with
+    min_by(col, id) — the representative row's values."""
+    aggs = [F.min(id_col).alias(id_col), F.min(text_col).alias(text_col)]
+    aggs += [F.min_by(c, F.col(id_col)).alias(c) for c in keep_cols or []]
     return (
         df.groupBy(F.md5(F.col(text_col)).alias("__th"))
-        .agg(F.min(id_col).alias(id_col), F.min(text_col).alias(text_col))
-        .select(id_col, text_col)
+        .agg(*aggs)
+        .select(id_col, text_col, *(keep_cols or []))
     )
 
 

@@ -1,8 +1,9 @@
 """End-to-end training-data curation recipe: the composition a real
 pretraining run executes over the raw corpus —
 
-    repetition filter  ->  benchmark decontamination  ->
-    stratified mix sampling  ->  sequence packing
+    repetition filter  ->  exact-dedup keep-one  ->
+    benchmark decontamination  ->  stratified mix sampling  ->
+    sequence packing
 
 Each stage is one of this package's hash-verified primitives
 (textops.repetition_signals, textops.contamination,
@@ -22,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from gogstash_spark.mlops.dedup import collapse_exact_texts
 from gogstash_spark.mlops.packing import pack_sequences
 from gogstash_spark.mlops.sampling import stratified_sample
 from gogstash_spark.mlops.textops import contamination, repetition_signals
@@ -60,6 +62,12 @@ def curate_mix(
     kept = rep.where(
         (F.col("dup_2gram_frac") < max_dup_2gram_frac)
         & (F.col("dup_line_frac") < max_dup_line_frac)
+    )
+    # exact-dedup keep-one (min id per md5(text), representative's
+    # stratum carried): one hash groupBy; a million-way boilerplate
+    # cluster contributes ONE doc to the mix instead of skewing it
+    kept = collapse_exact_texts(
+        kept, text_col=text_col, id_col=id_col, keep_cols=[strata_col]
     )
     clean = contamination(
         kept, bench_df, text_col=text_col, id_col=id_col, n=contamination_ngram

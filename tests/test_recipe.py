@@ -38,11 +38,18 @@ shb AS (
         FROM documents WHERE doc_id % 37 = 0)
 ),
 bench AS (SELECT DISTINCT unnest(hs) AS h FROM shb),
+collapsed AS (
+  -- exact-dedup keep-one: min id per md5(text), representative's stratum
+  SELECT min(doc_id) AS doc_id, min(text) AS text,
+    arg_min(source, doc_id) AS source,
+    regexp_split_to_array(trim(min(text)), '\s+') AS toks
+  FROM repf GROUP BY md5(text)
+),
 shd AS (
   SELECT doc_id, source, text, CASE WHEN len(toks) >= 8 THEN
       [md5(array_to_string(toks[i:i+7], ' ')) FOR i IN range(1, greatest(len(toks)-6, 1))]
     ELSE [] END AS hs
-  FROM repf
+  FROM collapsed
 ),
 dirty AS (
   SELECT DISTINCT s.doc_id
@@ -121,6 +128,24 @@ class TestCurateMix:
         plan = _run(spark)._jdf.queryExecution().executedPlan().toString()
         assert plan.count("SinglePartition") == 1, plan
         assert "SortMergeJoin" not in plan, plan
+
+    def test_exact_dedup_stage_fires(self, spark):
+        """The no-dup documents fixture exercises the collapse as a
+        verified no-op; this toy proves it FIRES: an exact duplicate is
+        dropped, the min-id representative survives with its stratum."""
+        base = "one two three four five six seven eight nine ten"
+        df = spark.createDataFrame(
+            [(1, base, "a"), (2, base, "b"), (3, "totally different words here ok", "a")],
+            "doc_id long, text string, source string",
+        )
+        out = curate_mix(
+            df,
+            spark.createDataFrame([(9, "zz qq")], "doc_id long, text string"),
+            {"a": 1.0, "b": 1.0},
+            capacity=64,
+        )
+        ids = {r["doc_id"]: r["source"] for r in out.collect()}
+        assert 2 not in ids and ids[1] == "a" and 3 in ids
 
     def test_strata_mix_along_the_stream(self, spark):
         """Regression for the seed-coupling bug: sampling keeps ids
