@@ -1,0 +1,67 @@
+"""Runnable tour of the training-data ops over the documents table:
+
+    python examples/curate_documents.py [sf_dir]
+
+Chains the verified primitives the way a pretraining data job would —
+quality/repetition gate -> exact dedup -> decontamination -> stratified
+mix -> sequence packing -> trainer manifest — then shows the
+standalone analytics (LM perplexity, repeated-substring spans,
+embedding PCA). Each op's correctness story lives in tests/ (DuckDB
+hash-parity or numpy exactness); this file is the API walkthrough.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from gogstash_spark.mlops.dedup import repeated_substring_spans  # noqa: E402
+from gogstash_spark.mlops.packing import manifest_from_packed  # noqa: E402
+from gogstash_spark.mlops.pca import pca_apply, pca_train  # noqa: E402
+from gogstash_spark.mlops.recipe import curate_mix  # noqa: E402
+from gogstash_spark.mlops.textops import lm_perplexity, unigram_lm  # noqa: E402
+from gogstash_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(app_name="curate_documents")
+    docs = spark.read.parquet(sf_dir + "/documents.parquet")
+
+    # the benchmark set to decontaminate against (stand-in: every 37th doc)
+    bench = docs.where(F.col("doc_id") % 37 == 0)
+
+    packed = curate_mix(
+        docs,
+        bench,
+        rates={"src0": 0.5, "src1": 0.25, "src2": 1.0},
+        strata_col="source",
+        capacity=2048,
+        default_rate=0.05,
+    )
+    kept = packed.count()
+    print("curated docs kept: %d of %d" % (kept, docs.count()))
+    manifest = manifest_from_packed(packed, capacity=2048)
+    print("trainer manifest rows:", manifest.count())
+    manifest.orderBy("seq_id", "seq_start").show(5)
+
+    lm, stats = unigram_lm(docs)
+    lm_perplexity(docs, lm, stats).orderBy(F.desc("ppl")).show(3)
+
+    print("repeated >=8-token spans (cross-doc boilerplate):")
+    repeated_substring_spans(docs, k=8).show(3)
+
+    model = pca_train(spark.read.parquet(sf_dir + "/embeddings.parquet"), k=16)
+    print(
+        "PCA(16) explained variance: %.3f"
+        % sum(model["explained_variance_ratio"])
+    )
+    pca_apply(
+        spark.read.parquet(sf_dir + "/embeddings.parquet"), model
+    ).select("vec_id", "embedding_pca").show(2, truncate=60)
+
+
+if __name__ == "__main__":
+    main()
