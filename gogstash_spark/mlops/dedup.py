@@ -588,3 +588,50 @@ def repeated_substring_spans(
         .drop("_isl")
         .withColumn("span_tokens", F.col("span_end") - F.col("span_start") + 1)
     )
+
+
+def repeated_fraction(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-token fraction: the share of a doc's
+    tokens covered by repeated >=k-token spans (repeated_substring_
+    spans merged coverage / token count) — the filter knob substring
+    dedup pipelines threshold on ("drop docs that are mostly
+    boilerplate", keep docs whose duplication is incidental).
+
+    Returns every input doc: (id, n_tokens, repeated_tokens,
+    repeated_frac). Spans from the gaps-and-islands merge never
+    overlap, so their lengths sum to exact coverage.
+    """
+    spans = repeated_substring_spans(
+        df, text_col=text_col, id_col=id_col, k=k, min_count=min_count
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.sum("span_tokens").alias("repeated_tokens")
+    )
+    toks = df.select(
+        id_col,
+        F.coalesce(
+            F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(
+                F.size(tokens(F.col(text_col)))
+            ),
+            F.lit(0),
+        ).cast("long").alias("n_tokens"),
+    )
+    return (
+        toks.join(per_doc, id_col, "left")
+        .withColumn(
+            "repeated_tokens", F.coalesce("repeated_tokens", F.lit(0).cast("long"))
+        )
+        .withColumn(
+            "repeated_frac",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(F.col("repeated_tokens") / F.col("n_tokens"), 6),
+            ).otherwise(F.lit(0.0)),
+        )
+    )

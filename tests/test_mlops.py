@@ -859,3 +859,73 @@ FROM sc GROUP BY doc_id"""
         )
         assert "SortMergeJoin" not in plan, plan
         assert "CartesianProduct" not in plan
+
+
+class TestRepeatedFraction:
+    def test_values_by_hand(self, spark):
+        shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+        df = spark.createDataFrame(
+            [
+                (1, shared + " tail1 tail2"),   # 8 of 10 repeated
+                (2, shared),                    # fully repeated
+                (3, "no overlap with anything else whatsoever"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r for r in dedup.repeated_fraction(df, k=8).collect()
+        }
+        assert got[1]["repeated_frac"] == 0.8
+        assert got[2]["repeated_frac"] == 1.0
+        assert got[3]["repeated_frac"] == 0.0 and got[3]["repeated_tokens"] == 0
+
+    def test_matches_duckdb_oracle_on_documents(self, spark):
+        import duckdb
+
+        from tools.parity import compare
+
+        sf_dir = "/root/testdata/sf0.001"
+        docs = spark.read.parquet(sf_dir + "/documents.parquet")
+        out = dedup.repeated_fraction(docs, k=8).select(
+            "doc_id", "n_tokens", "repeated_tokens", "repeated_frac"
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet('%s/documents.parquet')"
+            % sf_dir
+        )
+        sql = r"""WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id, gs.i - 1 AS pos,
+    md5(array_to_string(toks[gs.i:gs.i+7], ' ')) AS h
+  FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 8 + 2)) AS i) gs
+  WHERE len(toks) >= 8
+),
+hot AS (SELECT h FROM sh GROUP BY h HAVING count(*) >= 2),
+d AS (SELECT doc_id, pos FROM sh JOIN hot USING (h)),
+isl AS (
+  SELECT doc_id, pos,
+    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM d
+),
+spans AS (
+  SELECT doc_id, max(pos) + 7 - min(pos) + 1 AS span_tokens
+  FROM isl GROUP BY doc_id, grp
+),
+per_doc AS (SELECT doc_id, sum(span_tokens) AS repeated_tokens FROM spans GROUP BY doc_id),
+nt AS (
+  SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN 0
+    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+  FROM documents
+)
+SELECT nt.doc_id,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(coalesce(repeated_tokens, 0) AS BIGINT) AS repeated_tokens,
+  CASE WHEN n_tokens > 0
+    THEN round(coalesce(repeated_tokens, 0) / n_tokens, 6)
+    ELSE 0.0 END AS repeated_frac
+FROM nt LEFT JOIN per_doc USING (doc_id)"""
+        r = compare("repeated_fraction", out, sql, con)
+        assert r["rows_match"] and r["schema_match"] and r["hash_match"], r
