@@ -1,0 +1,103 @@
+"""Training-data ops under Structured Streaming: the curation filters
+are plain column expressions + stream-static BROADCAST joins, so the
+same code runs on a readStream of documents (continuous ingestion at
+100 TB: score/decontaminate documents as they arrive; only packing —
+a global offset assignment — stays batch-side by design)."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from gogstash_spark.mlops.textops import (
+    contamination,
+    lang_id,
+    quality_score,
+    repetition_signals,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_stream_dir(tmp_path_factory):
+    """The file stream source wants a DIRECTORY to watch; stage the
+    documents file into one (continuous ingestion = files landing
+    here)."""
+    d = tmp_path_factory.mktemp("docs_stream")
+    shutil.copy(SF_DIR + "/documents.parquet", d / "part-0.parquet")
+    return str(d)
+
+
+def _stream_docs(spark, docs_dir):
+    schema = spark.read.parquet(SF_DIR + "/documents.parquet").schema
+    return spark.readStream.schema(schema).parquet(docs_dir)
+
+
+def _drain(stream_df, spark, tmp_path, name):
+    out = os.path.join(str(tmp_path), name)
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", out + "_ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.read.parquet(out)
+
+
+class TestStreamingCuration:
+    def test_quality_and_repetition_stream_equals_batch(self, spark, tmp_path, docs_stream_dir):
+        batch = spark.read.parquet(SF_DIR + "/documents.parquet")
+        expr = lambda df: repetition_signals(quality_score(lang_id(df))).select(  # noqa: E731
+            "doc_id", "lang_pred", "quality", "dup_2gram_frac"
+        )
+        got = _drain(expr(_stream_docs(spark, docs_stream_dir)), spark, tmp_path, "q")
+        want = {r["doc_id"]: r for r in expr(batch).collect()}
+        rows = got.collect()
+        assert len(rows) == len(want)
+        for r in rows:
+            w = want[r["doc_id"]]
+            assert (r["lang_pred"], r["quality"], r["dup_2gram_frac"]) == (
+                w["lang_pred"], w["quality"], w["dup_2gram_frac"]
+            )
+
+    def test_contamination_per_microbatch_foreachbatch(self, spark, tmp_path, docs_stream_dir):
+        """contamination's matched-count aggregate + rejoin is not an
+        append-mode streaming plan — the streaming shape is
+        foreachBatch (the same bridge run_pipeline_streaming uses for
+        fan-out). Per-doc results are doc-LOCAL against a static bench
+        set, so per-microbatch application is semantically identical to
+        one batch run regardless of how the stream is chopped."""
+        batch = spark.read.parquet(SF_DIR + "/documents.parquet")
+        bench = batch.where(F.col("doc_id") % 37 == 0)
+        out_cols = ["doc_id", "n_ngrams", "n_matched_ngrams", "contaminated"]
+        out = os.path.join(str(tmp_path), "c")
+
+        def score_batch(bdf, epoch_id):
+            contamination(bdf, bench).select(*out_cols).write.mode("append").parquet(out)
+
+        q = (
+            _stream_docs(spark, docs_stream_dir)
+            .writeStream.foreachBatch(score_batch)
+            .option("checkpointLocation", out + "_ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        want = {
+            r["doc_id"]: r
+            for r in contamination(batch, bench).select(*out_cols).collect()
+        }
+        rows = spark.read.parquet(out).collect()
+        assert len(rows) == len(want)
+        n_contaminated = 0
+        for r in rows:
+            w = want[r["doc_id"]]
+            assert (r["n_ngrams"], r["n_matched_ngrams"], r["contaminated"]) == (
+                w["n_ngrams"], w["n_matched_ngrams"], w["contaminated"]
+            )
+            n_contaminated += bool(r["contaminated"])
+        assert n_contaminated > 0
