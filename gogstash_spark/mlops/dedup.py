@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from gogstash_spark.functions.hof import staged
-from gogstash_spark.mlops.textops import tokens
+from gogstash_spark.mlops.textops import tokens, ws_token_len
 
 
 def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -112,11 +112,20 @@ def collapse_exact_texts(
     contributes ONE row to every LSH bucket instead of n (the n² pair
     explosion lives in exact duplicates, which exact_dup_groups already
     reports cheaply). keep_cols carry extra columns through with
-    min_by(col, id) — the representative row's values."""
+    min_by(col, id) — the representative row's values.
+
+    NULL-text rows are NOT duplicates of each other: md5(NULL) is NULL
+    and groupBy puts every NULL key in one group, which would silently
+    collapse N distinct missing-text docs into one. Key those rows by
+    their own id instead (the "\\x00" prefix cannot collide with md5's
+    hex alphabet)."""
     aggs = [F.min(id_col).alias(id_col), F.min(text_col).alias(text_col)]
     aggs += [F.min_by(c, F.col(id_col)).alias(c) for c in keep_cols or []]
+    key = F.when(F.col(text_col).isNotNull(), F.md5(F.col(text_col))).otherwise(
+        F.concat(F.lit("\x00"), F.col(id_col).cast("string"))
+    )
     return (
-        df.groupBy(F.md5(F.col(text_col)).alias("__th"))
+        df.groupBy(key.alias("__th"))
         .agg(*aggs)
         .select(id_col, text_col, *(keep_cols or []))
     )
@@ -577,10 +586,21 @@ def repeated_substring_spans(
     ).persist()
     hot = sh.groupBy("h").agg(F.count("*").alias("c")).where(F.col("c") >= min_count)
     dup = sh.join(hot, "h").select(id_col, "pos")
+    # islands merge hot windows whose k-token COVERAGE overlaps or
+    # touches: starts p1 < p2 cover one contiguous token run iff
+    # p2 - p1 <= k. Consecutive-start grouping (pos - row_number) is
+    # wrong here — starts 0 and 2 at k=3 cover [0,2] and [2,4], which
+    # must merge into ONE span [0,4] or downstream coverage sums
+    # double-count the overlap. lag + running sum share one window
+    # spec, so the plan sorts each doc's positions once.
     w = Window.partitionBy(id_col).orderBy("pos")
-    islands = dup.withColumn("_isl", F.col("pos") - F.row_number().over(w))
+    islands = dup.withColumn(
+        "_new",
+        F.when(F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0)).otherwise(F.lit(1)),
+    ).withColumn("_isl", F.sum("_new").over(w))
     return (
-        islands.groupBy(id_col, "_isl")
+        islands.drop("_new")
+        .groupBy(id_col, "_isl")
         .agg(
             F.min("pos").cast("long").alias("span_start"),
             (F.max("pos") + (k - 1)).cast("long").alias("span_end"),
@@ -613,15 +633,7 @@ def repeated_fraction(
     per_doc = spans.groupBy(id_col).agg(
         F.sum("span_tokens").alias("repeated_tokens")
     )
-    toks = df.select(
-        id_col,
-        F.coalesce(
-            F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(
-                F.size(tokens(F.col(text_col)))
-            ),
-            F.lit(0),
-        ).cast("long").alias("n_tokens"),
-    )
+    toks = df.select(id_col, ws_token_len(F.col(text_col)).alias("n_tokens"))
     return (
         toks.join(per_doc, id_col, "left")
         .withColumn(

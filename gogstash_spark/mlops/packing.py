@@ -29,17 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from gogstash_spark.mlops.textops import tokens
-
-
-def ws_token_len(col: Column) -> Column:
-    """whitespace token count; 0 for empty/blank/NULL text (mirrors
-    textops.token_counts n_ws_tokens; the coalesce covers NULL text,
-    where both the length guard and size(split(NULL)) go NULL)."""
-    return F.coalesce(
-        F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(F.size(tokens(col))),
-        F.lit(0),
-    ).cast("long")
+from gogstash_spark.mlops.textops import ws_token_len  # noqa: F401  (re-export; packing callers import it from here)
 
 
 def shuffle_key(id_col: str, seed: int) -> Column:

@@ -6,12 +6,14 @@ pretraining run executes over the raw corpus —
     sequence packing
 
 Each stage is one of this package's hash-verified primitives
-(textops.repetition_signals, textops.contamination,
-sampling.stratified_sample, packing.pack_sequences); this module only
-composes them, so the chain inherits their scale shapes: everything up
-to packing is codegen filters + broadcast joins over a corpus that is
-NEVER shuffled, and packing's only corpus-wide movement is one 256-way
-hash exchange for the shard-partitioned prefix-sum window.
+(textops.repetition_signals, dedup.collapse_exact_texts,
+textops.contamination, sampling.stratified_sample,
+packing.pack_sequences); this module only composes them, so the chain
+inherits their scale shapes: the repetition gate and decontamination
+are codegen filters + broadcast joins, and the corpus crosses a hash
+exchange exactly twice — once for the exact-dedup groupBy(md5(text))
+keep-one, once for packing's 256-way shard-partitioned prefix-sum
+window.
 
 The full chain is restated as one chained-CTE DuckDB oracle in
 tests/test_recipe.py (rows+schema+value-hash, same rigor as the

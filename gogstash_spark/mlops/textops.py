@@ -25,6 +25,16 @@ def tokens(col: Column) -> Column:
     return F.split(F.trim(col), r"\s+")
 
 
+def ws_token_len(col: Column) -> Column:
+    """whitespace token count; 0 for empty/blank/NULL text (mirrors
+    token_counts n_ws_tokens; the coalesce covers NULL text, where both
+    the length guard and size(split(NULL)) go NULL)."""
+    return F.coalesce(
+        F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(F.size(tokens(col))),
+        F.lit(0),
+    ).cast("long")
+
+
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """whitespace token count + BPE-ish regex token count."""
     t = F.col(text_col)

@@ -736,15 +736,23 @@ sh AS (
 ),
 hot AS (SELECT h FROM sh GROUP BY h HAVING count(*) >= 2),
 d AS (SELECT doc_id, pos FROM sh JOIN hot USING (h)),
+-- INDEPENDENT restatement: expand each hot window to the 8 token
+-- positions it covers and take maximal runs of covered positions —
+-- no reuse of the implementation's window-start island grouping, so
+-- an overlap double-count bug on the Spark side cannot also live here
+cov AS (
+  SELECT DISTINCT doc_id, pos + u.off AS p
+  FROM d, LATERAL (SELECT unnest(range(0, 8)) AS off) u
+),
 isl AS (
-  SELECT doc_id, pos,
-    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-  FROM d
+  SELECT doc_id, p,
+    p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+  FROM cov
 )
 SELECT doc_id,
-  CAST(min(pos) AS BIGINT) AS span_start,
-  CAST(max(pos) + 7 AS BIGINT) AS span_end,
-  CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS span_tokens
+  CAST(min(p) AS BIGINT) AS span_start,
+  CAST(max(p) AS BIGINT) AS span_end,
+  CAST(max(p) - min(p) + 1 AS BIGINT) AS span_tokens
 FROM isl GROUP BY doc_id, grp"""
         r = compare("repeated_substring_spans", out, sql, con)
         assert r["rows_match"] and r["schema_match"] and r["hash_match"], r
@@ -879,6 +887,48 @@ class TestRepeatedFraction:
         assert got[2]["repeated_frac"] == 1.0
         assert got[3]["repeated_frac"] == 0.0 and got[3]["repeated_tokens"] == 0
 
+    def test_overlapping_hot_windows_never_double_count(self, spark):
+        """Hot windows whose starts differ by 2..k-1 cover overlapping
+        token ranges; their spans must merge, never sum past 1.0
+        (regression: consecutive-start island grouping produced
+        repeated_frac=1.2 for doc 1 here)."""
+        df = spark.createDataFrame(
+            [(1, "a b c b c"), (2, "a b c x"), (3, "z c b c")],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r for r in dedup.repeated_fraction(df, k=3).collect()
+        }
+        # doc1: hot starts 0 ("a b c") and 2 ("c b c") merge -> [0,4]
+        assert got[1]["repeated_tokens"] == 5 and got[1]["repeated_frac"] == 1.0
+        assert got[2]["repeated_frac"] == 0.75
+        assert got[3]["repeated_frac"] == 0.75
+        assert all(r["repeated_frac"] <= 1.0 for r in got.values())
+
+    def test_touching_coverage_merges_to_one_span(self, spark):
+        """Starts exactly k apart cover adjacent token runs — one
+        contiguous maximal covered span, not two."""
+        # "p q r s t u" repeated in doc 2 makes every doc-1 window hot;
+        # doc 3 shares only the two k=3 windows at starts 0 and 3
+        df = spark.createDataFrame(
+            [
+                (1, "p q r s t u end1 end2"),
+                (2, "p q r filler s t u filler2"),
+            ],
+            "doc_id long, text string",
+        )
+        spans = sorted(
+            (r["doc_id"], r["span_start"], r["span_end"])
+            for r in dedup.repeated_substring_spans(df, k=3).collect()
+        )
+        # doc1 hot starts {0, 3} (gap == k): coverage [0,2]+[3,5] is
+        # contiguous -> single span [0,5]
+        assert (1, 0, 5) in spans
+        assert not any(
+            a == b and s2 <= e1
+            for (a, s1, e1), (b, s2, e2) in zip(spans, spans[1:])
+        ), spans
+
     def test_matches_duckdb_oracle_on_documents(self, spark):
         import duckdb
 
@@ -905,16 +955,14 @@ sh AS (
 ),
 hot AS (SELECT h FROM sh GROUP BY h HAVING count(*) >= 2),
 d AS (SELECT doc_id, pos FROM sh JOIN hot USING (h)),
-isl AS (
-  SELECT doc_id, pos,
-    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-  FROM d
+-- INDEPENDENT coverage count: distinct covered token positions per
+-- doc, no island grouping at all — if the Spark side ever
+-- double-counted overlapping spans, this count would diverge
+cov AS (
+  SELECT DISTINCT doc_id, pos + u.off AS p
+  FROM d, LATERAL (SELECT unnest(range(0, 8)) AS off) u
 ),
-spans AS (
-  SELECT doc_id, max(pos) + 7 - min(pos) + 1 AS span_tokens
-  FROM isl GROUP BY doc_id, grp
-),
-per_doc AS (SELECT doc_id, sum(span_tokens) AS repeated_tokens FROM spans GROUP BY doc_id),
+per_doc AS (SELECT doc_id, count(*) AS repeated_tokens FROM cov GROUP BY doc_id),
 nt AS (
   SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN 0
     ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens

@@ -147,6 +147,25 @@ class TestCurateMix:
         ids = {r["doc_id"]: r["source"] for r in out.collect()}
         assert 2 not in ids and ids[1] == "a" and 3 in ids
 
+    def test_null_text_docs_are_not_duplicates_of_each_other(self, spark):
+        """Regression: md5(NULL) is NULL and groupBy puts all NULL keys
+        in one group, so the dedup stage silently collapsed every
+        missing-text doc into one. Null-text docs pass the repetition
+        gate (fracs coalesce to 0.0) and must each survive collapse."""
+        from gogstash_spark.mlops.dedup import collapse_exact_texts
+
+        df = spark.createDataFrame(
+            [(1, None, "a"), (2, None, "b"), (3, "hello world", "a"),
+             (4, "hello world", "b")],
+            "doc_id long, text string, source string",
+        )
+        out = collapse_exact_texts(df, keep_cols=["source"])
+        ids = {r["doc_id"]: r["source"] for r in out.collect()}
+        # both null-text docs survive as themselves; the real dup pair
+        # still collapses to its min-id representative
+        assert set(ids) == {1, 2, 3}
+        assert ids[1] == "a" and ids[2] == "b" and ids[3] == "a"
+
     def test_strata_mix_along_the_stream(self, spark):
         """Regression for the seed-coupling bug: sampling keeps ids
         whose md5(id:seed) prefix is below the rate threshold, so

@@ -44,7 +44,7 @@ def _drain(stream_df, spark, tmp_path, name):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish within 120s"
     return spark.read.parquet(out)
 
 
