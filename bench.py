@@ -91,7 +91,25 @@ def _bench_extras():
         lm, stats = unigram_lm(docs)
         return lm_perplexity(docs, lm, stats)
 
-    return {"curate_mix": q_curate, "repeated_spans": q_spans, "lm_perplexity": q_lm}
+    def q_semdedup(spark, sf_dir):
+        from gogstash_spark.mlops.ann import semantic_dedup
+
+        emb = spark.read.parquet(sf_dir + "/embeddings.parquet")
+        return semantic_dedup(emb, n_centroids=8, iters=2, threshold=0.3)
+
+    def q_upsample(spark, sf_dir):
+        from gogstash_spark.mlops.sampling import upsample_mix
+
+        docs = spark.read.parquet(sf_dir + "/documents.parquet")
+        return upsample_mix(docs, {"src0": 2.5, "src1": 0.25}, "source")
+
+    return {
+        "curate_mix": q_curate,
+        "repeated_spans": q_spans,
+        "lm_perplexity": q_lm,
+        "semantic_dedup": q_semdedup,
+        "upsample_mix": q_upsample,
+    }
 
 
 def main() -> None:
@@ -183,6 +201,8 @@ def main() -> None:
         "curate_mix",
         "repeated_spans",
         "lm_perplexity",
+        "semantic_dedup",
+        "upsample_mix",
     ]
     prev_name, prev, prev_jvm = _load_prev(repo)
     # min-of-3 as three INTERLEAVED passes over the whole suite, not 3

@@ -518,3 +518,74 @@ def cosine_near_dup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    iters: int = 3,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_cap: int | None = 100_000,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication in embedding space — k-means-cluster the corpus, then
+    prune near-duplicate pairs WITHIN each cluster only, so the pair
+    search is never corpus-quadratic. The published recipe's keep rule
+    is arbitrary-within-ball ("keeping random examples performs
+    similarly" — §4.1); here the kept member is the min id, which makes
+    the output a pure deterministic function of the input.
+
+    Drop rule — one-pass greedy by id: a vector is dropped iff some
+    SAME-CLUSTER vector with a smaller id has cosine >= threshold with
+    it, whether or not that neighbor itself survives. A chain a~b~c
+    (ids a<b<c, cos(a,c) < threshold) therefore keeps only a: chains
+    collapse to their min id in a single pass with no fixpoint
+    iteration, at the cost that a survivor need not be within the
+    threshold of every member it displaced (exact transitive groups
+    are dedup_groups' job).
+
+    Returns (id, cell) for every SURVIVING vector; vectors k-means
+    cannot place (zero norm — cosine undefined) survive with cell NULL.
+
+    Scale shape (100 TB of embeddings): centroid training and cell
+    assignment ride ivf_train/ivf_assign (broadcast scoring, no hash
+    exchange on the big side); the only corpus-sized shuffle is the
+    within-cell self-equi-join, whose cost is sum(cell_size²) — choose
+    n_centroids ~ n/target_cell_size to bound it, and clusters larger
+    than cluster_cap are SKIPPED (kept whole, never silently dropped:
+    audit them with clusters.groupBy("cell").count()). The drop set is
+    distinct ids only (narrow), anti-joined back in one pass.
+    """
+    cent = (
+        centroids
+        if centroids is not None
+        else ivf_train(
+            emb, n_centroids=n_centroids, iters=iters,
+            id_col=id_col, vec_col=vec_col,
+        )
+    )
+    # (vid, vec, cell) — cell NULL for zero-norm vectors. Feeds three
+    # plan branches (both self-join sides + the final anti-join), so
+    # persist: re-deriving the assignment means re-scoring the corpus
+    # against every centroid per branch.
+    a = (
+        ivf_assign(emb, nprobe=1, id_col=id_col, vec_col=vec_col, centroids=cent)
+        .select("vid", "vec", F.element_at("probes", 1)["cid"].alias("cell"))
+        .persist()
+    )
+    capped = _cap_buckets(a.where(F.col("cell").isNotNull()), ["cell"], cluster_cap)
+    drops = capped.select(
+        "cell", F.col("vid").alias("id_a"), F.col("vec").alias("va")
+    ).join(
+        capped.select("cell", F.col("vid").alias("id_b"), F.col("vec").alias("vb")),
+        "cell",
+    ).where(
+        (F.col("id_a") < F.col("id_b"))
+        & (_cos(F.col("va"), F.col("vb")) >= F.lit(threshold))
+    ).select(F.col("id_b").alias("vid")).distinct()
+    return a.join(drops, "vid", "left_anti").select(
+        F.col("vid").alias(id_col), "cell"
+    )

@@ -62,3 +62,60 @@ def stratified_sample(
             F.col(strata_col) == F.lit(stratum), F.lit(_hex_threshold(rate))
         ).otherwise(thr)
     return df.filter(u < thr)
+
+
+def upsample_mix(
+    df: DataFrame,
+    epochs: dict[str, float],
+    strata_col: str,
+    key_col: str = "doc_id",
+    seed: int = 42,
+    default_epochs: float = 1.0,
+) -> DataFrame:
+    """Epoch-weighted mix replication: repeat each row its stratum's
+    epoch count, fractional part resolved per row deterministically.
+    Real pretraining mixes run curated sources for MORE than one epoch
+    (Wikipedia/books at 2-3x in the LLaMA and Gopher mixes) while
+    web text runs under one — a mix stage must express both, and
+    stratified_sample only goes down.
+
+    A row in a stratum with e epochs appears floor(e) times, plus once
+    more iff its md5 draw sorts below frac(e) — so e=2.4 means every
+    row twice and a deterministic 40% of rows a third time, and e<1
+    degenerates to stratified_sample's keep-or-drop. Copies are
+    distinguished by an `epoch` column (0-based) and a ready-made
+    unique `copy_id` (key ":" epoch) for downstream stages that key on
+    id — packing a mix MUST use copy_id, or the second epoch of a doc
+    silently collides with the first.
+
+    Scale shape: epoch dicts are plan-time CASE WHEN literals and the
+    replication is explode(sequence(...)) — a narrow codegen
+    projection evaluated at the scan, no join, no shuffle, no RNG
+    state; output size is exactly sum over strata of n_s * e_s.
+    """
+    import math
+
+    u = sample_key(key_col, seed)
+    full: Column = F.lit(int(math.floor(default_epochs)))
+    thr: Column = F.lit(_hex_threshold(default_epochs - math.floor(default_epochs)))
+    for stratum, e in epochs.items():
+        if e < 0:
+            raise ValueError("epochs must be >= 0, got %r for %r" % (e, stratum))
+        match = F.col(strata_col) == F.lit(stratum)
+        full = F.when(match, F.lit(int(math.floor(e)))).otherwise(full)
+        thr = F.when(
+            match, F.lit(_hex_threshold(e - math.floor(e)))
+        ).otherwise(thr)
+    n = full + (u < thr).cast("int")
+    return (
+        df.withColumn("__n", n)
+        # the filter must precede the sequence: sequence(0, -1) steps
+        # DOWN by default and would fabricate two phantom copies
+        .where(F.col("__n") > 0)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
+        .drop("__n")
+        .withColumn(
+            "copy_id",
+            F.concat_ws(":", F.col(key_col).cast("string"), F.col("epoch")),
+        )
+    )

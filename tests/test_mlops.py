@@ -672,6 +672,223 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 4) <
         assert 0 < out.count() < docs.count()
 
 
+class TestUpsampleMix:
+    def test_whole_epochs_exact_and_copies_distinct(self, spark):
+        from gogstash_spark.mlops import sampling
+
+        df = spark.range(200).select(
+            F.col("id").alias("doc_id"), F.lit("a").alias("s")
+        )
+        out = sampling.upsample_mix(df, {"a": 3.0}, "s")
+        assert out.count() == 600
+        per = out.groupBy("doc_id").agg(
+            F.count("*").alias("n"), F.collect_set("epoch").alias("es")
+        )
+        assert per.where("n <> 3").count() == 0
+        assert per.where(F.array_sort("es") != F.array(F.lit(0), F.lit(1), F.lit(2))).count() == 0
+        assert out.select("copy_id").distinct().count() == 600
+
+    def test_fractional_epochs_rate_and_determinism(self, spark):
+        from gogstash_spark.mlops import sampling
+
+        df = spark.range(10_000).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 2 == 0).cast("string").alias("s"),
+        )
+        eps = {"true": 2.4, "false": 0.5}
+        a = sampling.upsample_mix(df, eps, "s")
+        b = sampling.upsample_mix(df.repartition(13), eps, "s")
+        ka = sorted(r["copy_id"] for r in a.collect())
+        assert ka == sorted(r["copy_id"] for r in b.collect())  # partition-invariant
+        n_true = a.where("s = 'true'").count()
+        n_false = a.where("s = 'false'").count()
+        assert abs(n_true / 5000 - 2.4) < 0.1
+        assert abs(n_false / 5000 - 0.5) < 0.05
+        # e < 1 degenerates to stratified_sample's keep set, same seed
+        kept_ids = {r["doc_id"] for r in a.where("s = 'false'").collect()}
+        strat = sampling.stratified_sample(
+            df.where("s = 'false'"), {"false": 0.5}, "s"
+        )
+        assert kept_ids == {r["doc_id"] for r in strat.collect()}
+
+    def test_zero_epochs_drop_and_negative_raises(self, spark):
+        from gogstash_spark.mlops import sampling
+
+        df = spark.range(50).select(F.col("id").alias("doc_id"), F.lit("x").alias("s"))
+        assert sampling.upsample_mix(df, {"x": 0.0}, "s").count() == 0
+        with pytest.raises(ValueError):
+            sampling.upsample_mix(df, {"x": -1.0}, "s")
+
+    def test_plan_no_shuffle_no_join(self, spark):
+        from gogstash_spark.mlops import sampling
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = (
+            sampling.upsample_mix(docs, {"src0": 2.5}, "source")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan and "Join" not in plan
+
+    def test_matches_duckdb_oracle_on_documents(self, spark):
+        import duckdb
+
+        from gogstash_spark.mlops import sampling
+        from tools.parity import compare
+
+        sf_dir = "/root/testdata/sf0.001"
+        docs = spark.read.parquet(sf_dir + "/documents.parquet")
+        out = sampling.upsample_mix(
+            docs, {"src0": 2.5, "src1": 0.25}, "source"
+        ).select("doc_id", "source", "epoch", "copy_id")
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet('%s/documents.parquet')"
+            % sf_dir
+        )
+        sql = """WITH base AS (
+  SELECT doc_id, source,
+    CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0 ELSE 1 END
+    + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 4) <
+        CASE source WHEN 'src0' THEN '8000' WHEN 'src1' THEN '4000' ELSE '0000' END
+      THEN 1 ELSE 0 END AS n
+  FROM documents
+)
+SELECT doc_id, source, CAST(u.e AS INTEGER) AS epoch,
+  CAST(doc_id AS VARCHAR) || ':' || CAST(u.e AS VARCHAR) AS copy_id
+FROM base, LATERAL (SELECT unnest(range(0, n)) AS e) u
+WHERE n > 0"""
+        r = compare("upsample_mix", out, sql, con)
+        assert r["rows_match"] and r["schema_match"] and r["hash_match"], r
+        assert out.count() > docs.count()  # the mix really upsamples
+
+
+class TestSemanticDedup:
+    def _toy(self, spark):
+        rows = [
+            (1, [1.0, 0.0]),
+            (2, [0.99, 0.14]),   # cos(1,2) ~ 0.990
+            (3, [0.0, 1.0]),
+            (4, [0.14, 0.99]),   # cos(3,4) ~ 0.990
+            (5, [0.7071, 0.7071]),  # cos to both axes ~ 0.707
+            (6, [0.0, 0.0]),     # zero norm: unplaceable
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def _axes_centroids(self, spark):
+        return spark.createDataFrame(
+            [(100, [1.0, 0.0]), (200, [0.0, 1.0])],
+            "cid long, cvec array<double>",
+        )
+
+    def test_keep_rule_min_id_per_ball(self, spark):
+        kept = {
+            r["vec_id"]: r["cell"]
+            for r in ann.semantic_dedup(
+                self._toy(spark), threshold=0.95,
+                centroids=self._axes_centroids(spark),
+            ).collect()
+        }
+        # 2 drops (dup of 1 in cell 100), 4 drops (dup of 3 in cell
+        # 200); 5 is near neither; zero-vector 6 survives with NULL cell
+        assert set(kept) == {1, 3, 5, 6}
+        assert kept[1] == 100 and kept[3] == 200 and kept[6] is None
+
+    def test_chain_collapses_to_min_id(self, spark):
+        """ids 1,2,3 at 0/15/30 degrees, threshold between cos15 and
+        cos30: 2 drops via 1, and 3 drops via 2 EVEN THOUGH 2 itself
+        was dropped — the greedy pass is by id, not by survivor set."""
+        rows = [
+            (1, [1.0, 0.0]),
+            (2, [math.cos(math.radians(15)), math.sin(math.radians(15))]),
+            (3, [math.cos(math.radians(30)), math.sin(math.radians(30))]),
+            (4, [-1.0, 0.0]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        cents = spark.createDataFrame(
+            [(100, [1.0, 0.0]), (200, [-1.0, 0.0])], "cid long, cvec array<double>"
+        )
+        kept = {
+            r["vec_id"]
+            for r in ann.semantic_dedup(df, threshold=0.94, centroids=cents).collect()
+        }
+        assert kept == {1, 4}
+
+    def test_cluster_cap_skips_whole_cluster(self, spark):
+        """An over-cap cluster is kept WHOLE (no partial silent work)."""
+        df = self._toy(spark)
+        kept = ann.semantic_dedup(
+            df, threshold=0.95, centroids=self._axes_centroids(spark),
+            cluster_cap=2,
+        )
+        # cell 100 holds {1, 2, 5} (5 ties to min cid) -> over cap,
+        # skipped whole; cell 200 holds {3, 4} -> within cap, 4 dropped
+        assert {r["vec_id"] for r in kept.collect()} == {1, 2, 3, 5, 6}
+
+    def test_matches_duckdb_oracle_trained_end_to_end(self, spark):
+        """Full SemDeDup (Lloyd-trained cells + within-cell pruning)
+        vs a DuckDB restatement that unrolls the training. The fixture
+        embeddings are near-orthogonal noise (max pairwise cos 0.479),
+        so the test threshold is 0.3 — low enough that ~40% of the
+        corpus actually drops; production text embeddings use ~0.95+."""
+        import duckdb
+
+        from gogstash_spark.mlops.entries import _lloyd_iter_cte, _sql_cos
+        from tools.parity import compare
+
+        sf_dir = "/root/testdata/sf0.001"
+        emb = spark.read.parquet(sf_dir + "/embeddings.parquet")
+        out = ann.semantic_dedup(
+            emb, n_centroids=8, iters=2, threshold=0.3, cluster_cap=None
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM read_parquet('%s/embeddings.parquet')"
+            % sf_dir
+        )
+        train = ",\n".join(
+            _lloyd_iter_cte(i + 1, "cent%d" % i, 64) for i in range(2)
+        )
+        ccos = _sql_cos("e.embedding", "c.cvec")
+        pcos = _sql_cos("a.embedding", "b.embedding")
+        sql = f"""WITH cent0 AS (
+  SELECT vec_id AS cid, [x::DOUBLE FOR x IN embedding] AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 8
+),
+{train},
+assign AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {ccos} DESC, c.cid ASC) AS crk
+  FROM embeddings e CROSS JOIN cent2 c
+  WHERE list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) > 0
+),
+cells AS (SELECT vec_id, embedding, cid FROM assign WHERE crk = 1),
+drops AS (
+  SELECT DISTINCT b.vec_id
+  FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE {pcos} >= 0.3
+)
+SELECT vec_id, cid AS cell FROM cells
+WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+UNION ALL
+SELECT vec_id, NULL AS cell FROM embeddings
+WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) = 0"""
+        r = compare("semantic_dedup", out, sql, con)
+        assert r["rows_match"] and r["schema_match"] and r["hash_match"], r
+        n_in, n_out = emb.count(), out.count()
+        assert 0 < n_out < n_in  # pruning really fired
+
+    def test_scale_shape(self, spark):
+        """No non-broadcast cartesian anywhere: the only crossJoins are
+        the 1-row centroid attachments inside ivf_assign/ivf_train."""
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        plan = (
+            ann.semantic_dedup(emb, n_centroids=8, iters=1, threshold=0.3)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan, plan
+
+
 class TestRepeatedSubstringSpans:
     def test_spans_by_hand(self, spark):
         """Two docs share a 10-token run; with k=4 every window inside
