@@ -319,6 +319,24 @@ def main() -> None:
                 "host_ratio_vs_prev": round(host_ratio, 3) if host_ratio else None,
                 "vs_prev": vs_prev,
                 "vs_prev_normalized": vs_prev_normalized,
+                # r4->r5 methodology break: r4 took min over 3
+                # BACK-TO-BACK reps per query (reps 2-3 ride a JIT/
+                # broadcast/shuffle-warm session); r5 interleaves the
+                # 3 reps across whole-suite passes minutes apart, so
+                # each rep is colder. Measured on queries whose code is
+                # byte-identical to r4 (lookup_enrich, sessionize —
+                # zero diffs dc1af0c..HEAD): interleaved min reads
+                # 1.4-1.6x the r4 number, re-running back-to-back
+                # recovers most of it (lookup_enrich 0.83 -> in-session
+                # floor ~0.5-0.9; agg_report lands at r4 parity). Treat
+                # vs_prev > 1 on unchanged-code queries as harness +
+                # host-window, not regression.
+                "vs_prev_note": (
+                    "r5 interleaves reps across suite passes (colder "
+                    "per-rep state) vs r4's back-to-back reps; "
+                    "unchanged-code queries read 1.4-1.6x on this "
+                    "harness change alone"
+                ),
                 **sf1_block,
             }
         )

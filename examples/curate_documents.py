@@ -17,10 +17,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from gogstash_spark.mlops.ann import semantic_dedup  # noqa: E402
 from gogstash_spark.mlops.dedup import repeated_substring_spans  # noqa: E402
-from gogstash_spark.mlops.packing import manifest_from_packed  # noqa: E402
+from gogstash_spark.mlops.packing import manifest_from_packed, pack_sequences  # noqa: E402
 from gogstash_spark.mlops.pca import pca_apply, pca_train  # noqa: E402
 from gogstash_spark.mlops.recipe import curate_mix  # noqa: E402
+from gogstash_spark.mlops.sampling import upsample_mix  # noqa: E402
 from gogstash_spark.mlops.textops import lm_perplexity, unigram_lm  # noqa: E402
 from gogstash_spark.session import get_spark  # noqa: E402
 
@@ -61,6 +63,23 @@ def main() -> None:
     pca_apply(
         spark.read.parquet(sf_dir + "/embeddings.parquet"), model
     ).select("vec_id", "embedding_pca").show(2, truncate=60)
+
+    # SemDeDup over the embedding table (threshold 0.3 because the
+    # synthetic vectors are near-orthogonal; production text embeddings
+    # use ~0.95+)
+    emb = spark.read.parquet(sf_dir + "/embeddings.parquet")
+    kept_vecs = semantic_dedup(emb, n_centroids=8, iters=2, threshold=0.3)
+    print("semantic dedup kept %d of %d vectors" % (kept_vecs.count(), emb.count()))
+
+    # epoch-weighted mix: run src0 for 2.5 epochs, src1 for a quarter
+    # epoch; pack by copy_id so the second epoch of a doc gets its own
+    # slice of the training stream
+    up = upsample_mix(docs, {"src0": 2.5, "src1": 0.25}, "source")
+    upacked = pack_sequences(up, capacity=2048, id_col="copy_id")
+    print(
+        "upsampled mix: %d copies of %d docs -> %d packed slices"
+        % (up.count(), docs.count(), upacked.count())
+    )
 
 
 if __name__ == "__main__":

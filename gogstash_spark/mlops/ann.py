@@ -567,24 +567,42 @@ def semantic_dedup(
             id_col=id_col, vec_col=vec_col,
         )
     )
-    # (vid, vec, cell) — cell NULL for zero-norm vectors. Feeds three
-    # plan branches (both self-join sides + the final anti-join), so
-    # persist: re-deriving the assignment means re-scoring the corpus
-    # against every centroid per branch.
+    # (vid, vec, nrm, cell) — cell NULL for zero-norm vectors. Feeds
+    # three plan branches (both self-join sides + the final anti-join),
+    # so persist: re-deriving the assignment means re-scoring the
+    # corpus against every centroid per branch. The norm is staged HERE
+    # — once per ROW — because the pair filter below would otherwise
+    # recompute two O(d) norm aggregates per PAIR, tripling the work of
+    # the quadratic hot loop (the per-pair dot product is the only O(d)
+    # term that genuinely needs pair granularity).
+    sq = lambda acc, v: acc + v.cast("double") * v.cast("double")  # noqa: E731
     a = (
         ivf_assign(emb, nprobe=1, id_col=id_col, vec_col=vec_col, centroids=cent)
         .select("vid", "vec", F.element_at("probes", 1)["cid"].alias("cell"))
+        .withColumn("nrm", F.sqrt(F.aggregate("vec", F.lit(0.0), sq)))
         .persist()
     )
     capped = _cap_buckets(a.where(F.col("cell").isNotNull()), ["cell"], cluster_cap)
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("va"), F.col("vb"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
     drops = capped.select(
-        "cell", F.col("vid").alias("id_a"), F.col("vec").alias("va")
+        "cell", F.col("vid").alias("id_a"),
+        F.col("vec").alias("va"), F.col("nrm").alias("na"),
     ).join(
-        capped.select("cell", F.col("vid").alias("id_b"), F.col("vec").alias("vb")),
+        capped.select(
+            "cell", F.col("vid").alias("id_b"),
+            F.col("vec").alias("vb"), F.col("nrm").alias("nb"),
+        ),
         "cell",
     ).where(
         (F.col("id_a") < F.col("id_b"))
-        & (_cos(F.col("va"), F.col("vb")) >= F.lit(threshold))
+        & (F.round(dot / (F.col("na") * F.col("nb")), 6) >= F.lit(threshold))
     ).select(F.col("id_b").alias("vid")).distinct()
     return a.join(drops, "vid", "left_anti").select(
         F.col("vid").alias(id_col), "cell"

@@ -729,6 +729,27 @@ class TestUpsampleMix:
         )
         assert "Exchange" not in plan and "Join" not in plan
 
+    def test_packs_through_copy_id(self, spark):
+        """The documented downstream contract: packing an upsampled mix
+        MUST key on copy_id (string), or a doc's second epoch collides
+        with its first. Prove the composition end-to-end: every copy
+        gets its own slice and the stream is gapless."""
+        from gogstash_spark.mlops import sampling
+        from gogstash_spark.mlops.packing import pack_sequences
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        up = sampling.upsample_mix(docs, {"src0": 3.0, "src1": 0.5}, "source")
+        packed = (
+            pack_sequences(up, capacity=2048, id_col="copy_id")
+            .orderBy("tok_offset")
+            .select("copy_id", "tok_offset", "n_tokens")
+            .toPandas()
+        )
+        assert packed["copy_id"].is_unique and len(packed) == up.count()
+        offsets = packed["tok_offset"].to_numpy()
+        lens = packed["n_tokens"].to_numpy()
+        assert offsets[0] == 0 and ((offsets[:-1] + lens[:-1]) == offsets[1:]).all()
+
     def test_matches_duckdb_oracle_on_documents(self, spark):
         import duckdb
 
