@@ -363,6 +363,60 @@ def dedup_groups(
     return out
 
 
+def dedup_keep_best(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    score: Column | None = None,
+    **group_kwargs,
+) -> DataFrame:
+    """Quality-aware corpus dedup: label near-dup groups (the full
+    dedup_groups pipeline: exact collapse -> MinHash-LSH -> verify ->
+    connected components), then keep exactly ONE document per group —
+    the highest-scoring member, ties broken by lowest doc id. The
+    naive policy (keep min-id, i.e. `doc_id == group_id`) discards a
+    clean original whenever a lower-id boilerplate-wrapped copy exists;
+    production curation keeps the best copy, not the first.
+
+    `score`: any Column over df's columns (bigger = better). Default:
+    the textops composite quality score. One row per kept doc:
+    (doc_id, group_id, group_size, score).
+
+    Scale shape: dedup_groups does all the heavy lifting (see its
+    docstring); this adds one codegen score projection and ONE
+    hash-groupBy on group_id over a narrow (id, group, score) frame —
+    the argmax rides a struct min (no window, no second shuffle, no
+    join back against the corpus).
+    """
+    from gogstash_spark.mlops.textops import quality_score
+
+    if score is None:
+        scored = quality_score(df.select(id_col, text_col), text_col).select(
+            F.col(id_col).alias("doc_id"), F.col("quality").alias("__score")
+        )
+    else:
+        scored = df.select(
+            F.col(id_col).alias("doc_id"), score.cast("double").alias("__score")
+        )
+    groups = dedup_groups(df, text_col, id_col, **group_kwargs)
+    # min(struct(-score, id)) == (max score, then min id): one agg,
+    # deterministic under ties, no row_number window
+    best = F.min(
+        F.struct((-F.col("__score")).alias("ns"), F.col("doc_id").alias("kid"))
+    )
+    return (
+        groups.join(scored, "doc_id")
+        .groupBy("group_id")
+        .agg(F.count(F.lit(1)).alias("group_size"), best.alias("b"))
+        .select(
+            F.col("b.kid").alias("doc_id"),
+            "group_id",
+            "group_size",
+            F.round(-F.col("b.ns"), 6).alias("score"),
+        )
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """16-bit SimHash from token md5s, engine-portable.
 

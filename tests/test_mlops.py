@@ -129,6 +129,79 @@ class TestDedup:
         assert set(got) == set(range(13))  # every doc still labeled
         assert got[0] == 0 and got[12] != 0  # far end provably unmerged
 
+    def test_keep_best_prefers_high_score_then_min_id(self, spark):
+        """Keep-best retention: one row per group, highest score wins
+        (NOT min id — the naive doc_id == group_id policy would keep
+        doc 1 here), constant scores fall back to lowest id."""
+        chain = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon"),
+                (2, "alpha beta gamma delta epsilon"),
+                (3, "alpha beta gamma delta zeta"),
+                (4, "gamma delta zeta eta theta"),
+                (5, "totally different words entirely here"),
+            ],
+            "doc_id long, text string",
+        )
+        kept = {
+            r["group_id"]: r
+            for r in dedup.dedup_keep_best(
+                chain, score=F.col("doc_id").cast("double"),
+                n=1, bands=4, threshold=0.4,
+            ).collect()
+        }
+        assert set(kept) == {1, 5}
+        assert kept[1]["doc_id"] == 4 and kept[1]["group_size"] == 4
+        assert kept[1]["score"] == 4.0
+        assert kept[5]["doc_id"] == 5 and kept[5]["group_size"] == 1
+        tied = {
+            r["group_id"]: r["doc_id"]
+            for r in dedup.dedup_keep_best(
+                chain, score=F.lit(1.0), n=1, bands=4, threshold=0.4
+            ).collect()
+        }
+        assert tied == {1: 1, 5: 5}
+
+    def test_keep_best_matches_duckdb_oracle_on_documents(self, spark):
+        """Driver-gate rigor (rows+schema+value-hash) repo-side — the
+        50-row artifact is full (README 'Correctness gate'). The oracle
+        composes the existing recursive-CTE groups oracle with the
+        quality oracle and a row_number argmax."""
+        import duckdb
+
+        from gogstash_spark.mlops.entries import o_dedup_groups, o_text_quality
+        from tools.parity import compare
+
+        sf_dir = "/root/testdata/sf0.001"
+        docs = spark.read.parquet(sf_dir + "/documents.parquet")
+        out = dedup.dedup_keep_best(
+            docs, n=3, bands=4, rows_per_band=1, threshold=0.35, bucket_cap=1000
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet('%s/documents.parquet')"
+            % sf_dir
+        )
+        sql = f"""WITH j AS (
+  SELECT g.doc_id, g.group_id, q.quality AS score
+  FROM ({o_dedup_groups()}) g
+  JOIN (SELECT doc_id, quality FROM ({o_text_quality()})) q USING (doc_id)
+),
+r AS (
+  SELECT doc_id, group_id, score,
+         count(*) OVER (PARTITION BY group_id) AS group_size,
+         row_number() OVER (PARTITION BY group_id ORDER BY score DESC, doc_id ASC) AS rn
+  FROM j
+)
+SELECT doc_id, group_id, CAST(group_size AS BIGINT) AS group_size, score
+FROM r WHERE rn = 1"""
+        res = compare("dedup_keep_best", out, sql, con)
+        assert res["rows_match"] and res["schema_match"] and res["hash_match"], res
+        # meaningful only if some group actually has >1 member AND the
+        # best member differs from the min-id member somewhere
+        assert out.where("group_size > 1").count() > 0
+        assert out.where("doc_id != group_id").count() > 0
+
     def test_shingle_short_doc_empty_not_error(self, spark):
         short = spark.createDataFrame(
             [(1, "one two"), (2, "a"), (3, ""), (4, "alpha beta gamma delta")],
