@@ -19,11 +19,15 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from gogstash_spark.mlops.ann import semantic_dedup  # noqa: E402
 from gogstash_spark.mlops.dedup import repeated_substring_spans  # noqa: E402
-from gogstash_spark.mlops.packing import manifest_from_packed, pack_sequences  # noqa: E402
+from gogstash_spark.mlops.packing import (  # noqa: E402
+    manifest_from_packed,
+    pack_sequences,
+    token_budget_subset,
+)
 from gogstash_spark.mlops.pca import pca_apply, pca_train  # noqa: E402
 from gogstash_spark.mlops.recipe import curate_mix  # noqa: E402
-from gogstash_spark.mlops.sampling import upsample_mix  # noqa: E402
-from gogstash_spark.mlops.textops import lm_perplexity, unigram_lm  # noqa: E402
+from gogstash_spark.mlops.sampling import select_top_fraction, upsample_mix  # noqa: E402
+from gogstash_spark.mlops.textops import lm_perplexity, quality_score, unigram_lm  # noqa: E402
 from gogstash_spark.session import get_spark  # noqa: E402
 
 
@@ -79,6 +83,16 @@ def main() -> None:
     print(
         "upsampled mix: %d copies of %d docs -> %d packed slices"
         % (up.count(), docs.count(), upacked.count())
+    )
+
+    # percentile quality gate, then cut an exact token budget out of
+    # the gated corpus in the seeded shuffle order
+    gated = select_top_fraction(quality_score(docs), 0.6)
+    subset = token_budget_subset(gated, budget=10_000)
+    used = subset.agg(F.sum("n_tokens_used")).collect()[0][0]
+    print(
+        "quality gate kept %d docs; token budget kept %d docs / %d tokens"
+        % (gated.count(), subset.count(), used)
     )
 
 

@@ -120,6 +120,44 @@ def pack_sequences(
     return out
 
 
+def token_budget_subset(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """Draw documents in the seeded shuffle order until `budget` tokens
+    — how a training run cuts "the first 10B tokens of the mix" out of
+    a larger corpus, reproducibly. Keeps every doc whose slice of the
+    concatenated stream STARTS inside the budget; the one doc
+    straddling the boundary is clipped (`n_tokens_used` < `n_tokens`),
+    so sum(n_tokens_used) == min(budget, corpus tokens) exactly.
+    Zero-token docs whose offset lands inside the budget pass through
+    contributing nothing (same point-occupancy rule as pack_sequences).
+
+    Scale shape: identical to pack_sequences — the budget is applied as
+    a codegen filter on the global prefix-sum offset (two-level, 256
+    shards); no global sort, no SinglePartition window over data.
+    """
+    if budget < 1:
+        raise ValueError("budget must be >= 1, got %r" % budget)
+    packed = pack_sequences(
+        df, capacity=int(budget), text_col=text_col, id_col=id_col,
+        seed=seed, carry_cols=carry_cols,
+    )
+    return (
+        packed.where(F.col("tok_offset") < budget)
+        .withColumn(
+            "n_tokens_used",
+            F.least(F.col("n_tokens"), F.lit(int(budget)) - F.col("tok_offset"))
+            .cast("long"),
+        )
+        .drop("seq_id", "seq_last", "n_seqs")
+    )
+
+
 def pack_manifest(
     df: DataFrame,
     capacity: int,

@@ -64,6 +64,51 @@ def stratified_sample(
     return df.filter(u < thr)
 
 
+def select_top_fraction(
+    df: DataFrame,
+    frac: float,
+    score_col: str = "quality",
+    approx: bool = True,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Quality gate: keep rows whose score reaches the corpus's
+    (1-frac) quantile — "train on the best 30% by LM score" (the
+    CCNet/FineWeb-style percentile cut). Rows TIED at the threshold all
+    survive, so the kept fraction is >= frac under ties.
+
+    approx=True (default, the 100 TB path) computes the threshold with
+    percentile_approx — bounded-memory sketch, codegen, mergeable
+    across partitions. approx=False uses the exact interpolated
+    percentile, which buffers every value in the aggregation buffer —
+    fine for validation/parity runs, NOT for 10^12 rows.
+
+    The threshold rides a broadcast of the 1-row aggregate into the
+    filter — one plan, no driver collect, the corpus is scanned twice
+    (once to aggregate the score, once to filter) unless the caller
+    persists upstream.
+
+    The threshold is quantized to 1e-9 before the cut: interpolating
+    quantiles disagree across engines by 1 ulp even between two EQUAL
+    neighbors (DuckDB's (1-g)*a + g*b vs Spark's a + g*(b-a) — measured
+    on the quality score, 0.88 vs 0.8800000000000001, flipping every
+    tied row), and scores are 1e-6-rounded upstream, so nanoscale
+    threshold noise can only ever misclassify exact ties.
+    """
+    if frac >= 1.0:
+        return df
+    s = F.col(score_col).cast("double")
+    if frac <= 0.0:
+        return df.where(F.lit(False))
+    q = 1.0 - frac
+    thr_expr = (
+        F.percentile_approx(s, F.lit(q), F.lit(int(accuracy)))
+        if approx
+        else F.percentile(s, F.lit(q))
+    )
+    thr = df.agg(F.round(thr_expr, 9).alias("__thr"))
+    return df.join(F.broadcast(thr)).where(s >= F.col("__thr")).drop("__thr")
+
+
 def upsample_mix(
     df: DataFrame,
     epochs: dict[str, float],

@@ -1288,3 +1288,72 @@ SELECT nt.doc_id,
 FROM nt LEFT JOIN per_doc USING (doc_id)"""
         r = compare("repeated_fraction", out, sql, con)
         assert r["rows_match"] and r["schema_match"] and r["hash_match"], r
+
+
+class TestSelectTopFraction:
+    def test_exact_quantile_gate(self, spark):
+        """frac=0.3 over scores 1..10: threshold = interpolated p70 =
+        7.3, so exactly {8,9,10} survive."""
+        from gogstash_spark.mlops import sampling
+
+        df = spark.range(1, 11).select(
+            F.col("id").alias("doc_id"), F.col("id").cast("double").alias("quality")
+        )
+        kept = sorted(
+            r["doc_id"]
+            for r in sampling.select_top_fraction(df, 0.3, approx=False).collect()
+        )
+        assert kept == [8, 9, 10]
+
+    def test_ties_at_threshold_all_survive(self, spark):
+        from gogstash_spark.mlops import sampling
+
+        df = spark.range(100).select(
+            F.col("id").alias("doc_id"), F.lit(1.0).alias("quality")
+        )
+        assert sampling.select_top_fraction(df, 0.5, approx=False).count() == 100
+        assert sampling.select_top_fraction(df, 1.0).count() == 100
+        assert sampling.select_top_fraction(df, 0.0).count() == 0
+
+    def test_approx_tracks_exact(self, spark):
+        """The 100 TB path (percentile_approx sketch) keeps within 2%
+        of the requested fraction on a smooth score distribution."""
+        from gogstash_spark.mlops import sampling
+
+        df = spark.range(10_000).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id").cast("double") / 10_000).alias("quality"),
+        )
+        n = sampling.select_top_fraction(df, 0.3, approx=True).count()
+        assert abs(n - 3000) <= 200
+
+    def test_matches_duckdb_oracle_on_documents(self, spark):
+        """Driver-gate rigor repo-side (50-row artifact is full): exact
+        Spark percentile vs DuckDB quantile_cont, both quantized to
+        1e-9 (the engines' interpolation formulas differ by 1 ulp even
+        between equal neighbors — unquantized, every row tied at the
+        threshold flips)."""
+        import duckdb
+
+        from gogstash_spark.mlops.entries import o_text_quality
+        from gogstash_spark.mlops.sampling import select_top_fraction
+        from tools.parity import compare
+
+        sf_dir = "/root/testdata/sf0.001"
+        docs = spark.read.parquet(sf_dir + "/documents.parquet")
+        scored = textops.quality_score(docs.select("doc_id", "text")).select(
+            "doc_id", "quality"
+        )
+        out = select_top_fraction(scored, 0.3, approx=False)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet('%s/documents.parquet')"
+            % sf_dir
+        )
+        sql = f"""WITH q AS (SELECT doc_id, quality FROM ({o_text_quality()})),
+thr AS (SELECT round(quantile_cont(quality, 0.7), 9) AS t FROM q)
+SELECT q.doc_id, q.quality FROM q, thr WHERE q.quality >= thr.t"""
+        r = compare("select_top_fraction", out, sql, con)
+        assert r["rows_match"] and r["schema_match"] and r["hash_match"], r
+        n_kept, n_all = out.count(), scored.count()
+        assert 0 < n_kept < n_all and n_kept >= int(0.3 * n_all)

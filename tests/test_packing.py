@@ -218,3 +218,78 @@ FROM (SELECT * FROM o WHERE n_tokens > 0) o, LATERAL (
         assert r["rows_match"] and r["schema_match"] and r["hash_match"], r
         # capacity 64 on ~54-token docs: splits must actually occur
         assert out.groupBy("doc_id").count().where("count > 1").count() > 0
+
+
+class TestTokenBudget:
+    def test_budget_sum_exact_and_boundary_clipped(self, spark):
+        """sum(n_tokens_used) == budget exactly; the one straddling doc
+        is clipped; docs past the boundary are gone; order is the
+        seeded shuffle, not doc_id order."""
+        docs = spark.createDataFrame(
+            [(i, " ".join("w%d" % j for j in range(7))) for i in range(20)],
+            "doc_id long, text string",
+        )  # 20 docs x 7 tokens = 140
+        out = packing.token_budget_subset(docs, budget=30).collect()
+        assert sum(r["n_tokens_used"] for r in out) == 30
+        clipped = [r for r in out if r["n_tokens_used"] < r["n_tokens"]]
+        assert len(clipped) == 1 and clipped[0]["n_tokens_used"] == 30 % 7
+        # 30//7 = 4 whole docs + 1 clipped
+        assert len(out) == 5
+        # deterministic across invocations
+        again = packing.token_budget_subset(docs, budget=30).collect()
+        assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in again)
+
+    def test_budget_covers_corpus_keeps_everything(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a b c"), (2, ""), (3, "d e")], "doc_id long, text string"
+        )
+        out = packing.token_budget_subset(docs, budget=1000)
+        rows = out.collect()
+        assert len(rows) == 3
+        assert sum(r["n_tokens_used"] for r in rows) == 5
+        assert all(r["n_tokens_used"] == r["n_tokens"] for r in rows)
+        with pytest.raises(ValueError):
+            packing.token_budget_subset(docs, budget=0)
+
+    def test_matches_duckdb_oracle_on_documents(self, spark):
+        """rows+schema+value-hash vs the one-window DuckDB restatement
+        — repo-side because the driver artifact caps at 50 rows and
+        every slot is taken (README 'Correctness gate'). Budget 15000
+        of the corpus's 27939 tokens: the boundary falls mid-doc."""
+        import duckdb
+
+        from tools.parity import compare
+
+        sf_dir = "/root/testdata/sf0.001"
+        docs = spark.read.parquet(sf_dir + "/documents.parquet")
+        out = packing.token_budget_subset(docs, budget=15000).select(
+            "doc_id", "n_tokens", "tok_offset", "n_tokens_used"
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet('%s/documents.parquet')"
+            % sf_dir
+        )
+        sql = r"""WITH t AS (
+  SELECT doc_id,
+    md5(CAST(doc_id AS VARCHAR) || ':42') AS sk,
+    CASE WHEN len(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT doc_id, n_tokens,
+    COALESCE(SUM(n_tokens) OVER (
+      ORDER BY sk, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ), 0) AS tok_offset
+  FROM t
+)
+SELECT doc_id,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(tok_offset AS BIGINT) AS tok_offset,
+  CAST(least(n_tokens, 15000 - tok_offset) AS BIGINT) AS n_tokens_used
+FROM o WHERE tok_offset < 15000"""
+        r = compare("token_budget_subset", out, sql, con)
+        assert r["rows_match"] and r["schema_match"] and r["hash_match"], r
+        # the boundary doc must actually be clipped for the test to bite
+        assert out.where("n_tokens_used < n_tokens").count() == 1
