@@ -103,12 +103,19 @@ def _bench_extras():
         docs = spark.read.parquet(sf_dir + "/documents.parquet")
         return upsample_mix(docs, {"src0": 2.5, "src1": 0.25}, "source")
 
+    def q_vocab(spark, sf_dir):
+        from gogstash_spark.mlops.textops import oov_rate, vocab_top_k
+
+        docs = spark.read.parquet(sf_dir + "/documents.parquet")
+        return oov_rate(docs, vocab_top_k(docs, k=20))
+
     return {
         "curate_mix": q_curate,
         "repeated_spans": q_spans,
         "lm_perplexity": q_lm,
         "semantic_dedup": q_semdedup,
         "upsample_mix": q_upsample,
+        "vocab_oov": q_vocab,
     }
 
 
@@ -203,6 +210,7 @@ def main() -> None:
         "lm_perplexity",
         "semantic_dedup",
         "upsample_mix",
+        "vocab_oov",
     ]
     prev_name, prev, prev_jvm = _load_prev(repo)
     # min-of-3 as three INTERLEAVED passes over the whole suite, not 3

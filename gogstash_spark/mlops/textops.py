@@ -7,7 +7,7 @@ same arithmetic is expressible in ANSI-ish SQL for the oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny public-knowledge English stopword set (n-gram heuristic)
@@ -344,4 +344,93 @@ def lm_perplexity(
             F.round(F.avg("lp"), 6).alias("avg_logprob"),
         )
         .withColumn("ppl", F.round(F.exp(-F.col("avg_logprob")), 6))
+    )
+
+
+def vocab_top_k(
+    df: DataFrame, k: int, text_col: str = "text", lowercase: bool = True
+) -> DataFrame:
+    """Corpus-wide top-k vocabulary: (token, n_occurrences, rank) for
+    the k most frequent whitespace tokens — the frequency table a
+    tokenizer-training or vocabulary-pruning job starts from. rank is
+    1-based; ties in count break by token ascending, so the table is
+    DETERMINISTIC (a bare ORDER BY count LIMIT k would return an
+    engine-dependent subset of the tied tail).
+
+    Scale shape: one explode -> ONE map-side-combinable
+    groupBy(token).count() (partial aggregation absorbs the Zipf skew:
+    each task pre-counts its own 'the's before the shuffle), then
+    top-k via sort+limit — Spark executes that as TakeOrdered over
+    per-partition heaps of size k, never a global sort of the
+    vocabulary.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1, got %r" % k)
+    t = F.col(text_col)
+    toks = tokens(F.lower(t)) if lowercase else tokens(t)
+    counts = (
+        df.select(F.explode(toks).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    return (
+        counts.orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(int(k))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+            ),
+        )
+    )
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Per-document vocabulary coverage: n_tokens, n_oov, and
+    oov_rate = n_oov / n_tokens against `vocab` (any frame with a
+    `token` column — vocab_top_k output or an external list). The
+    corpus-level OOV rate a tokenizer report quotes is then one
+    sum(n_oov)/sum(n_tokens) away. Blank docs carry n_tokens=0 and a
+    0.0 rate (nothing to cover).
+
+    Scale shape: explode -> broadcast LEFT join on token (vocabularies
+    are ~10^4-10^6 rows — always the broadcast side) -> ONE
+    groupBy(id). No shuffle on the corpus beyond the final group.
+    """
+    t = F.col(text_col)
+    toks = tokens(F.lower(t)) if lowercase else tokens(t)
+    exploded = df.select(
+        F.col(id_col), F.explode_outer(toks).alias("token")
+    ).withColumn(
+        "token", F.when(F.col("token") == "", None).otherwise(F.col("token"))
+    )
+    marked = exploded.join(
+        F.broadcast(vocab.select("token").distinct().withColumn("__in", F.lit(1))),
+        "token",
+        "left",
+    )
+    agg = marked.groupBy(id_col).agg(
+        F.count("token").alias("n_tokens"),
+        F.sum(
+            F.when(F.col("token").isNotNull() & F.col("__in").isNull(), 1).otherwise(0)
+        ).alias("n_oov"),
+    )
+    return agg.select(
+        id_col,
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_oov").cast("long").alias("n_oov"),
+        F.round(
+            F.when(
+                F.col("n_tokens") > 0,
+                F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("oov_rate"),
     )

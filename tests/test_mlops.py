@@ -1357,3 +1357,91 @@ SELECT q.doc_id, q.quality FROM q, thr WHERE q.quality >= thr.t"""
         assert r["rows_match"] and r["schema_match"] and r["hash_match"], r
         n_kept, n_all = out.count(), scored.count()
         assert 0 < n_kept < n_all and n_kept >= int(0.3 * n_all)
+
+
+class TestVocab:
+    def test_top_k_ranks_and_tie_break(self, spark):
+        """Counts: b=3, a=2, c=2, d=1 — ties (a,c) break by token asc,
+        k cuts deterministically inside the tied tail."""
+        df = spark.createDataFrame(
+            [(1, "b a c"), (2, "b a c"), (3, "b d")], "doc_id long, text string"
+        )
+        got = [
+            (r["token"], r["n_occurrences"], r["rank"])
+            for r in textops.vocab_top_k(df, k=3).orderBy("rank").collect()
+        ]
+        assert got == [("b", 3, 1), ("a", 2, 2), ("c", 2, 3)]
+        with pytest.raises(ValueError):
+            textops.vocab_top_k(df, k=0)
+
+    def test_oov_rate_semantics(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b UNK"), (2, "a a a a"), (3, ""), (4, "x y z w")],
+            "doc_id long, text string",
+        )
+        vocab = spark.createDataFrame([("a",), ("b",)], "token string")
+        got = {r["doc_id"]: r for r in textops.oov_rate(df, vocab).collect()}
+        assert set(got) == {1, 2, 3, 4}  # blank doc present, not dropped
+        assert (got[1]["n_tokens"], got[1]["n_oov"]) == (3, 1)
+        assert got[1]["oov_rate"] == pytest.approx(1 / 3, abs=1e-6)
+        assert (got[2]["n_oov"], got[2]["oov_rate"]) == (0, 0.0)
+        assert (got[3]["n_tokens"], got[3]["oov_rate"]) == (0, 0.0)
+        assert (got[4]["n_oov"], got[4]["oov_rate"]) == (4, 1.0)
+
+    def test_vocab_and_oov_match_duckdb_oracle_on_documents(self, spark):
+        """Driver-gate rigor repo-side (50-row artifact is full): the
+        top-20 vocabulary table AND per-doc coverage against it
+        (the synthetic corpus has ~31 distinct tokens, so k=20 leaves a
+        real OOV tail)."""
+        import duckdb
+
+        from tools.parity import compare
+
+        sf_dir = "/root/testdata/sf0.001"
+        docs = spark.read.parquet(sf_dir + "/documents.parquet")
+        vocab = textops.vocab_top_k(docs, k=20)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet('%s/documents.parquet')"
+            % sf_dir
+        )
+        vocab_sql = r"""WITH tok AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  FROM documents
+),
+c AS (
+  SELECT token, count(*) AS n_occurrences FROM tok WHERE token != '' GROUP BY token
+),
+r AS (
+  SELECT token, n_occurrences,
+         row_number() OVER (ORDER BY n_occurrences DESC, token ASC) AS rank
+  FROM c
+)
+SELECT token, CAST(n_occurrences AS BIGINT) AS n_occurrences,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 20"""
+        r1 = compare("vocab_top_k", vocab, vocab_sql, con)
+        assert r1["rows_match"] and r1["schema_match"] and r1["hash_match"], r1
+
+        out = textops.oov_rate(docs, vocab)
+        oov_sql = f"""WITH v AS (SELECT list(token) AS vl FROM ({vocab_sql})),
+d AS (
+  SELECT doc_id,
+    regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+    len(list_filter(toks, x -> x != '')) AS n_tokens,
+    len(list_filter(toks, x -> x != '' AND NOT list_contains(v.vl, x))) AS n_oov
+  FROM d, v
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(n_oov AS BIGINT) AS n_oov,
+  round(CASE WHEN n_tokens > 0 THEN CAST(n_oov AS DOUBLE) / n_tokens
+             ELSE 0.0 END, 6) AS oov_rate
+FROM m"""
+        r2 = compare("oov_rate", out, oov_sql, con)
+        assert r2["rows_match"] and r2["schema_match"] and r2["hash_match"], r2
+        # the gate only bites if some tokens actually fall outside top-20
+        assert out.where("n_oov > 0").count() > 0
