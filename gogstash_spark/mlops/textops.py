@@ -347,6 +347,125 @@ def lm_perplexity(
     )
 
 
+def nb_train(
+    df: DataFrame, label_col: str = "label", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """Train a binary Naive-Bayes token classifier from a labeled seed
+    corpus (label 1 = keep-quality, 0 = junk) — the distributed analog
+    of the linear fastText classifier CCNet/GPT-3-style pipelines use
+    for quality filtering. Returns (weights, stats):
+
+    - weights: (token, log_ratio) with add-one smoothing over the joint
+      vocabulary V: log_ratio = ln((c_pos+1)/(N_pos+V)) -
+      ln((c_neg+1)/(N_neg+V))
+    - stats: ONE row (n_pos, n_neg, n_vocab, d_pos, d_neg, prior_lo,
+      unseen_lo); prior_lo = ln((d_pos+1)/(d_neg+1)) (doc-count prior,
+      add-one so a single-class seed degrades instead of dividing by
+      zero), unseen_lo = ln((N_neg+V)/(N_pos+V)) (the log-ratio every
+      out-of-vocabulary token scores at).
+
+    Scale shape: ONE explode -> ONE map-side-combinable groupBy(token)
+    with conditional sums (no (token,label) shuffle key — the label is
+    folded into the aggregates); stats is a 1-row crossJoin attach.
+    Training over billions of seed tokens is one shuffle on token.
+    """
+    y = F.col(label_col).cast("int")
+    toks = df.select(
+        y.alias("y"), F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
+    ).where(F.col("token") != "")
+    counts = (
+        toks.groupBy("token")
+        .agg(
+            F.sum(F.when(F.col("y") == 1, 1).otherwise(0)).alias("c_pos"),
+            F.sum(F.when(F.col("y") == 0, 1).otherwise(0)).alias("c_neg"),
+        )
+        .persist()
+    )
+    token_totals = counts.agg(
+        F.sum("c_pos").alias("n_pos"),
+        F.sum("c_neg").alias("n_neg"),
+        F.count(F.lit(1)).alias("n_vocab"),
+    )
+    doc_totals = df.agg(
+        F.sum(F.when(y == 1, 1).otherwise(0)).alias("d_pos"),
+        F.sum(F.when(y == 0, 1).otherwise(0)).alias("d_neg"),
+    )
+    stats = token_totals.crossJoin(doc_totals).select(
+        "n_pos",
+        "n_neg",
+        "n_vocab",
+        "d_pos",
+        "d_neg",
+        F.log(
+            (F.col("d_pos") + 1).cast("double") / (F.col("d_neg") + 1).cast("double")
+        ).alias("prior_lo"),
+        F.log(
+            (F.col("n_neg") + F.col("n_vocab")).cast("double")
+            / (F.col("n_pos") + F.col("n_vocab")).cast("double")
+        ).alias("unseen_lo"),
+    )
+    weights = counts.crossJoin(F.broadcast(stats)).select(
+        "token",
+        (
+            F.log(
+                (F.col("c_pos") + 1).cast("double")
+                / (F.col("n_pos") + F.col("n_vocab")).cast("double")
+            )
+            - F.log(
+                (F.col("c_neg") + 1).cast("double")
+                / (F.col("n_neg") + F.col("n_vocab")).cast("double")
+            )
+        ).alias("log_ratio"),
+    )
+    return weights, stats
+
+
+def nb_score(
+    df: DataFrame,
+    weights: DataFrame,
+    stats: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents under an nb_train model: per-doc
+    nb_score = prior_lo + sum(log_ratio per token, unseen_lo for OOV),
+    rounded to 6 (double sums are order-dependent across partitions;
+    log-ratio magnitudes keep 6 decimals far inside double precision),
+    and nb_positive = (rounded score >= 0). Blank docs score at the
+    prior alone (n_tokens 0) and are KEPT — the prior is the honest
+    no-evidence decision.
+
+    Scale shape: explode -> broadcast left join on token (NB
+    vocabularies are the fastText-model-on-every-worker size class) ->
+    ONE groupBy(id). Same shape as lm_perplexity.
+    """
+    exploded = df.select(
+        F.col(id_col), F.explode_outer(tokens(F.lower(F.col(text_col)))).alias("token")
+    ).withColumn(
+        "token", F.when(F.col("token") == "", None).otherwise(F.col("token"))
+    )
+    agg = (
+        exploded.join(F.broadcast(weights), "token", "left")
+        .crossJoin(F.broadcast(stats.select("unseen_lo")))
+        .groupBy(id_col)
+        .agg(
+            F.count("token").alias("n_tokens"),
+            F.sum(
+                F.when(
+                    F.col("token").isNotNull(),
+                    F.coalesce(F.col("log_ratio"), F.col("unseen_lo")),
+                ).otherwise(F.lit(0.0))
+            ).alias("evidence"),
+        )
+    )
+    scored = agg.crossJoin(F.broadcast(stats.select("prior_lo"))).select(
+        id_col,
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(F.col("prior_lo") + F.col("evidence"), 6).alias("nb_score"),
+    )
+    return scored.withColumn("nb_positive", F.col("nb_score") >= 0)
+
+
 def vocab_top_k(
     df: DataFrame, k: int, text_col: str = "text", lowercase: bool = True
 ) -> DataFrame:

@@ -1445,3 +1445,121 @@ FROM m"""
         assert r2["rows_match"] and r2["schema_match"] and r2["hash_match"], r2
         # the gate only bites if some tokens actually fall outside top-20
         assert out.where("n_oov > 0").count() > 0
+
+
+class TestNBClassifier:
+    def test_train_and_score_hand_computed(self, spark):
+        """counts: good c_pos=3 c_neg=1; fine c_pos=2 c_neg=0; bad
+        c_pos=0 c_neg=3. N_pos=5 N_neg=4 V=3, d_pos=d_neg=2 ->
+        prior_lo=0, unseen_lo=ln(7/8)."""
+        seed = spark.createDataFrame(
+            [
+                (1, 1, "good good fine"),
+                (2, 1, "good fine"),
+                (3, 0, "bad bad good"),
+                (4, 0, "bad"),
+            ],
+            "doc_id long, label int, text string",
+        )
+        w, st = textops.nb_train(seed)
+        ws = {r["token"]: r["log_ratio"] for r in w.collect()}
+        s = st.collect()[0]
+        assert (s["n_pos"], s["n_neg"], s["n_vocab"]) == (5, 4, 3)
+        assert s["prior_lo"] == pytest.approx(0.0)
+        assert s["unseen_lo"] == pytest.approx(math.log(7 / 8))
+        assert ws["good"] == pytest.approx(math.log(4 / 8) - math.log(2 / 7))
+        assert ws["fine"] == pytest.approx(math.log(3 / 8) - math.log(1 / 7))
+        assert ws["bad"] == pytest.approx(math.log(1 / 8) - math.log(4 / 7))
+
+        docs = spark.createDataFrame(
+            [(10, "good unknown"), (11, "bad bad"), (12, "")],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in textops.nb_score(docs, w, st).collect()}
+        assert got[10]["n_tokens"] == 2
+        assert got[10]["nb_score"] == pytest.approx(
+            math.log(1.75) + math.log(7 / 8), abs=1e-6
+        )
+        assert got[10]["nb_positive"] is True
+        assert got[11]["nb_positive"] is False
+        # blank doc: prior-only decision, kept
+        assert (got[12]["n_tokens"], got[12]["nb_score"]) == (0, 0.0)
+        assert got[12]["nb_positive"] is True
+
+    def test_nb_matches_duckdb_oracle_on_documents(self, spark):
+        """Full train+score pipeline vs one DuckDB SQL unroll: label =
+        doc's source in a curated seed set."""
+        import duckdb
+
+        from tools.parity import compare
+
+        sf_dir = "/root/testdata/sf0.001"
+        docs = spark.read.parquet(sf_dir + "/documents.parquet")
+        seed = docs.withColumn(
+            "label",
+            F.col("source").isin("src0", "src1", "src2", "src3").cast("int"),
+        )
+        w, st = textops.nb_train(seed)
+        out = textops.nb_score(docs, w, st)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet('%s/documents.parquet')"
+            % sf_dir
+        )
+        sql = r"""WITH lab AS (
+  SELECT doc_id, text,
+         CASE WHEN source IN ('src0','src1','src2','src3') THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+tok AS (
+  SELECT y, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  FROM lab
+),
+c AS (
+  SELECT token,
+         sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS c_pos,
+         sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS c_neg
+  FROM tok WHERE token != '' GROUP BY token
+),
+tt AS (SELECT sum(c_pos) AS n_pos, sum(c_neg) AS n_neg, count(*) AS n_vocab FROM c),
+dt AS (
+  SELECT sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS d_pos,
+         sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS d_neg
+  FROM lab
+),
+st AS (
+  SELECT ln((d_pos + 1.0) / (d_neg + 1.0)) AS prior_lo,
+         ln((n_neg + n_vocab) * 1.0 / (n_pos + n_vocab)) AS unseen_lo,
+         n_pos, n_neg, n_vocab
+  FROM tt, dt
+),
+w AS (
+  SELECT token,
+         ln((c_pos + 1.0) / (n_pos + n_vocab))
+           - ln((c_neg + 1.0) / (n_neg + n_vocab)) AS log_ratio
+  FROM c, st
+),
+d2 AS (
+  SELECT doc_id,
+         CASE WHEN tk = '' THEN NULL ELSE tk END AS tk
+  FROM (SELECT doc_id,
+          unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tk
+        FROM documents)
+),
+a AS (
+  SELECT d2.doc_id, count(d2.tk) AS n_tokens,
+         sum(CASE WHEN d2.tk IS NOT NULL
+                  THEN coalesce(w.log_ratio, (SELECT unseen_lo FROM st))
+                  ELSE 0.0 END) AS ev
+  FROM d2 LEFT JOIN w ON d2.tk = w.token
+  GROUP BY d2.doc_id
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+  round((SELECT prior_lo FROM st) + ev, 6) AS nb_score,
+  round((SELECT prior_lo FROM st) + ev, 6) >= 0 AS nb_positive
+FROM a"""
+        r = compare("nb_quality", out, sql, con)
+        assert r["rows_match"] and r["schema_match"] and r["hash_match"], r
+        # decision boundary is actually exercised both ways
+        pos = out.where("nb_positive").count()
+        assert 0 < pos < out.count()
