@@ -164,3 +164,88 @@ def upsample_mix(
             F.concat_ws(":", F.col(key_col).cast("string"), F.col("epoch")),
         )
     )
+
+
+def mixture_weights(
+    df: DataFrame,
+    target: dict[str, float],
+    budget_tokens: float,
+    strata_col: str = "source",
+    text_col: str = "text",
+    max_epochs: float = 5.0,
+) -> DataFrame:
+    """Solve a data-mix recipe: given a target mixture (relative
+    weights by source) and a total token budget, compute per-source
+    epoch counts — the planning stage whose output feeds upsample_mix
+    / stratified_sample. Per source:
+
+    - avail_tokens: what the corpus holds (whitespace tokens)
+    - target_frac: normalized share of the budget
+    - desired_tokens = budget * target_frac
+    - epochs = desired/avail, CAPPED at max_epochs (data-constrained
+      scaling: repeating a small curated source 40x is memorization,
+      not mixture — the cap is the recipe's honesty knob)
+    - achieved_tokens = min(desired, avail * max_epochs), and
+      deficit_tokens = desired - achieved: a nonzero deficit is the
+      loud signal that the target mixture is infeasible at this budget
+      (never silently renormalized — the caller decides whether to
+      shift budget or relax the cap)
+
+    Sources in the corpus but not the target get frac 0 (explicitly
+    excluded); sources in the target but ABSENT from the corpus still
+    get a row (n_docs 0, full deficit) — a typo'd source name must
+    surface as an infeasible row, not vanish.
+
+    Scale shape: ONE map-side-combinable groupBy(source) token count
+    over the corpus; the solve itself is column arithmetic on the
+    n_sources-row aggregate, full-outer-joined with the plan-time
+    target literals. Nothing here scales with corpus size except the
+    one count pass.
+    """
+    if budget_tokens < 0:
+        raise ValueError("budget_tokens must be >= 0, got %r" % budget_tokens)
+    if max_epochs <= 0:
+        raise ValueError("max_epochs must be > 0, got %r" % max_epochs)
+    if any(w < 0 for w in target.values()):
+        raise ValueError("target weights must be >= 0: %r" % target)
+    wsum = float(sum(target.values()))
+    if wsum <= 0:
+        raise ValueError("target weights sum to 0: %r" % target)
+    from .textops import ws_token_len
+
+    avail = df.groupBy(F.col(strata_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ws_token_len(F.col(text_col))).alias("avail_tokens"),
+    )
+    tgt = df.sparkSession.createDataFrame(
+        [(s, float(w) / wsum) for s, w in sorted(target.items())],
+        "source string, target_frac double",
+    )
+    j = avail.join(tgt, "source", "full_outer").select(
+        "source",
+        F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+        F.coalesce("avail_tokens", F.lit(0)).cast("long").alias("avail_tokens"),
+        F.round(F.coalesce("target_frac", F.lit(0.0)), 6).alias("target_frac"),
+        (F.lit(float(budget_tokens)) * F.coalesce("target_frac", F.lit(0.0))).alias(
+            "__desired"
+        ),
+    )
+    av = F.col("avail_tokens").cast("double")
+    achieved = F.when(
+        av > 0, F.least(F.col("__desired"), av * F.lit(float(max_epochs)))
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        "source",
+        "n_docs",
+        "avail_tokens",
+        "target_frac",
+        F.round("__desired", 6).alias("desired_tokens"),
+        F.round(
+            F.when(av > 0, F.least(F.col("__desired") / av, F.lit(float(max_epochs))))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("epochs"),
+        F.round(achieved, 6).alias("achieved_tokens"),
+        F.round(F.col("__desired") - achieved, 6).alias("deficit_tokens"),
+        (F.round(F.col("__desired") - achieved, 6) <= 0).alias("feasible"),
+    )

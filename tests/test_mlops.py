@@ -1563,3 +1563,102 @@ FROM a"""
         # decision boundary is actually exercised both ways
         pos = out.where("nb_positive").count()
         assert 0 < pos < out.count()
+
+
+class TestMixtureWeights:
+    def test_solve_semantics(self, spark):
+        """src_a: 10 tokens avail; src_b: 2; src_ghost absent from the
+        corpus. Budget 20, target a:0.5 b:0.25 ghost:0.25, cap 2x."""
+        from gogstash_spark.mlops.sampling import mixture_weights
+
+        df = spark.createDataFrame(
+            [
+                (1, "src_a", "t1 t2 t3 t4 t5"),
+                (2, "src_a", "t1 t2 t3 t4 t5"),
+                (3, "src_b", "x y"),
+                (4, "src_other", "z z z"),
+            ],
+            "doc_id long, source string, text string",
+        )
+        out = {
+            r["source"]: r
+            for r in mixture_weights(
+                df,
+                {"src_a": 2.0, "src_b": 1.0, "src_ghost": 1.0},
+                budget_tokens=20,
+                max_epochs=2.0,
+            ).collect()
+        }
+        assert set(out) == {"src_a", "src_b", "src_ghost", "src_other"}
+        a = out["src_a"]  # desired 10, avail 10 -> 1 epoch, feasible
+        assert (a["avail_tokens"], a["desired_tokens"]) == (10, 10.0)
+        assert a["epochs"] == 1.0 and a["feasible"]
+        b = out["src_b"]  # desired 5, avail 2, cap 2x -> achieved 4, deficit 1
+        assert b["epochs"] == 2.0
+        assert (b["achieved_tokens"], b["deficit_tokens"]) == (4.0, 1.0)
+        assert not b["feasible"]
+        g = out["src_ghost"]  # typo'd source surfaces as a full-deficit row
+        assert (g["n_docs"], g["avail_tokens"]) == (0, 0)
+        assert (g["achieved_tokens"], g["deficit_tokens"]) == (0.0, 5.0)
+        assert not g["feasible"]
+        o = out["src_other"]  # in corpus, not in target: explicit zero row
+        assert (o["target_frac"], o["desired_tokens"], o["feasible"]) == (0.0, 0.0, True)
+        with pytest.raises(ValueError):
+            mixture_weights(df, {"a": -1.0}, 10)
+        with pytest.raises(ValueError):
+            mixture_weights(df, {}, 10)
+
+    def test_matches_duckdb_oracle_on_documents(self, spark):
+        import duckdb
+
+        from gogstash_spark.mlops.sampling import mixture_weights
+        from tools.parity import compare
+
+        sf_dir = "/root/testdata/sf0.001"
+        docs = spark.read.parquet(sf_dir + "/documents.parquet")
+        out = mixture_weights(
+            docs,
+            {"src0": 3.0, "src1": 1.0, "src2": 1.0, "srcmissing": 1.0},
+            budget_tokens=100_000,
+            max_epochs=3.0,
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet('%s/documents.parquet')"
+            % sf_dir
+        )
+        sql = r"""WITH avail AS (
+  SELECT source,
+         count(*) AS n_docs,
+         sum(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS avail_tokens
+  FROM documents GROUP BY source
+),
+tgt(source, target_frac) AS (VALUES
+  ('src0', 0.5), ('src1', 1.0/6.0), ('src2', 1.0/6.0), ('srcmissing', 1.0/6.0)
+),
+j AS (
+  SELECT coalesce(a.source, t.source) AS source,
+         coalesce(a.n_docs, 0) AS n_docs,
+         coalesce(a.avail_tokens, 0) AS avail_tokens,
+         coalesce(t.target_frac, 0.0) AS tf,
+         100000 * coalesce(t.target_frac, 0.0) AS desired
+  FROM avail a FULL OUTER JOIN tgt t ON a.source = t.source
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+  CAST(avail_tokens AS BIGINT) AS avail_tokens,
+  round(tf, 6) AS target_frac,
+  round(desired, 6) AS desired_tokens,
+  round(CASE WHEN avail_tokens > 0
+             THEN least(desired / avail_tokens, 3.0) ELSE 0.0 END, 6) AS epochs,
+  round(CASE WHEN avail_tokens > 0
+             THEN least(desired, avail_tokens * 3.0) ELSE 0.0 END, 6) AS achieved_tokens,
+  round(desired - CASE WHEN avail_tokens > 0
+             THEN least(desired, avail_tokens * 3.0) ELSE 0.0 END, 6) AS deficit_tokens,
+  round(desired - CASE WHEN avail_tokens > 0
+             THEN least(desired, avail_tokens * 3.0) ELSE 0.0 END, 6) <= 0 AS feasible
+FROM j"""
+        r = compare("mixture_weights", out, sql, con)
+        assert r["rows_match"] and r["schema_match"] and r["hash_match"], r
+        rows = {x["source"]: x for x in out.collect()}
+        assert not rows["srcmissing"]["feasible"]
