@@ -119,7 +119,14 @@ def _bench_extras():
         w, st = nb_train(seed)
         return nb_score(docs, w, st)
 
+    def q_pq(spark, sf_dir):
+        from gogstash_spark.mlops.pq import pq_topk
+
+        emb = spark.read.parquet(sf_dir + "/embeddings.parquet")
+        return pq_topk(emb, k=5, max_query_id=50)
+
     return {
+        "ann_topk_pq": q_pq,
         "curate_mix": q_curate,
         "repeated_spans": q_spans,
         "lm_perplexity": q_lm,
@@ -223,6 +230,7 @@ def main() -> None:
         "upsample_mix",
         "vocab_oov",
         "nb_quality",
+        "ann_topk_pq",
     ]
     prev_name, prev, prev_jvm = _load_prev(repo)
     # min-of-3 as three INTERLEAVED passes over the whole suite, not 3

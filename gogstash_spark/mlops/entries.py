@@ -11,7 +11,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gogstash_spark.mlops import ann, dedup, multimodal, textops
+from gogstash_spark.mlops import ann, dedup, multimodal, pq, textops
 from gogstash_spark.sources.transcripts import ensure_transcripts
 
 ORACLE_SF_DIR = "/root/repo/data/sf0.01"
@@ -422,6 +422,131 @@ ranked AS (
   FROM pairs
 )
 SELECT q_id, n_id, cos, CAST(rk AS INTEGER) AS rk FROM ranked WHERE rk <= 5"""
+
+
+def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ serving (mlops/pq.py). REPO-SIDE parity only: the
+    driver's correctness artifact caps at 50 rows and every slot is
+    taken, so this rides tests/test_mlops.py::TestPQ instead of
+    MLOPS_QUERIES — same compare(), same hash gate."""
+    return pq.pq_topk(_emb(spark, sf_dir), k=5, max_query_id=50)
+
+
+def _pq_lloyd_iter_sql(i: int, prev: str, dsub: int) -> str:
+    """One per-subspace Lloyd iteration unrolled: argmin of
+    9-dp-rounded subspace L2 (ties to smallest code — exactly
+    pq_train's array_sort(struct(d, code)) order), then per-(sub,
+    code, dim) means; empty codes keep their previous centroid."""
+    return f"""a{i} AS (
+  SELECT s.sub, s.sid, s.sv, c.code,
+         row_number() OVER (PARTITION BY s.sub, s.sid
+           ORDER BY round(list_dot_product(s.sv, s.sv)
+                          - 2*list_dot_product(s.sv, c.cvec)
+                          + list_dot_product(c.cvec, c.cvec), 9) ASC,
+                    c.code ASC) AS rk
+  FROM subs s JOIN {prev} c ON s.sub = c.sub
+),
+m{i} AS (
+  SELECT a.sub, a.code, r.i AS dim, avg(a.sv[r.i]) AS mu
+  FROM a{i} a CROSS JOIN range(1, {dsub + 1}) r(i) WHERE a.rk = 1
+  GROUP BY 1, 2, 3
+),
+mv{i} AS (SELECT sub, code, list(mu ORDER BY dim) AS cvec FROM m{i} GROUP BY 1, 2),
+cb{i} AS (
+  SELECT c.sub, c.code, coalesce(v.cvec, c.cvec) AS cvec
+  FROM {prev} c LEFT JOIN mv{i} v ON v.sub = c.sub AND v.code = c.code
+)"""
+
+
+def o_ann_topk_pq(
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    max_q: int = 50,
+) -> str:
+    """pq.pq_topk unrolled end to end: subspace split, min-id seeds,
+    `iters` Lloyd rounds per subspace, IVF cells (same CTEs as
+    o_ann_topk_ivf), encode = argmin vs the final codebook, ADC score =
+    sum over subspaces of dot(q_sub, centroid[code]) normalized by
+    |q| * sqrt(sum centroid norms), rounded to 6 dp. Cross-engine
+    summation-order noise is absorbed by the same 9-dp (assignment) /
+    6-dp (score) rounding argument as the trained-IVF oracle."""
+    dsub = dim // m
+    train = ",\n".join(
+        _pq_lloyd_iter_sql(i + 1, "cb%d" % i, dsub) for i in range(iters)
+    )
+    ccos = _sql_cos("e.embedding", "c.cvec")
+    return f"""WITH base AS (
+  SELECT vec_id AS sid, [x::DOUBLE FOR x IN embedding] AS vec FROM embeddings
+),
+subs AS (
+  SELECT sid, s.s AS sub, vec[s.s*{dsub}+1 : s.s*{dsub}+{dsub}] AS sv
+  FROM base CROSS JOIN range(0, {m}) s(s)
+),
+cb0 AS (
+  SELECT sub, row_number() OVER (PARTITION BY sub ORDER BY sid) - 1 AS code,
+         sv AS cvec
+  FROM subs WHERE sid IN (SELECT sid FROM base ORDER BY sid LIMIT {ksub})
+),
+{train},
+cbf AS (
+  SELECT sub, code, cvec, list_dot_product(cvec, cvec) AS cn2 FROM cb{iters}
+),
+cent AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+  ORDER BY vec_id LIMIT {n_centroids}
+),
+assign AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {ccos} DESC, c.cid ASC) AS crk
+  FROM embeddings e CROSS JOIN cent c
+),
+encR AS (
+  SELECT s.sid, s.sub, c.code, c.cvec, c.cn2,
+         row_number() OVER (PARTITION BY s.sid, s.sub
+           ORDER BY round(list_dot_product(s.sv, s.sv)
+                          - 2*list_dot_product(s.sv, c.cvec) + c.cn2, 9) ASC,
+                    c.code ASC) AS rk
+  FROM subs s JOIN cbf c ON s.sub = c.sub
+),
+codes AS (SELECT sid, sub, code FROM encR WHERE rk = 1),
+cells AS (SELECT vec_id AS n_id, cid FROM assign WHERE crk = 1),
+probes AS (
+  SELECT vec_id AS q_id, cid FROM assign
+  WHERE crk <= {nprobe} AND vec_id < {max_q}
+),
+pairs0 AS (
+  SELECT p.q_id, b.n_id
+  FROM probes p JOIN cells b ON p.cid = b.cid AND p.q_id <> b.n_id
+),
+contrib AS (
+  SELECT pr.q_id, pr.n_id,
+         sum(list_dot_product(qs.sv, c.cvec)) AS adot,
+         sum(c.cn2) AS rn2
+  FROM pairs0 pr
+  JOIN codes co ON co.sid = pr.n_id
+  JOIN cbf c ON c.sub = co.sub AND c.code = co.code
+  JOIN subs qs ON qs.sid = pr.q_id AND qs.sub = co.sub
+  GROUP BY 1, 2
+),
+qn AS (SELECT sid AS q_id, sqrt(list_dot_product(vec, vec)) AS qn FROM base),
+scored AS (
+  SELECT c.q_id, c.n_id, round(c.adot / (q.qn * sqrt(c.rn2)), 6) AS cos_pq
+  FROM contrib c JOIN qn q ON q.q_id = c.q_id
+  WHERE c.rn2 > 0 AND q.qn > 0
+),
+ranked AS (
+  SELECT q_id, n_id, cos_pq,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos_pq DESC, n_id ASC) AS rk
+  FROM scored
+)
+SELECT q_id, n_id, cos_pq, CAST(rk AS INTEGER) AS rk FROM ranked WHERE rk <= {k}"""
 
 
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -180,3 +180,45 @@ class TestFanoutDistribution:
         )
         assert "RepartitionByExpression" in plan_fixed
         assert "RebalancePartitions" not in plan_fixed
+
+
+class TestPQPlans:
+    def test_pq_encode_is_shuffle_free(self, spark):
+        """Encoding is the FAISS 'add' phase — a pure projection
+        against the 1-row broadcast codebook. No hash exchange, window,
+        or sort-merge join may touch the corpus side; the only
+        permitted hash exchange is the codebook pack itself (groupBy
+        sub over m*ksub rows — data-size-invariant)."""
+        from gogstash_spark.mlops import pq
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        cb = pq.pq_train(emb, m=8, ksub=16, iters=1)
+        plan = physical_plan(pq.pq_encode(emb, cb))
+        assert "Window" not in plan, plan
+        bad = [
+            ln
+            for ln in plan.splitlines()
+            if "Exchange hashpartitioning" in ln and "sub#" not in ln
+        ]
+        assert bad == [], bad
+        assert "SortMergeJoin" not in plan, plan
+
+    def test_pq_candidates_carry_codes_not_vectors(self, spark):
+        """The point of PQ at 100 TB: the candidate side of the cell
+        equi-join ships (n_id, cid, codes) — m ints — never the d-dim
+        float vector. Pin it via the top-k plan text: the join keeps
+        exactly one 'vec' column (the query side's, which builds the
+        ADC tables); a second one means the candidate side regressed
+        to shipping vectors."""
+        from gogstash_spark.mlops import pq
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        cb = pq.pq_train(emb, m=8, ksub=16, iters=1)
+        out = pq.pq_topk(emb, k=5, max_query_id=50, codebook=cb)
+        optimized = out._jdf.queryExecution().optimizedPlan().toString()
+        joins = [
+            ln for ln in optimized.splitlines() if "Join" in ln and "cid" in ln
+        ]
+        assert joins, optimized
+        assert "codes" in joins[0], joins[0]
+        assert "n_vec" not in optimized, "candidate side ships full vectors"
