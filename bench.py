@@ -125,8 +125,15 @@ def _bench_extras():
         emb = spark.read.parquet(sf_dir + "/embeddings.parquet")
         return pq_topk(emb, k=5, max_query_id=50)
 
+    def q_bpe(spark, sf_dir):
+        from gogstash_spark.mlops.bpe import bpe_train
+
+        docs = spark.read.parquet(sf_dir + "/documents.parquet")
+        return bpe_train(docs, n_merges=3)
+
     return {
         "ann_topk_pq": q_pq,
+        "bpe_train": q_bpe,
         "curate_mix": q_curate,
         "repeated_spans": q_spans,
         "lm_perplexity": q_lm,
@@ -231,6 +238,7 @@ def main() -> None:
         "vocab_oov",
         "nb_quality",
         "ann_topk_pq",
+        "bpe_train",
     ]
     prev_name, prev, prev_jvm = _load_prev(repo)
     # min-of-3 as three INTERLEAVED passes over the whole suite, not 3

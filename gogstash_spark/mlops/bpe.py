@@ -1,0 +1,167 @@
+"""Distributed BPE merge training (Sennrich/Haddow/Birch, "Neural
+Machine Translation of Rare Words with Subword Units", ACL 2016) —
+the tokenizer-training stage of an LLM data pipeline.
+
+The scale insight: BPE pair statistics live on the VOCABULARY (distinct
+words weighted by frequency), not the corpus — one corpus-wide
+groupBy(word) up front, then every merge iteration runs on a frame of
+|V| rows (10^5-10^7) regardless of corpus size. Each iteration is:
+pair-explode -> ONE map-side-combinable groupBy(pair) weighted count ->
+top-1 via TakeOrdered (never a global sort) -> broadcast the winning
+pair back as a 1-row crossJoin -> rewrite symbols with a plain string
+replace. Merging is inherently sequential (merge i+1's counts depend on
+merge i) — the per-iteration work is what can and does stay distributed.
+
+Representation trick (engine-portable, pure codegen): a word's symbol
+sequence is its characters joined by US (0x1f). An adjacent-pair merge
+is then exactly `replace(s, l || SEP || r, l || r)` — both Spark's and
+DuckDB's replace scan left-to-right non-overlapping, which is precisely
+BPE's greedy merge order ('a|a|a' + merge(a,a) -> 'aa|a'). No arrays
+are rebuilt; the hot loop is string search/replace in codegen.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hof import staged
+from .textops import tokens
+
+SEP = "\x1f"  # US control char: never in printable text; guarded below
+_SEP_RX = "\x1f"  # literal, regex-safe
+_CHAR_SPLIT_RX = r"(?!^)(?=.)"  # split between chars, no trailing ''
+
+
+def _char_syms(word: Column) -> Column:
+    """characters of `word` joined by SEP (the initial symbol state)."""
+    return F.concat_ws(SEP, F.split(word, _CHAR_SPLIT_RX))
+
+
+def _word_freq(df: DataFrame, text_col: str, lowercase: bool) -> DataFrame:
+    t = F.col(text_col)
+    toks = tokens(F.lower(t)) if lowercase else tokens(t)
+    return (
+        df.select(F.explode(toks).alias("word"))
+        # a word containing the separator would corrupt the symbol
+        # encoding — drop loudly-documented rather than silently merge
+        .where((F.col("word") != "") & (~F.col("word").contains(SEP)))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _pairs(syms: Column) -> Column:
+    """adjacent symbol pairs of a SEP-joined string; empty for
+    single-symbol words (slice of length size-1 = 0)."""
+    return staged(
+        F.split(syms, _SEP_RX),
+        lambda arr: F.zip_with(
+            F.slice(arr, 1, F.size(arr) - 1),
+            F.slice(arr, 2, F.size(arr) - 1),
+            lambda lft, rgt: F.struct(lft.alias("l"), rgt.alias("r")),
+        ),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 4,
+    text_col: str = "text",
+    lowercase: bool = True,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Learn `n_merges` BPE merges: (merge_idx, left_sym, right_sym,
+    pair_freq), merge_idx ascending in learning order. Ties in pair
+    frequency break lexicographically on (left, right) — counts are
+    integral sums, so the whole procedure is exactly reproducible
+    across engines (the DuckDB oracle unrolls the same iterations).
+
+    Stops early (fewer rows than n_merges) if the vocabulary runs out
+    of adjacent pairs — a truncated merges table is the honest result,
+    never padding.
+
+    The vocab frame is localCheckpoint'ed every `checkpoint_every`
+    merges: each merge stacks a crossJoin+replace on the plan, and the
+    1-row winners are checkpointed anyway (they are consumed twice —
+    output and rewrite — and gate the early-stop)."""
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1, got %r" % n_merges)
+    vocab = _word_freq(df, text_col, lowercase).select(
+        _char_syms(F.col("word")).alias("s"), "freq"
+    )
+    merges: list[DataFrame] = []
+    for i in range(n_merges):
+        top = (
+            vocab.select("freq", F.explode(_pairs(F.col("s"))).alias("p"))
+            .groupBy(
+                F.col("p.l").alias("left_sym"), F.col("p.r").alias("right_sym")
+            )
+            .agg(F.sum("freq").alias("pair_freq"))
+            .orderBy(F.desc("pair_freq"), F.asc("left_sym"), F.asc("right_sym"))
+            .limit(1)
+            .select(F.lit(i).alias("merge_idx"), "left_sym", "right_sym", "pair_freq")
+            .localCheckpoint(eager=True)
+        )
+        if top.count() == 0:  # vocabulary fully merged — stop honestly
+            break
+        merges.append(top)
+        vocab = vocab.crossJoin(F.broadcast(top)).select(
+            F.replace(
+                F.col("s"),
+                F.concat_ws(SEP, "left_sym", "right_sym"),
+                F.concat("left_sym", "right_sym"),
+            ).alias("s"),
+            "freq",
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < n_merges:
+            vocab = vocab.localCheckpoint(eager=True)
+    if not merges:  # every word is a single symbol — nothing to learn
+        return df.sparkSession.createDataFrame(
+            [], "merge_idx int, left_sym string, right_sym string, pair_freq bigint"
+        )
+    return reduce(DataFrame.unionByName, merges)
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Tokenize documents with a learned merges table: (id, bpe_tokens
+    array<string>, n_bpe_tokens). Merges apply within words, in
+    learning order — the standard BPE inference rule.
+
+    The merges table is collected driver-side: it is n_merges rows by
+    construction (a tokenizer model, not data — the same size class as
+    mixture_weights' solve), and each merge becomes one codegen
+    `replace` in a fixed expression chain, so the corpus-side plan is a
+    pure per-row projection: no join, no shuffle, plan size O(n_merges).
+    """
+    rows = sorted(merges.collect(), key=lambda r: r["merge_idx"])
+
+    def word_syms(w: Column) -> Column:
+        s = _char_syms(w)
+        for m in rows:
+            s = F.replace(
+                s,
+                F.lit(m["left_sym"] + SEP + m["right_sym"]),
+                F.lit(m["left_sym"] + m["right_sym"]),
+            )
+        return F.split(s, _SEP_RX)
+
+    t = F.col(text_col)
+    toks = tokens(F.lower(t)) if lowercase else tokens(t)
+    out_toks = F.flatten(
+        F.transform(
+            F.filter(toks, lambda w: (w != "") & (~w.contains(SEP))), word_syms
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        out_toks.alias("bpe_tokens"),
+    ).withColumn("n_bpe_tokens", F.size("bpe_tokens").cast("long"))

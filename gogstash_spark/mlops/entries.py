@@ -11,7 +11,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gogstash_spark.mlops import ann, dedup, multimodal, pq, textops
+from gogstash_spark.mlops import ann, bpe, dedup, multimodal, pq, textops
 from gogstash_spark.sources.transcripts import ensure_transcripts
 
 ORACLE_SF_DIR = "/root/repo/data/sf0.01"
@@ -422,6 +422,67 @@ ranked AS (
   FROM pairs
 )
 SELECT q_id, n_id, cos, CAST(rk AS INTEGER) AS rk FROM ranked WHERE rk <= 5"""
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge learning (mlops/bpe.py). REPO-SIDE parity
+    only (driver's 50 rows all taken) — tests/test_mlops.py::TestBPE."""
+    return bpe.bpe_train(_docs(spark, sf_dir), n_merges=3)
+
+
+def _bpe_iter_sql(i: int) -> str:
+    """One unrolled BPE merge: weighted adjacent-pair counts over the
+    vocab, top-1 by (freq DESC, left, right), then the left-to-right
+    non-overlapping replace that IS the greedy merge (both engines'
+    replace scans identically)."""
+    return f"""p{i} AS (
+  SELECT p.l AS left_sym, p.r AS right_sym, sum(freq) AS pair_freq
+  FROM (
+    SELECT freq,
+           unnest([struct_pack(l := arr[j], r := arr[j + 1])
+                   FOR j IN range(1, len(arr))]) AS p
+    FROM (SELECT string_split(s, chr(31)) AS arr, freq FROM v{i - 1})
+  )
+  GROUP BY 1, 2
+),
+t{i} AS (
+  SELECT left_sym, right_sym, pair_freq FROM p{i}
+  ORDER BY pair_freq DESC, left_sym ASC, right_sym ASC LIMIT 1
+),
+v{i} AS (
+  SELECT word,
+         replace(s, (SELECT left_sym || chr(31) || right_sym FROM t{i}),
+                 (SELECT left_sym || right_sym FROM t{i})) AS s,
+         freq
+  FROM v{i - 1}
+)"""
+
+
+def o_bpe_train(n_merges: int = 3) -> str:
+    """bpe.bpe_train unrolled: corpus word-frequency table, char-split
+    symbol state (SEP = chr(31)), then one CTE triple per merge. Counts
+    are integral and ties break on binary string order in both engines,
+    so the chain is exactly reproducible — no rounding arguments
+    needed anywhere."""
+    iters = ",\n".join(_bpe_iter_sql(i + 1) for i in range(n_merges))
+    sel = "\nUNION ALL ".join(
+        "SELECT %d AS merge_idx, left_sym, right_sym, "
+        "CAST(pair_freq AS BIGINT) AS pair_freq FROM t%d" % (i, i + 1)
+        for i in range(n_merges)
+    )
+    return f"""WITH tok AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+  FROM documents
+),
+w AS (SELECT word, count(*) AS freq FROM tok WHERE word != '' GROUP BY word),
+v0 AS (
+  SELECT word,
+         rtrim(regexp_replace(word, '(.)', '\\1' || chr(31), 'g'), chr(31)) AS s,
+         freq
+  FROM w
+),
+{iters}
+{sel}"""
 
 
 def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1733,3 +1733,119 @@ class TestPQ:
         r8, r16 = recall(8), recall(16)
         assert r8 >= 0.25, r8
         assert r16 >= r8 + 0.05, (r8, r16)
+
+
+class TestBPE:
+    def test_hand_computed_merges_and_apply(self, spark):
+        """corpus 'aaab aaab ab': pair counts (a,a)=4 (a,b)=3 -> merge
+        (a,a); then (a,b)=3 beats (aa,a)=2; then (aa,ab)=2. Applying
+        all three rebuilds the full words."""
+        from gogstash_spark.mlops import bpe
+
+        df = spark.createDataFrame([(1, "aaab aaab ab")], "doc_id long, text string")
+        m = bpe.bpe_train(df, n_merges=3)
+        got = [
+            (r["merge_idx"], r["left_sym"], r["right_sym"], r["pair_freq"])
+            for r in m.orderBy("merge_idx").collect()
+        ]
+        assert got == [(0, "a", "a", 4), (1, "a", "b", 3), (2, "aa", "ab", 2)]
+        out = bpe.bpe_apply(df, m).collect()[0]
+        assert out["bpe_tokens"] == ["aaab", "aaab", "ab"]
+        assert out["n_bpe_tokens"] == 3
+        # greedy left-to-right: 'aaa' with merge (a,a) -> ['aa','a']
+        df3 = spark.createDataFrame([(1, "aaa")], "doc_id long, text string")
+        one = m.where("merge_idx = 0")
+        assert bpe.bpe_apply(df3, one).collect()[0]["bpe_tokens"] == ["aa", "a"]
+
+    def test_early_stop_on_exhausted_vocab(self, spark):
+        from gogstash_spark.mlops import bpe
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        m = bpe.bpe_train(df, n_merges=3)
+        assert m.count() == 0
+        out = bpe.bpe_apply(df, m).collect()[0]
+        assert out["bpe_tokens"] == ["a", "b", "c"]
+        with pytest.raises(ValueError):
+            bpe.bpe_train(df, n_merges=0)
+
+    def test_train_matches_duckdb_oracle_on_documents(self, spark):
+        import duckdb
+
+        from gogstash_spark.mlops.entries import o_bpe_train, q_bpe_train
+        from tools.parity import compare
+
+        sf_dir = "/root/testdata/sf0.001"
+        out = q_bpe_train(spark, sf_dir)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet('%s/documents.parquet')"
+            % sf_dir
+        )
+        r = compare("bpe_train", out, o_bpe_train(), con)
+        assert r["rows_match"] and r["schema_match"] and r["hash_match"], r
+
+    def test_apply_matches_duckdb_oracle_on_documents(self, spark):
+        """Tokenize the corpus with the 3 learned merges in BOTH
+        engines: the oracle re-learns the merges (same CTE chain as
+        o_bpe_train, keeping the word column through the rewrites) and
+        re-tokenizes via the word -> final-symbols map; compare the
+        exploded (doc_id, pos, sym) stream."""
+        import duckdb
+
+        from gogstash_spark.mlops import bpe
+        from gogstash_spark.mlops.entries import _bpe_iter_sql
+        from tools.parity import compare
+
+        sf_dir = "/root/testdata/sf0.001"
+        docs = spark.read.parquet(sf_dir + "/documents.parquet")
+        m = bpe.bpe_train(docs, n_merges=3)
+        ex = bpe.bpe_apply(docs, m).select(
+            "doc_id", F.posexplode("bpe_tokens").alias("pos", "sym")
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet('%s/documents.parquet')"
+            % sf_dir
+        )
+        iters = ",\n".join(_bpe_iter_sql(i + 1) for i in range(3))
+        sql = rf"""WITH tok AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+  FROM documents
+),
+w AS (SELECT word, count(*) AS freq FROM tok WHERE word != '' GROUP BY word),
+v0 AS (
+  SELECT word,
+         rtrim(regexp_replace(word, '(.)', '\1' || chr(31), 'g'), chr(31)) AS s,
+         freq
+  FROM w
+),
+{iters},
+map AS (SELECT word, string_split(s, chr(31)) AS syms FROM v3),
+d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     x -> x != '') AS arr
+  FROM documents
+),
+dw0 AS (
+  SELECT doc_id,
+         unnest([struct_pack(w := arr[j], wp := j)
+                 FOR j IN range(1, len(arr) + 1)]) AS u
+  FROM d
+),
+dw AS (SELECT doc_id, u.w AS word, u.wp AS wp FROM dw0),
+sy0 AS (
+  SELECT dw.doc_id, dw.wp,
+         unnest([struct_pack(sym := m.syms[j], sp := j)
+                 FOR j IN range(1, len(m.syms) + 1)]) AS u
+  FROM dw JOIN map m ON m.word = dw.word
+),
+ex AS (SELECT doc_id, wp, u.sym AS sym, u.sp AS sp FROM sy0)
+SELECT doc_id,
+  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wp, sp) - 1 AS INTEGER) AS pos,
+  sym
+FROM ex"""
+        r = compare("bpe_apply", ex, sql, con)
+        assert r["rows_match"] and r["schema_match"] and r["hash_match"], r
+        # merges actually fire on this corpus
+        assert ex.where(F.length("sym") > 1).count() > 0
