@@ -701,3 +701,46 @@ def repeated_fraction(
             ).otherwise(F.lit(0.0)),
         )
     )
+
+
+def dedup_incremental(
+    batch: DataFrame,
+    seen: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_seen: bool = False,
+) -> DataFrame:
+    """Incremental exact dedup: keep the rows of `batch` whose text was
+    neither kept earlier in THIS batch (min-id within the batch wins)
+    nor ever ledgered before (`seen`: any frame with a `text_md5`
+    column — typically the hash ledger the previous runs appended).
+    Output = the batch's surviving rows + their `text_md5`, which IS
+    the ledger delta to append for the next run: a continuous-crawl
+    pipeline calls this per snapshot instead of re-deduping the whole
+    corpus (the dedup_exact shape re-shuffles ALL history every run;
+    here history costs one anti-join against a hash-only ledger —
+    16-byte rows, not documents).
+
+    Scale shape: ONE groupBy(text_md5) min-id keep-one over the batch
+    (map-side combinable), join back on (hash, id) to recover columns,
+    then LEFT ANTI join against the ledger on text_md5. Both joins key
+    on the hash — at 100 TB bucket the ledger parquet by text_md5 so
+    the anti-join co-locates without a ledger re-shuffle. Set
+    broadcast_seen=True only while the ledger genuinely fits an
+    executor (it stops fitting long before the corpus does).
+
+    seen=None (first snapshot) skips the anti-join entirely.
+    """
+    h = F.md5(F.col(text_col))
+    hashed = batch.withColumn("text_md5", h)
+    keep = (
+        hashed.groupBy("text_md5")
+        .agg(F.min(id_col).alias(id_col))
+        .join(hashed, ["text_md5", id_col])
+    )
+    if seen is None:
+        return keep
+    ledger = seen.select("text_md5").distinct()
+    if broadcast_seen:
+        ledger = F.broadcast(ledger)
+    return keep.join(ledger, "text_md5", "left_anti")
