@@ -553,3 +553,112 @@ def oov_rate(
             6,
         ).alias("oov_rate"),
     )
+
+
+def _bigram_pairs(df: DataFrame, text_col: str, id_col: str | None) -> DataFrame:
+    """(id?, w1, w2) adjacent lowercased token pairs per row — a self-zip
+    of the (staged) token array; empty/1-token docs yield no pairs."""
+    toks = tokens(F.lower(F.col(text_col)))
+    pair_arr = _staged(
+        F.filter(toks, lambda x: x != ""),
+        # blank docs filter to an EMPTY array: size-1 = -1 would crash
+        # slice, so clamp (unlike bpe's words, doc token arrays can be
+        # empty after the blank filter)
+        lambda arr: F.zip_with(
+            F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0))),
+            F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    )
+    cols = ([F.col(id_col)] if id_col else []) + [F.explode(pair_arr).alias("p")]
+    keep = ([id_col] if id_col else []) + ["p.w1", "p.w2"]
+    return df.select(*cols).select(*keep)
+
+
+def bigram_lm(
+    df: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train a bigram LM with add-one smoothing — one step from
+    unigram_lm toward the KenLM n-gram scoring CCNet actually ships.
+    Returns (bi, miss, stats):
+
+    - bi: (w1, w2, logp), logp = ln((c12+1)/(c1+V)) — add-one over the
+      unigram vocabulary V as the continuation space
+    - miss: (w1, miss_logp = ln(1/(c1+V))) — the score of an UNSEEN
+      continuation of a seen history, precomputed per history so the
+      scorer never needs c1 at score time
+    - stats: unigram_lm's 1-row (n_total, n_vocab, oov_logp) — oov_logp
+      covers histories never seen at all
+
+    Scale shape: ONE pair-explode (a self-zip of the token array, no
+    join) -> ONE map-side-combinable groupBy(w1, w2) plus the
+    groupBy(w1) marginal; V rides a 1-row broadcast. Bigram tables run
+    ~10-100x the unigram vocabulary — still the model-on-every-worker
+    size class for real corpora (KenLM mmaps far bigger); the scorer
+    takes broadcast_lm=False to shuffle instead when a corpus outgrows
+    that.
+    """
+    _, stats = unigram_lm(df, text_col)
+    pairs = _bigram_pairs(df, text_col, None)
+    c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1")).persist()
+    c12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    bi = (
+        c12.join(c1, "w1")
+        .crossJoin(F.broadcast(stats.select("n_vocab")))
+        .select(
+            "w1",
+            "w2",
+            F.log(
+                (F.col("c12") + 1).cast("double")
+                / (F.col("c1") + F.col("n_vocab")).cast("double")
+            ).alias("logp"),
+        )
+    )
+    miss = c1.crossJoin(F.broadcast(stats.select("n_vocab"))).select(
+        "w1",
+        (-F.log((F.col("c1") + F.col("n_vocab")).cast("double"))).alias("miss_logp"),
+    )
+    return bi, miss, stats
+
+
+def bigram_perplexity(
+    df: DataFrame,
+    bi: DataFrame,
+    miss: DataFrame,
+    stats: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_lm: bool = True,
+) -> DataFrame:
+    """Per-document mean bigram log-probability + perplexity. Each
+    adjacent pair scores at: bi.logp if (w1,w2) was seen; miss.miss_logp
+    if only the history w1 was seen; stats.oov_logp if the history
+    itself is out of vocabulary. Documents with < 2 tokens have no
+    bigrams and are EXCLUDED (same rule and reason as lm_perplexity's
+    blank-doc exclusion).
+
+    Scale shape: one pair-explode -> broadcast left joins on (w1,w2)
+    and w1 -> ONE groupBy(doc). broadcast_lm=False shuffles both joins
+    for bigram tables that outgrow executors (AQE skew-join handles
+    stopword-headed histories).
+    """
+    exploded = _bigram_pairs(df, text_col, id_col)
+    bi_side = F.broadcast(bi) if broadcast_lm else bi
+    miss_side = F.broadcast(miss) if broadcast_lm else miss
+    scored = (
+        exploded.join(bi_side, ["w1", "w2"], "left")
+        .join(miss_side, "w1", "left")
+        .crossJoin(F.broadcast(stats.select("oov_logp")))
+        .select(
+            id_col,
+            F.coalesce("logp", "miss_logp", "oov_logp").alias("lp"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        )
+        .withColumn("ppl", F.round(F.exp(-F.col("avg_logprob")), 6))
+    )

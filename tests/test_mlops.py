@@ -1921,3 +1921,78 @@ WHERE h NOT IN (SELECT h FROM led)"""
         assert r["rows_match"] and r["schema_match"] and r["hash_match"], r
         # the anti-join actually bit: every re-crawled copy was dropped
         assert out.count() == docs.where("doc_id % 2 = 1").count()
+
+
+class TestBigramLM:
+    def test_hand_computed_scores(self, spark):
+        """corpus 'a b a b c': pairs (a,b)x2 (b,a) (b,c); V=3, N=5.
+        Scoring 'a b x c': seen pair ln(3/5), seen-history miss
+        ln(1/5), OOV history -ln(8)."""
+        corpus = spark.createDataFrame([(1, "a b a b c")], "doc_id long, text string")
+        bi, miss, stats = textops.bigram_lm(corpus)
+        bs = {(r["w1"], r["w2"]): r["logp"] for r in bi.collect()}
+        assert bs[("a", "b")] == pytest.approx(math.log(3 / 5))
+        assert bs[("b", "a")] == pytest.approx(math.log(2 / 5))
+        ms = {r["w1"]: r["miss_logp"] for r in miss.collect()}
+        assert ms["a"] == pytest.approx(math.log(1 / 5))
+        st = stats.collect()[0]
+        assert (st["n_total"], st["n_vocab"]) == (5, 3)
+        docs = spark.createDataFrame(
+            [(10, "a b x c"), (11, "z"), (12, "")], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: r
+            for r in textops.bigram_perplexity(docs, bi, miss, stats).collect()
+        }
+        assert set(got) == {10}  # <2-token docs excluded
+        want = (math.log(3 / 5) + math.log(1 / 5) - math.log(8)) / 3
+        assert got[10]["avg_logprob"] == pytest.approx(want, abs=1e-6)
+        assert got[10]["n_bigrams"] == 3
+        assert got[10]["ppl"] == pytest.approx(math.exp(-round(want, 6)), abs=1e-4)
+
+    def test_matches_duckdb_oracle_on_documents(self, spark):
+        import duckdb
+
+        from tools.parity import compare
+
+        sf_dir = "/root/testdata/sf0.001"
+        docs = spark.read.parquet(sf_dir + "/documents.parquet")
+        bi, miss, stats = textops.bigram_lm(docs)
+        out = textops.bigram_perplexity(docs, bi, miss, stats)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet('%s/documents.parquet')"
+            % sf_dir
+        )
+        sql = r"""WITH tok0 AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     x -> x != '') AS arr
+  FROM documents
+),
+tr AS (SELECT unnest(arr) AS token FROM tok0),
+st AS (SELECT count(*) AS n_total, count(DISTINCT token) AS n_vocab FROM tr),
+prs AS (
+  SELECT doc_id,
+         unnest([struct_pack(w1 := arr[j], w2 := arr[j + 1])
+                 FOR j IN range(1, len(arr))]) AS p
+  FROM tok0
+),
+pr AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM prs),
+c1 AS (SELECT w1, count(*) AS c1 FROM pr GROUP BY w1),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM pr GROUP BY w1, w2),
+sc AS (
+  SELECT pr.doc_id,
+         coalesce(ln((c12.c12 + 1.0) / (c1.c1 + st.n_vocab)),
+                  -ln(c1.c1 + CAST(st.n_vocab AS DOUBLE)),
+                  -ln(st.n_total + CAST(st.n_vocab AS DOUBLE))) AS lp
+  FROM pr CROSS JOIN st
+  LEFT JOIN c12 ON c12.w1 = pr.w1 AND c12.w2 = pr.w2
+  LEFT JOIN c1 ON c1.w1 = pr.w1
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+  round(avg(lp), 6) AS avg_logprob,
+  round(exp(-round(avg(lp), 6)), 6) AS ppl
+FROM sc GROUP BY doc_id"""
+        r = compare("bigram_ppl", out, sql, con)
+        assert r["rows_match"] and r["schema_match"] and r["hash_match"], r
