@@ -249,3 +249,58 @@ def mixture_weights(
         F.round(F.col("__desired") - achieved, 6).alias("deficit_tokens"),
         (F.round(F.col("__desired") - achieved, 6) <= 0).alias("feasible"),
     )
+
+
+def score_buckets(
+    df: DataFrame,
+    fractions: list[float],
+    labels: list[str],
+    score_col: str = "ppl",
+    approx: bool = True,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Label every row with its corpus quantile band of `score_col` —
+    the CCNet head/middle/tail split (perplexity terciles: fractions
+    [1/3, 2/3], labels ['head','middle','tail']) that downstream mix
+    recipes sample at different rates. Band k holds rows with
+    cut[k-1] < score <= cut[k] (first band: score <= cut[0]; last band:
+    everything above the final cut), so with ppl ascending the FIRST
+    label is the best-likelihood band, matching CCNet's naming.
+
+    Scale shape: ONE aggregate computes every cut (percentile_approx
+    takes an array of fractions — one mergeable sketch pass, the 100 TB
+    path; approx=False = exact interpolated percentiles for
+    validation/parity), the 1-row cut vector broadcasts into a codegen
+    CASE chain — no sort, no window, no shuffle of the corpus. Cuts are
+    quantized to 1e-9 (the select_top_fraction cross-engine-interpolation
+    argument; scores are 1e-6-rounded upstream).
+    """
+    if len(fractions) + 1 != len(labels):
+        raise ValueError(
+            "need len(labels) == len(fractions)+1, got %d fractions / %d labels"
+            % (len(fractions), len(labels))
+        )
+    if sorted(fractions) != list(fractions) or not all(
+        0.0 < f < 1.0 for f in fractions
+    ):
+        raise ValueError("fractions must be ascending in (0,1): %r" % (fractions,))
+    s = F.col(score_col).cast("double")
+    fr = F.array(*[F.lit(float(f)) for f in fractions])
+    pct = (
+        F.percentile_approx(s, fr, F.lit(int(accuracy)))
+        if approx
+        else F.percentile(s, fr)
+    )
+    cuts = df.agg(
+        F.transform(pct, lambda c: F.round(c, 9)).alias("__cuts")
+    )
+    bucket: Column = F.lit(labels[-1])
+    for i in range(len(fractions) - 1, -1, -1):
+        bucket = F.when(
+            s <= F.element_at(F.col("__cuts"), i + 1), F.lit(labels[i])
+        ).otherwise(bucket)
+    return (
+        df.join(F.broadcast(cuts))
+        .withColumn("score_bucket", bucket)
+        .drop("__cuts")
+    )

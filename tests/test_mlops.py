@@ -1996,3 +1996,81 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
 FROM sc GROUP BY doc_id"""
         r = compare("bigram_ppl", out, sql, con)
         assert r["rows_match"] and r["schema_match"] and r["hash_match"], r
+
+
+class TestScoreBuckets:
+    def test_tercile_semantics(self, spark):
+        """scores 1..9 exact terciles: cuts at ~3.67/6.33 -> 1-3 head,
+        4-6 middle, 7-9 tail."""
+        from gogstash_spark.mlops.sampling import score_buckets
+
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(1, 10)], "doc_id long, ppl double"
+        )
+        got = {
+            r["doc_id"]: r["score_bucket"]
+            for r in score_buckets(
+                df, [1 / 3, 2 / 3], ["head", "middle", "tail"], approx=False
+            ).collect()
+        }
+        assert [got[i] for i in range(1, 10)] == (
+            ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+        )
+        with pytest.raises(ValueError):
+            score_buckets(df, [0.5], ["a", "b", "c"])
+        with pytest.raises(ValueError):
+            score_buckets(df, [0.7, 0.3], ["a", "b", "c"])
+
+    def test_matches_duckdb_oracle_on_lm_scores(self, spark):
+        """The real composition: unigram-LM perplexity -> tercile
+        bands, against quantile_cont cuts in DuckDB (exact percentile
+        path — the approx sketch is engine-specific by construction)."""
+        import duckdb
+
+        from gogstash_spark.mlops.sampling import score_buckets
+        from tools.parity import compare
+
+        sf_dir = "/root/testdata/sf0.001"
+        docs = spark.read.parquet(sf_dir + "/documents.parquet")
+        lm, stats = textops.unigram_lm(docs)
+        scored = textops.lm_perplexity(docs, lm, stats)
+        out = score_buckets(
+            scored, [1 / 3, 2 / 3], ["head", "middle", "tail"], approx=False
+        ).select("doc_id", "ppl", "score_bucket")
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet('%s/documents.parquet')"
+            % sf_dir
+        )
+        sql = r"""WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  FROM documents
+),
+tk AS (SELECT doc_id, token FROM tok WHERE token != ''),
+c AS (SELECT token, count(*) AS c FROM tk GROUP BY token),
+st AS (SELECT sum(c) AS n_total, count(*) AS n_vocab FROM c),
+sc AS (
+  SELECT tk.doc_id,
+         ln((c.c + 1.0) / (st.n_total + st.n_vocab)) AS lp
+  FROM tk CROSS JOIN st JOIN c ON c.token = tk.token
+),
+ppl AS (
+  SELECT doc_id, round(exp(-round(avg(lp), 6)), 6) AS ppl FROM sc GROUP BY doc_id
+),
+cuts AS (
+  SELECT round(quantile_cont(ppl, 1.0/3.0), 9) AS c1,
+         round(quantile_cont(ppl, 2.0/3.0), 9) AS c2
+  FROM ppl
+)
+SELECT doc_id, ppl,
+  CASE WHEN ppl <= c1 THEN 'head'
+       WHEN ppl <= c2 THEN 'middle'
+       ELSE 'tail' END AS score_bucket
+FROM ppl CROSS JOIN cuts"""
+        r = compare("score_buckets", out, sql, con)
+        assert r["rows_match"] and r["schema_match"] and r["hash_match"], r
+        n_by = {
+            r["score_bucket"]: r["n"]
+            for r in out.groupBy("score_bucket").agg(F.count("*").alias("n")).collect()
+        }
+        assert set(n_by) == {"head", "middle", "tail"}
