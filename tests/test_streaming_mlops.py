@@ -101,3 +101,73 @@ class TestStreamingCuration:
             )
             n_contaminated += bool(r["contaminated"])
         assert n_contaminated > 0
+
+
+class TestStreamingTokenizeAndScore:
+    def test_bpe_apply_streams_natively(self, spark, tmp_path, docs_stream_dir):
+        """A learned BPE model is a fixed replace-expression chain —
+        stateless, so tokenization runs directly on the stream (the
+        production shape: learn merges offline on a snapshot, tokenize
+        the firehose)."""
+        from gogstash_spark.mlops.bpe import bpe_apply, bpe_train
+
+        batch = spark.read.parquet(SF_DIR + "/documents.parquet")
+        merges = bpe_train(batch, n_merges=3)
+        got = _drain(
+            bpe_apply(_stream_docs(spark, docs_stream_dir), merges),
+            spark,
+            tmp_path,
+            "bpe",
+        )
+        want = {r["doc_id"]: r["bpe_tokens"] for r in bpe_apply(batch, merges).collect()}
+        rows = got.collect()
+        assert len(rows) == len(want)
+        assert all(r["bpe_tokens"] == want[r["doc_id"]] for r in rows)
+
+    def test_nb_score_per_microbatch_foreachbatch(
+        self, spark, tmp_path, docs_stream_dir
+    ):
+        """nb_score aggregates per doc_id — an unbounded-state streaming
+        aggregation Spark rejects without a watermark (pinned below).
+        The production shape is foreachBatch: docs arrive complete, so
+        scoring each microbatch AS a batch is exact (same rule as the
+        contamination test above)."""
+        from gogstash_spark.mlops.textops import nb_score, nb_train
+
+        batch = spark.read.parquet(SF_DIR + "/documents.parquet")
+        seed = batch.withColumn(
+            "label", F.col("source").isin("src0", "src1", "src2", "src3").cast("int")
+        )
+        w, st = nb_train(seed)
+        w, st = w.localCheckpoint(eager=True), st.localCheckpoint(eager=True)
+
+        # the naive form IS rejected (watermarkless agg, append mode) —
+        # pin the failure so a silent semantics change can't sneak by
+        out_bad = os.path.join(str(tmp_path), "nb_bad")
+        with pytest.raises(Exception, match="STREAMING_OUTPUT_MODE|watermark"):
+            (
+                nb_score(_stream_docs(spark, docs_stream_dir), w, st)
+                .writeStream.format("parquet")
+                .outputMode("append")
+                .option("path", out_bad)
+                .option("checkpointLocation", out_bad + "_ck")
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        out = os.path.join(str(tmp_path), "nb")
+
+        def score_batch(mb, _bid):
+            nb_score(mb, w, st).write.mode("append").parquet(out)
+
+        q = (
+            _stream_docs(spark, docs_stream_dir)
+            .writeStream.foreachBatch(score_batch)
+            .option("checkpointLocation", out + "_ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "stream did not finish within 120s"
+        got = {r["doc_id"]: r["nb_score"] for r in spark.read.parquet(out).collect()}
+        want = {r["doc_id"]: r["nb_score"] for r in nb_score(batch, w, st).collect()}
+        assert got == want
