@@ -607,3 +607,73 @@ def semantic_dedup(
     return a.join(drops, "vid", "left_anti").select(
         F.col("vid").alias(id_col), "cell"
     )
+
+
+def cluster_balanced_sample(
+    emb: DataFrame,
+    per_cell: int,
+    n_centroids: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    centroids: DataFrame | None = None,
+    exact: bool = True,
+) -> DataFrame:
+    """Diversity-balanced subset selection: k-means cells over the
+    embedding space, then an equal-mass deterministic sample per cell —
+    the cluster-balanced selection of DataComp-style curation (a corpus
+    dominated by one dense region contributes no more than any other
+    region). Returns (vid, cell).
+
+    A row's fate is a pure function of (vid, seed): draw = md5(vid:seed),
+    so reruns, repartitions, and engines agree (the stratified_sample
+    contract, full 32-hex entropy since cells rank within themselves).
+
+    exact=True keeps EXACTLY min(per_cell, |cell|) rows per cell via a
+    row_number window partitioned by cell — ONE shuffle on the cell id;
+    cells are k-means-balanced by construction, and a pathological mega
+    cell is the signal to raise n_centroids, not salt the window.
+    exact=False keeps per_cell rows in EXPECTATION with NO corpus
+    shuffle at all: per-cell keep rates (per_cell / |cell|) ride a
+    C-row broadcast join into a plan-time threshold filter against the
+    4-hex draw prefix (granularity 1/65536 — the stratified_sample
+    tradeoff).
+
+    Zero-norm vectors have no cell (cosine undefined) and are excluded,
+    matching ivf_assign/semantic_dedup.
+    """
+    if per_cell < 1:
+        raise ValueError("per_cell must be >= 1, got %r" % per_cell)
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_train(emb, n_centroids, iters, id_col, vec_col)
+    )
+    assigned = ivf_assign(emb, n_centroids, 1, id_col, vec_col, cents)
+    cells = assigned.select(
+        "vid", F.element_at(F.col("probes"), 1)["cid"].alias("cell")
+    ).where(F.col("cell").isNotNull())
+    draw = F.md5(F.concat_ws(":", F.col("vid").cast("string"), F.lit(str(seed))))
+    if exact:
+        w = Window.partitionBy("cell").orderBy(F.asc("draw"), F.asc("vid"))
+        return (
+            cells.withColumn("draw", draw)
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= per_cell)
+            .select("vid", "cell")
+        )
+    counts = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n_cell"))
+    rate = F.least(
+        F.lit(1.0), F.lit(float(per_cell)) / F.col("n_cell").cast("double")
+    )
+    # plan-computed hex threshold: int(rate*65536) as 4 lowercase hex
+    # digits; rate >= 1 keeps all ('g' sorts after every hex digit)
+    thr = F.when(rate >= 1.0, F.lit("g")).otherwise(
+        F.lower(F.lpad(F.hex((rate * 65536).cast("int")), 4, "0"))
+    )
+    return (
+        cells.join(F.broadcast(counts.withColumn("__thr", thr).select("cell", "__thr")), "cell")
+        .where(F.substring(draw, 1, 4) < F.col("__thr"))
+        .select("vid", "cell")
+    )

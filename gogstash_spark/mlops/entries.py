@@ -424,6 +424,45 @@ ranked AS (
 SELECT q_id, n_id, cos, CAST(rk AS INTEGER) AS rk FROM ranked WHERE rk <= 5"""
 
 
+def q_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sample (mlops/ann.py). REPO-SIDE
+    parity only (driver's 50 rows all taken) — TestClusterBalanced."""
+    return ann.cluster_balanced_sample(_emb(spark, sf_dir), per_cell=20, iters=2)
+
+
+def o_cluster_balanced(
+    per_cell: int = 20, iters: int = 2, dim: int = 64, seed: int = 42
+) -> str:
+    """cluster_balanced_sample(exact=True) unrolled: the trained-IVF
+    Lloyd CTEs, nonzero-norm argmax assignment, then the deterministic
+    per-cell md5 rank cut (string compare on full 32-hex md5 — binary
+    order in both engines)."""
+    train = ",\n".join(
+        _lloyd_iter_cte(i + 1, "cent%d" % i, dim) for i in range(iters)
+    )
+    ccos = _sql_cos("e.embedding", "c.cvec")
+    return f"""WITH cent0 AS (
+  SELECT vec_id AS cid, [x::DOUBLE FOR x IN embedding] AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 8
+),
+{train},
+assign AS (
+  SELECT e.vec_id, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {ccos} DESC, c.cid ASC) AS crk
+  FROM embeddings e CROSS JOIN cent{iters} c
+  WHERE list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) > 0
+),
+cells AS (SELECT vec_id AS vid, cid AS cell FROM assign WHERE crk = 1),
+rk AS (
+  SELECT vid, cell,
+         row_number() OVER (PARTITION BY cell
+           ORDER BY md5(CAST(vid AS VARCHAR) || ':{seed}') ASC, vid ASC) AS rk
+  FROM cells
+)
+SELECT vid, cell FROM rk WHERE rk <= {per_cell}"""
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE merge learning (mlops/bpe.py). REPO-SIDE parity
     only (driver's 50 rows all taken) — tests/test_mlops.py::TestBPE."""

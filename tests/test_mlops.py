@@ -2074,3 +2074,76 @@ FROM ppl CROSS JOIN cuts"""
             for r in out.groupBy("score_bucket").agg(F.count("*").alias("n")).collect()
         }
         assert set(n_by) == {"head", "middle", "tail"}
+
+
+class TestClusterBalanced:
+    def test_exact_mode_semantics(self, spark):
+        """Two obvious clusters (axis-aligned), per_cell=2: exactly 2
+        kept per cell, deterministic across calls."""
+        rows = []
+        for i in range(6):  # cluster around +x
+            rows.append((i, [1.0, 0.01 * i] + [0.0] * 62))
+        for i in range(6, 12):  # cluster around +y
+            rows.append((i, [0.01 * i, 1.0] + [0.0] * 62))
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        cents = spark.createDataFrame(
+            [(0, [1.0, 0.0] + [0.0] * 62), (1, [0.0, 1.0] + [0.0] * 62)],
+            "cid long, cvec array<double>",
+        )
+        out = ann.cluster_balanced_sample(emb, per_cell=2, centroids=cents)
+        got = sorted((r["cell"], r["vid"]) for r in out.collect())
+        assert len(got) == 4
+        assert {c for c, _ in got} == {0, 1}
+        again = sorted(
+            (r["cell"], r["vid"])
+            for r in ann.cluster_balanced_sample(emb, per_cell=2, centroids=cents).collect()
+        )
+        assert got == again
+        # per_cell beyond the cell size keeps the whole cell
+        allk = ann.cluster_balanced_sample(emb, per_cell=100, centroids=cents)
+        assert allk.count() == 12
+        with pytest.raises(ValueError):
+            ann.cluster_balanced_sample(emb, per_cell=0, centroids=cents)
+
+    def test_expected_mode_is_shuffle_free_and_plausible(self, spark):
+        """exact=False: no Window, no hash exchange on the corpus side
+        (the C-row count agg and its broadcast are the only exchanges);
+        kept set is a deterministic subset with ~per_cell expectation."""
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        cents = emb.orderBy("vec_id").limit(8).selectExpr(
+            "vec_id as cid", "cast(embedding as array<double>) as cvec"
+        )
+        out = ann.cluster_balanced_sample(
+            emb, per_cell=20, centroids=cents, exact=False
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan, plan
+        bad = [
+            ln
+            for ln in plan.splitlines()
+            if "Exchange hashpartitioning" in ln and "cell" not in ln
+        ]
+        assert bad == [], bad
+        n = out.count()
+        assert 8 * 20 * 0.5 <= n <= 8 * 20 * 1.5, n
+        again = {r["vid"] for r in out.collect()}
+        assert {r["vid"] for r in out.collect()} == again
+
+    def test_exact_mode_matches_duckdb_oracle(self, spark):
+        import duckdb
+
+        from gogstash_spark.mlops.entries import o_cluster_balanced, q_cluster_balanced
+        from tools.parity import compare
+
+        sf_dir = "/root/testdata/sf0.001"
+        out = q_cluster_balanced(spark, sf_dir)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM read_parquet('%s/embeddings.parquet')"
+            % sf_dir
+        )
+        r = compare("cluster_balanced", out, o_cluster_balanced(), con)
+        assert r["rows_match"] and r["schema_match"] and r["hash_match"], r
+        # balance actually bites: every cell capped at per_cell
+        mx = out.groupBy("cell").count().agg(F.max("count")).collect()[0][0]
+        assert mx <= 20
