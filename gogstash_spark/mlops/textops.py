@@ -662,3 +662,40 @@ def bigram_perplexity(
         )
         .withColumn("ppl", F.round(F.exp(-F.col("avg_logprob")), 6))
     )
+
+
+def corpus_report(df: DataFrame, strata_col: str = "source", text_col: str = "text") -> DataFrame:
+    """Per-source corpus health table — the report a curation run
+    publishes next to its outputs: docs, whitespace tokens, distinct
+    texts (exact-dup rate), mean doc length, mean quality score.
+
+    Scale shape: quality features are per-row codegen, then ONE
+    groupBy(source); the distinct-text count rides the same aggregate
+    as approx_count_distinct over md5 — the HLL sketch (mergeable,
+    bounded memory; rsd 1%%) rather than a second exact
+    count-distinct shuffle. exact_distinct=... is deliberately NOT
+    offered here: dup auditing belongs to dedup_exact, whose groupBy is
+    the exact path.
+    """
+    scored = quality_score(df, text_col)
+    return (
+        scored.groupBy(F.col(strata_col).alias("source"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(ws_token_len(F.col(text_col))).alias("n_tokens"),
+            F.approx_count_distinct(F.md5(F.col(text_col)), 0.01).alias(
+                "approx_distinct_texts"
+            ),
+            F.round(F.avg(F.length(F.col(text_col))), 6).alias("avg_chars"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+        )
+        .withColumn(
+            "approx_dup_rate",
+            F.round(
+                1
+                - F.col("approx_distinct_texts").cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ),
+        )
+    )

@@ -2147,3 +2147,69 @@ class TestClusterBalanced:
         # balance actually bites: every cell capped at per_cell
         mx = out.groupBy("cell").count().agg(F.max("count")).collect()[0][0]
         assert mx <= 20
+
+
+class TestCorpusReport:
+    def test_matches_duckdb_oracle_on_exact_columns(self, spark):
+        """Parity on the exactly-reproducible columns; the HLL
+        approx-distinct sketch is engine-specific by construction and
+        is checked against the exact distinct count within its 1%% rsd
+        (x5 slack) instead."""
+        import duckdb
+
+        from tools.parity import compare
+
+        sf_dir = "/root/testdata/sf0.001"
+        docs = spark.read.parquet(sf_dir + "/documents.parquet")
+        rep = textops.corpus_report(docs)
+        out = rep.select("source", "n_docs", "n_tokens", "avg_chars", "avg_quality")
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet('%s/documents.parquet')"
+            % sf_dir
+        )
+        sql = r"""WITH q AS (
+  SELECT source, text, length(text) AS n_chars,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        x -> list_contains(['the','a','and','of','to','in','is','it','you','that','was','for','on','are','with','as'], x))) AS n_sw,
+    len(regexp_extract_all(text, '[^\w\s]')) AS n_punct
+  FROM documents
+),
+f AS (
+  SELECT source, n_chars, n_tok,
+    CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0.0 END AS punct_ratio,
+    CASE WHEN n_tok > 0 THEN n_sw * 1.0 / n_tok ELSE 0.0 END AS sw_ratio,
+    CASE WHEN n_tok > 0 THEN (length(trim(text)) - (n_tok - 1)) * 1.0 / n_tok
+         ELSE 0.0 END AS mean_wlen
+  FROM q
+),
+s AS (
+  SELECT source, n_chars, n_tok,
+    round(CASE WHEN n_chars BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.25 END * 0.4
+    + CASE WHEN punct_ratio < 0.2 THEN 1.0 ELSE 0.0 END * 0.2
+    + least(sw_ratio * 5.0, 1.0) * 0.2
+    + CASE WHEN mean_wlen BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END * 0.2, 6)
+      AS quality
+  FROM f
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+  round(avg(n_chars), 6) AS avg_chars,
+  round(avg(quality), 6) AS avg_quality
+FROM s GROUP BY source"""
+        r = compare("corpus_report", out, sql, con)
+        assert r["rows_match"] and r["schema_match"] and r["hash_match"], r
+        exact = {
+            r["source"]: r["n"]
+            for r in docs.groupBy("source")
+            .agg(F.countDistinct("text").alias("n"))
+            .collect()
+        }
+        for row in rep.collect():
+            approx = row["approx_distinct_texts"]
+            assert abs(approx - exact[row["source"]]) <= max(
+                2, 0.05 * exact[row["source"]]
+            ), (row["source"], approx, exact[row["source"]])
+            assert -0.1 <= row["approx_dup_rate"] <= 1.0
