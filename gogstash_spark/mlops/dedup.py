@@ -744,3 +744,62 @@ def dedup_incremental(
     if broadcast_seen:
         ledger = F.broadcast(ledger)
     return keep.join(ledger, "text_md5", "left_anti")
+
+
+def conv_fingerprint(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Order-aware conversation content hash for chat training data:
+    (conv_id, n_turns, conv_md5) where conv_md5 = md5 over the
+    turn-ordered sequence of per-turn md5(role:text). Re-ingested or
+    mirrored conversations hash identically regardless of row order or
+    partitioning; fixed-width hex + separator keeps the concatenation
+    injective.
+
+    Scale shape: ONE groupBy(conv_id) — the collect_list is bounded by
+    conversation length (a conversation that doesn't fit an aggregation
+    buffer doesn't fit a context window either), sorted per group by
+    the unique turn_idx, no window."""
+    per_turn = F.struct(
+        F.col(turn_col).alias("i"),
+        F.md5(F.concat_ws(":", F.col(role_col), F.col(text_col))).alias("h"),
+    )
+    return df.groupBy(F.col(conv_col).alias("conv_id")).agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.array_sort(F.collect_list(per_turn)), lambda s: s["h"]
+                ),
+            )
+        ).alias("conv_md5"),
+    )
+
+
+def conv_dedup(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Whole-conversation exact dedup: (conv_md5, keep_conv_id,
+    n_convs, n_turns) — one row per distinct conversation CONTENT,
+    keeping the smallest conv_id. Joining keep_conv_id back against the
+    turns frame materializes the deduped corpus; n_convs > 1 rows are
+    the duplicate clusters an audit samples.
+
+    Scale shape: conv_fingerprint's single groupBy(conv_id), then ONE
+    groupBy(conv_md5) over the per-conversation frame (corpus rows /
+    mean turns per conv — orders smaller than the turns table)."""
+    fp = conv_fingerprint(df, conv_col, turn_col, role_col, text_col)
+    return fp.groupBy("conv_md5").agg(
+        F.min("conv_id").alias("keep_conv_id"),
+        F.count(F.lit(1)).alias("n_convs"),
+        F.min("n_turns").alias("n_turns"),
+    )

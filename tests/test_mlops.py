@@ -2213,3 +2213,74 @@ FROM s GROUP BY source"""
                 2, 0.05 * exact[row["source"]]
             ), (row["source"], approx, exact[row["source"]])
             assert -0.1 <= row["approx_dup_rate"] <= 1.0
+
+
+class TestConvDedup:
+    def test_semantics_order_invariance_and_difference(self, spark):
+        """Same content in different row order hashes identically;
+        differing role OR text OR turn order changes the hash."""
+        from gogstash_spark.mlops.dedup import conv_dedup, conv_fingerprint
+
+        rows = [
+            ("c1", 0, "user", "hi"), ("c1", 1, "assistant", "hello"),
+            # c2 = c1's content, rows arrive reversed -> duplicate
+            ("c2", 1, "assistant", "hello"), ("c2", 0, "user", "hi"),
+            # c3: same texts, roles swapped -> distinct
+            ("c3", 0, "assistant", "hi"), ("c3", 1, "user", "hello"),
+            # c4: same turns in the other ORDER -> distinct
+            ("c4", 0, "assistant", "hello"), ("c4", 1, "user", "hi"),
+        ]
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, text string"
+        )
+        fp = {r["conv_id"]: r["conv_md5"] for r in conv_fingerprint(df).collect()}
+        assert fp["c1"] == fp["c2"]
+        assert len({fp["c1"], fp["c3"], fp["c4"]}) == 3
+        out = {r["keep_conv_id"]: r for r in conv_dedup(df).collect()}
+        assert set(out) == {"c1", "c3", "c4"}
+        assert out["c1"]["n_convs"] == 2 and out["c1"]["n_turns"] == 2
+
+    def test_matches_duckdb_oracle_on_transcripts(self, spark):
+        """Real transcripts plus injected re-ingests (conv_id suffixed,
+        same content) — parity on the full dedup table."""
+        import duckdb
+
+        from gogstash_spark.mlops.dedup import conv_dedup
+        from gogstash_spark.sources.transcripts import ensure_transcripts
+        from tools.parity import compare
+
+        data_dir = ensure_transcripts("/root/testdata/sf0.001")
+        turns = spark.read.parquet(data_dir + "/transcripts").select(
+            "conv_id", "turn_idx", "role", "text"
+        )
+        dup = turns.where("substr(conv_id, -1, 1) = '0'").withColumn(
+            "conv_id", F.concat(F.col("conv_id"), F.lit(":reingest"))
+        )
+        both = turns.unionByName(dup)
+        out = conv_dedup(both)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW t0 AS SELECT conv_id, turn_idx, role, text "
+            "FROM read_parquet('%s/transcripts/*.parquet')" % data_dir
+        )
+        sql = """WITH allt AS (
+  SELECT conv_id, turn_idx, role, text FROM t0
+  UNION ALL
+  SELECT conv_id || ':reingest', turn_idx, role, text FROM t0
+  WHERE substr(conv_id, -1, 1) = '0'
+),
+fp AS (
+  SELECT conv_id, count(*) AS n_turns,
+         md5(string_agg(md5(role || ':' || text), '|' ORDER BY turn_idx))
+           AS conv_md5
+  FROM allt GROUP BY conv_id
+)
+SELECT conv_md5, min(conv_id) AS keep_conv_id,
+  CAST(count(*) AS BIGINT) AS n_convs,
+  CAST(min(n_turns) AS BIGINT) AS n_turns
+FROM fp GROUP BY conv_md5"""
+        r = compare("conv_dedup", out, sql, con)
+        assert r["rows_match"] and r["schema_match"] and r["hash_match"], r
+        # every injected re-ingest folded into its original
+        assert out.where("n_convs > 1").count() == dup.select("conv_id").distinct().count()
+        assert out.where("keep_conv_id like '%:reingest'").count() == 0
