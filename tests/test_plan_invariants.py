@@ -222,3 +222,33 @@ class TestPQPlans:
         assert joins, optimized
         assert "codes" in joins[0], joins[0]
         assert "n_vec" not in optimized, "candidate side ships full vectors"
+
+
+class TestTextModelPlans:
+    def test_nb_score_broadcasts_the_model(self, spark):
+        """The corpus side of nb_score must see exactly one broadcast
+        join (the vocabulary) and no sort-merge join or window — the
+        explode/groupBy pair is the only corpus shuffle."""
+        from gogstash_spark.mlops.textops import nb_score, nb_train
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        seed = docs.withColumn(
+            "label", F.col("source").isin("src0", "src1").cast("int")
+        )
+        w, st = nb_train(seed)
+        plan = physical_plan(nb_score(docs, w, st))
+        assert "SortMergeJoin" not in plan, plan
+        assert "Window" not in plan, plan
+        assert plan.count("BroadcastHashJoin") == 1, plan
+
+    def test_bigram_perplexity_broadcasts_both_tables(self, spark):
+        """Scoring joins (w1,w2) and w1 — both must broadcast; no SMJ,
+        no window anywhere in the scoring plan."""
+        from gogstash_spark.mlops.textops import bigram_lm, bigram_perplexity
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        bi, miss, st = bigram_lm(docs)
+        plan = physical_plan(bigram_perplexity(docs, bi, miss, st))
+        assert "SortMergeJoin" not in plan, plan
+        assert "Window" not in plan, plan
+        assert plan.count("BroadcastHashJoin") >= 2, plan
