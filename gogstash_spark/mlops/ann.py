@@ -677,3 +677,30 @@ def cluster_balanced_sample(
         .where(F.substring(draw, 1, 4) < F.col("__thr"))
         .select("vid", "cell")
     )
+
+
+def embedding_report(
+    emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-dimension embedding health table: (dim, mean, std, min, max)
+    over the corpus — the drift report an embedding pipeline publishes
+    per snapshot (a collapsed dimension, a shifted mean, or an exploding
+    scale shows up here before it silently degrades every ANN/dedup op
+    downstream). std is the POPULATION standard deviation (sqrt of the
+    biased variance) so two engines agree without Bessel conventions.
+
+    Scale shape: ONE posexplode -> ONE map-side-combinable groupBy(dim)
+    whose output width is d rows regardless of corpus size. NULL
+    vectors are skipped (posexplode drops them); all-zero vectors count
+    — they are exactly the pathology the report exists to surface.
+    """
+    ex = emb.select(F.posexplode(F.col(vec_col)).alias("dim", "x")).select(
+        "dim", F.col("x").cast("double").alias("x")
+    )
+    return ex.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("x"), 6).alias("mean"),
+        F.round(F.sqrt(F.var_pop("x")), 6).alias("std"),
+        F.round(F.min("x"), 6).alias("min"),
+        F.round(F.max("x"), 6).alias("max"),
+    )

@@ -2284,3 +2284,32 @@ FROM fp GROUP BY conv_md5"""
         # every injected re-ingest folded into its original
         assert out.where("n_convs > 1").count() == dup.select("conv_id").distinct().count()
         assert out.where("keep_conv_id like '%:reingest'").count() == 0
+
+
+class TestEmbeddingReport:
+    def test_matches_duckdb_oracle(self, spark):
+        import duckdb
+
+        from tools.parity import compare
+
+        sf_dir = "/root/testdata/sf0.001"
+        emb = spark.read.parquet(sf_dir + "/embeddings.parquet")
+        out = ann.embedding_report(emb)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM read_parquet('%s/embeddings.parquet')"
+            % sf_dir
+        )
+        sql = """WITH ex AS (
+  SELECT r.i - 1 AS dim, embedding[r.i]::DOUBLE AS x
+  FROM embeddings CROSS JOIN range(1, 65) r(i)
+)
+SELECT CAST(dim AS INTEGER) AS dim, CAST(count(*) AS BIGINT) AS n,
+  round(avg(x), 6) AS mean,
+  round(sqrt(var_pop(x)), 6) AS std,
+  round(min(x), 6) AS min, round(max(x), 6) AS max
+FROM ex GROUP BY dim"""
+        r = compare("embedding_report", out, sql, con)
+        assert r["rows_match"] and r["schema_match"] and r["hash_match"], r
+        rows = out.collect()
+        assert len(rows) == 64 and all(x["n"] == 500 for x in rows)
