@@ -699,3 +699,33 @@ def corpus_report(df: DataFrame, strata_col: str = "source", text_col: str = "te
             ),
         )
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    target: str | None = None,
+    lowercase: bool = False,
+) -> DataFrame:
+    """Canonicalize text before hashing/dedup/shingling — the cleanup
+    stage every curation pipeline runs first so that byte-level noise
+    (stray control chars, exotic whitespace, run-on spacing) does not
+    defeat exact dedup. In order: control characters (C0 except
+    tab/newline, DEL) are dropped, all whitespace runs (incl. the
+    unicode space classes \\s covers) collapse to one space, the result
+    is trimmed, and optionally lowercased. Emits `n_norm_changes` = 0/1
+    per row (did normalization change anything) so a run can report how
+    dirty its input was.
+
+    Pure codegen regexp_replace chain — no UDF, no shuffle; RE2-safe
+    character classes so the DuckDB oracle runs the same expressions.
+    """
+    out_col = target or text_col
+    t = F.col(text_col)
+    cleaned = F.regexp_replace(t, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
+    cleaned = F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+    if lowercase:
+        cleaned = F.lower(cleaned)
+    return df.withColumn(
+        "n_norm_changes", (~(cleaned.eqNullSafe(t))).cast("int")
+    ).withColumn(out_col, cleaned)

@@ -2313,3 +2313,58 @@ FROM ex GROUP BY dim"""
         assert r["rows_match"] and r["schema_match"] and r["hash_match"], r
         rows = out.collect()
         assert len(rows) == 64 and all(x["n"] == 500 for x in rows)
+
+
+class TestNormalizeText:
+    def test_semantics(self, spark):
+        from gogstash_spark.mlops.textops import normalize_text
+
+        df = spark.createDataFrame(
+            [
+                (1, "a\x00b\x1fc"),          # control chars dropped
+                (2, "  a \t\n b  "),          # whitespace collapse + trim
+                (3, "clean text"),            # unchanged
+                (4, "MiXeD"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in normalize_text(df).collect()}
+        assert got[1]["text"] == "abc" and got[1]["n_norm_changes"] == 1
+        assert got[2]["text"] == "a b" and got[2]["n_norm_changes"] == 1
+        assert got[3]["text"] == "clean text" and got[3]["n_norm_changes"] == 0
+        low = {r["doc_id"]: r["text"] for r in normalize_text(df, lowercase=True).collect()}
+        assert low[4] == "mixed"
+        # normalization makes byte-variant duplicates hash-equal
+        dup = spark.createDataFrame(
+            [(1, "hello  world"), (2, "hello world\x1f")], "doc_id long, text string"
+        )
+        n = normalize_text(dup)
+        assert n.select(F.md5("text")).distinct().count() == 1
+
+    def test_matches_duckdb_oracle_on_documents(self, spark):
+        import duckdb
+
+        from gogstash_spark.mlops.textops import normalize_text
+        from tools.parity import compare
+
+        sf_dir = "/root/testdata/sf0.001"
+        docs = spark.read.parquet(sf_dir + "/documents.parquet")
+        out = normalize_text(docs).select("doc_id", "text", "n_norm_changes")
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet('%s/documents.parquet')"
+            % sf_dir
+        )
+        sql = r"""WITH n AS (
+  SELECT doc_id, text AS orig,
+    trim(regexp_replace(
+      regexp_replace(text, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+      '\s+', ' ', 'g')) AS text
+  FROM documents
+)
+SELECT doc_id, text,
+  CAST(CASE WHEN text IS DISTINCT FROM orig THEN 1 ELSE 0 END AS INTEGER)
+    AS n_norm_changes
+FROM n"""
+        r = compare("normalize_text", out, sql, con)
+        assert r["rows_match"] and r["schema_match"] and r["hash_match"], r
