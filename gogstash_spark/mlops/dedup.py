@@ -803,3 +803,76 @@ def conv_dedup(
         F.count(F.lit(1)).alias("n_convs"),
         F.min("n_turns").alias("n_turns"),
     )
+
+
+def neardup_incremental(
+    batch: DataFrame,
+    ledger_sig: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 4,
+    bands: int = 4,
+    rows_per_band: int = 1,
+    est_threshold: float = 0.5,
+    bucket_cap: int = 1000,
+) -> DataFrame:
+    """Incremental NEAR-dup dedup: drop batch docs that near-duplicate
+    any previously-ledgered doc, where the ledger stores only MinHash
+    SIGNATURES (id, m0..m{k-1} — k hex hashes per doc, not documents,
+    not shingle sets). Candidates come from an LSH band equi-join
+    between the batch's bands and the ledger's; each candidate is then
+    verified with the classic MinHash Jaccard ESTIMATOR — the fraction
+    of agreeing signature rows (granularity 1/k; raise k for a finer
+    threshold). Survivors return with their m0..m{k-1} columns attached
+    = the signature delta to append to the ledger for the next
+    snapshot.
+
+    Same division of labor as dedup_incremental: history never
+    re-shuffles as documents — one band equi-join against a
+    signature-only ledger (bucket the ledger parquet by the band value
+    for co-location). Intra-batch near-dups are dedup_groups' job —
+    run it first; this op only answers "seen anything LIKE this
+    before?". Docs too short to shingle (< n words) have no signature:
+    they always SURVIVE with NULL signature columns (near-dup of
+    nothing) and must be ledgered by the exact path instead.
+
+    Ledger-side hot buckets beyond bucket_cap are dropped from
+    candidate generation (boilerplate bands would otherwise explode the
+    join); lsh_hot_buckets on the ledger bands is the audit view — the
+    cap is visible there, never silent.
+    """
+    m_cols = ["m%d" % j for j in range(k)]
+    sets = shingle_sets(batch, text_col, id_col, n)
+    sig_b = minhash_signatures_from_sets(sets, k)
+    if ledger_sig is None:
+        return batch.join(
+            sig_b.withColumnRenamed("id", id_col), id_col, "left"
+        )
+    bands_b = lsh_band_buckets(sig_b, bands, rows_per_band)
+    bands_l = _cap_buckets(
+        lsh_band_buckets(ledger_sig.withColumnRenamed(id_col, "id"), bands, rows_per_band),
+        bucket_cap,
+    ).select(F.col("id").alias("lid"), "band", "v")
+    cand = (
+        bands_b.join(bands_l, ["band", "v"])
+        .select(F.col("id"), "lid")
+        .distinct()
+    )
+    agree = sum(
+        (F.col("b.%s" % m) == F.col("l.%s" % m)).cast("int") for m in m_cols
+    )
+    matched = (
+        cand.join(sig_b.alias("b"), "id")
+        .join(
+            ledger_sig.withColumnRenamed(id_col, "id").alias("l"),
+            F.col("lid") == F.col("l.id"),
+        )
+        .where((agree.cast("double") / F.lit(float(k))) >= est_threshold)
+        .select(F.col("b.id").alias("id"))
+        .distinct()
+    )
+    survivors = batch.join(
+        matched.withColumnRenamed("id", id_col), id_col, "left_anti"
+    )
+    return survivors.join(sig_b.withColumnRenamed("id", id_col), id_col, "left")

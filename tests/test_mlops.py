@@ -2368,3 +2368,113 @@ SELECT doc_id, text,
 FROM n"""
         r = compare("normalize_text", out, sql, con)
         assert r["rows_match"] and r["schema_match"] and r["hash_match"], r
+
+
+class TestNearDupIncremental:
+    def test_semantics_exact_copy_disjoint_short(self, spark):
+        from gogstash_spark.mlops.dedup import neardup_incremental
+
+        s1 = spark.createDataFrame(
+            [(1, "w1 w2 w3 w4 w5 w6"), (2, "q1 q2 q3 q4 q5")],
+            "doc_id long, text string",
+        )
+        led = neardup_incremental(s1, None)
+        assert led.count() == 2 and led.where("m0 is null").count() == 0
+        ledger = led.select("doc_id", "m0", "m1", "m2", "m3")
+        s2 = spark.createDataFrame(
+            [
+                (10, "w1 w2 w3 w4 w5 w6"),  # exact copy: estimator 1.0 -> dropped
+                (11, "z1 z2 z3 z4 z5"),      # disjoint shingles -> survives
+                (12, "a b"),                 # too short to shingle -> survives, null sig
+            ],
+            "doc_id long, text string",
+        )
+        out = neardup_incremental(s2, ledger)
+        got = {r["doc_id"]: r for r in out.collect()}
+        assert set(got) == {11, 12}
+        assert got[11]["m0"] is not None
+        assert got[12]["m0"] is None
+
+    def test_matches_duckdb_oracle_on_documents(self, spark):
+        """Ledger = even-id docs; batch = odd docs + near-copies of some
+        even docs (one word appended — not exact, high shingle overlap)."""
+        import duckdb
+
+        from gogstash_spark.mlops.dedup import neardup_incremental
+        from tools.parity import compare
+
+        sf_dir = "/root/testdata/sf0.001"
+        docs = spark.read.parquet(sf_dir + "/documents.parquet").select("doc_id", "text")
+        s1 = docs.where("doc_id % 2 = 0")
+        s2 = docs.where("doc_id % 2 = 1").unionByName(
+            docs.where("doc_id % 10 = 0").select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" extraword")).alias("text"),
+            )
+        )
+        ledger = neardup_incremental(s1, None).select("doc_id", "m0", "m1", "m2", "m3")
+        out = neardup_incremental(s2, ledger).select("doc_id", "m0", "m1", "m2", "m3")
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet('%s/documents.parquet')"
+            % sf_dir
+        )
+        mh = ", ".join("min(md5('%d|' || shingle)) AS m%d" % (j, j) for j in range(4))
+        shingle = (
+            "list_distinct([array_to_string(words[i:i+2], ' ') "
+            "FOR i IN range(1, greatest(len(words)-1, 1))])"
+        )
+        sql = f"""WITH s1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+s2 AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + 100000, text || ' extraword' FROM documents WHERE doc_id % 10 = 0
+),
+sets1 AS (
+  SELECT doc_id AS id, {shingle} AS sh_set
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words FROM s1)
+),
+sig1 AS (
+  SELECT id, {mh} FROM (SELECT id, unnest(sh_set) AS shingle FROM sets1
+                        WHERE len(sh_set) > 0) GROUP BY id
+),
+sets2 AS (
+  SELECT doc_id AS id, {shingle} AS sh_set
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words FROM s2)
+),
+sig2 AS (
+  SELECT id, {mh} FROM (SELECT id, unnest(sh_set) AS shingle FROM sets2
+                        WHERE len(sh_set) > 0) GROUP BY id
+),
+bands1 AS (
+  SELECT id, b.band, b.v FROM sig1,
+  UNNEST([{{'band': 0, 'v': m0}}, {{'band': 1, 'v': m1}},
+          {{'band': 2, 'v': m2}}, {{'band': 3, 'v': m3}}]) AS u(b)
+),
+ok AS (SELECT band, v FROM bands1 GROUP BY band, v HAVING count(*) <= 1000),
+bandsl AS (SELECT b.* FROM bands1 b JOIN ok USING (band, v)),
+bands2 AS (
+  SELECT id, b.band, b.v FROM sig2,
+  UNNEST([{{'band': 0, 'v': m0}}, {{'band': 1, 'v': m1}},
+          {{'band': 2, 'v': m2}}, {{'band': 3, 'v': m3}}]) AS u(b)
+),
+cand AS (
+  SELECT DISTINCT b2.id AS id, bl.id AS lid
+  FROM bands2 b2 JOIN bandsl bl ON b2.band = bl.band AND b2.v = bl.v
+),
+matched AS (
+  SELECT DISTINCT c.id
+  FROM cand c JOIN sig2 b ON b.id = c.id JOIN sig1 l ON l.id = c.lid
+  WHERE ((b.m0 = l.m0)::INT + (b.m1 = l.m1)::INT +
+         (b.m2 = l.m2)::INT + (b.m3 = l.m3)::INT) / 4.0 >= 0.5
+)
+SELECT s2.doc_id, g.m0, g.m1, g.m2, g.m3
+FROM s2 LEFT JOIN sig2 g ON g.id = s2.doc_id
+WHERE s2.doc_id NOT IN (SELECT id FROM matched)"""
+        r = compare("neardup_incremental", out, sql, con)
+        assert r["rows_match"] and r["schema_match"] and r["hash_match"], r
+        # the near-copies (not exact!) actually got caught
+        n_odd = docs.where("doc_id % 2 = 1").count()
+        n_copies = docs.where("doc_id % 10 = 0").count()
+        dropped = n_odd + n_copies - out.count()
+        assert dropped > 0.5 * n_copies, (dropped, n_copies)
