@@ -95,6 +95,77 @@ def main() -> None:
         % (gated.count(), subset.count(), used)
     )
 
+    # --- round-5 additions -------------------------------------------
+    from gogstash_spark.mlops.ann import cluster_balanced_sample, embedding_report
+    from gogstash_spark.mlops.bpe import bpe_apply, bpe_train
+    from gogstash_spark.mlops.dedup import (
+        conv_dedup,
+        dedup_incremental,
+        neardup_incremental,
+    )
+    from gogstash_spark.mlops.sampling import mixture_weights, score_buckets
+    from gogstash_spark.mlops.textops import (
+        corpus_report,
+        nb_score,
+        nb_train,
+        normalize_text,
+        oov_rate,
+        vocab_top_k,
+    )
+
+    # normalize FIRST so byte-variant duplicates fold in every later stage
+    norm = normalize_text(docs)
+    print("dirty docs normalized:", norm.agg(F.sum("n_norm_changes")).collect()[0][0])
+
+    # tokenizer workflow: learn BPE merges, tokenize, check OOV coverage
+    merges = bpe_train(norm, n_merges=8)
+    print("BPE merges learned:")
+    merges.orderBy("merge_idx").show(8)
+    toks = bpe_apply(norm, merges)
+    print("mean BPE tokens/doc:", toks.agg(F.avg("n_bpe_tokens")).collect()[0][0])
+    vocab = vocab_top_k(norm, k=20)
+    oov = oov_rate(norm, vocab)
+    print("corpus OOV rate vs top-20 vocab:",
+          oov.agg(F.sum("n_oov") / F.sum("n_tokens")).collect()[0][0])
+
+    # quality classifier seeded by source membership; then perplexity bands
+    seed = norm.withColumn("label", F.col("source").isin("src0", "src1").cast("int"))
+    w, st = nb_train(seed)
+    scored_nb = nb_score(norm, w, st)
+    print("NB-positive docs:", scored_nb.where("nb_positive").count())
+    banded = score_buckets(
+        lm_perplexity(norm, lm, stats), [1 / 3, 2 / 3], ["head", "middle", "tail"]
+    )
+    banded.groupBy("score_bucket").count().show()
+
+    # mixture planning: does the corpus support a 50/25/25 mix at 100k tokens?
+    mixture_weights(
+        norm, {"src0": 2.0, "src1": 1.0, "src2": 1.0}, budget_tokens=100_000
+    ).orderBy("source").show(5)
+
+    # incremental snapshots: exact + near-dup ledgers
+    snap1 = norm.where("doc_id % 2 = 0")
+    snap2 = norm.where("doc_id % 2 = 1")
+    led = dedup_incremental(snap1, None).select("text_md5")
+    print("snapshot-2 exact-ledger survivors:", dedup_incremental(snap2, led).count())
+    sled = neardup_incremental(snap1, None).select("doc_id", "m0", "m1", "m2", "m3")
+    print("snapshot-2 near-dup survivors:", neardup_incremental(snap2, sled).count())
+
+    # corpus + embedding health reports; diversity-balanced subset
+    corpus_report(norm).orderBy("source").show(5)
+    embedding_report(emb).orderBy("dim").show(3)
+    bal = cluster_balanced_sample(emb, per_cell=20, iters=2)
+    print("cluster-balanced subset:", bal.count())
+
+    # chat-data dedup over the transcripts table
+    from gogstash_spark.sources.transcripts import ensure_transcripts
+
+    tdir = ensure_transcripts("/root/testdata/sf0.001")
+    turns = spark.read.parquet(tdir + "/transcripts")
+    cd = conv_dedup(turns)
+    print("distinct conversations:", cd.count(),
+          "| dup clusters:", cd.where("n_convs > 1").count())
+
 
 if __name__ == "__main__":
     main()
