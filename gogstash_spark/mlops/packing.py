@@ -50,8 +50,12 @@ def pack_sequences(
     id_col: str = "doc_id",
     seed: int = 42,
     carry_cols: list[str] | None = None,
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Assign each document its slice of the packed token stream.
+    Pass n_tokens_col to pack rows whose token counts are already
+    computed (e.g. per-conversation totals) instead of tokenizing
+    text_col.
 
     Adds: n_tokens (whitespace tokens), tok_offset (global start
     position in the concatenated stream under the seeded shuffle
@@ -77,7 +81,11 @@ def pack_sequences(
         *(carry_cols or []),
         key.alias("_key"),
         F.substring(key, 1, 2).alias("_shard"),
-        ws_token_len(F.col(text_col)).alias("n_tokens"),
+        (
+            F.col(n_tokens_col).cast("long")
+            if n_tokens_col
+            else ws_token_len(F.col(text_col))
+        ).alias("n_tokens"),
     ).persist()
 
     shard_offsets = (
@@ -214,4 +222,79 @@ def manifest_from_packed(
             F.least(L - 1, (s + 1) * capacity - 1 - o).cast("long").alias("doc_end"),
             F.greatest(o - s * capacity, F.lit(0)).cast("long").alias("seq_start"),
         )
+    )
+
+
+def sft_mask_manifest(
+    turns: DataFrame,
+    capacity: int,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    train_role: str = "assistant",
+    seed: int = 42,
+) -> DataFrame:
+    """The loss-mask manifest an SFT trainer consumes: pack whole
+    conversations into fixed-capacity training sequences, then emit one
+    row per (sequence, turn-slice) with
+
+      seq_id, conv_id, turn_idx, role,
+      tok_start / tok_end — the slice WITHIN the sequence (0-based,
+                   inclusive; a turn split across sequences appears
+                   once per sequence),
+      loss_mask  — true iff role == train_role (train on assistant
+                   tokens, mask user/tool context — the standard
+                   assistant-only SFT objective).
+
+    A sequence's rows, ordered by tok_start, tile it exactly (the
+    pack_manifest invariant, inherited); conversations never interleave
+    turns within a sequence because the conversation is the packing
+    unit — its turns occupy one contiguous slice per sequence.
+
+    Scale shape: ONE window partitioned by conv_id (turn prefix sums —
+    partitions bounded by conversation length), ONE groupBy(conv_id)
+    for totals, pack_sequences' two-level prefix sum over the
+    conversation frame (corpus/mean-turns rows), then ONE equi-join of
+    the manifest back to turns on conv_id. Zero-token turns carry no
+    trainable slice and are excluded.
+    """
+    n = ws_token_len(F.col(text_col))
+    tt = turns.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(turn_col).alias("turn_idx"),
+        F.col(role_col).alias("role"),
+        n.alias("n_turn_tokens"),
+    ).withColumn(
+        "turn_off",
+        F.coalesce(
+            F.sum("n_turn_tokens").over(
+                Window.partitionBy("conv_id")
+                .orderBy("turn_idx")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    conv = tt.groupBy("conv_id").agg(F.sum("n_turn_tokens").alias("n_tokens"))
+    packed = pack_sequences(
+        conv, capacity, id_col="conv_id", seed=seed, n_tokens_col="n_tokens"
+    )
+    man = manifest_from_packed(packed, capacity, id_col="conv_id")
+    j = man.join(tt.where(F.col("n_turn_tokens") > 0), "conv_id")
+    turn_end = F.col("turn_off") + F.col("n_turn_tokens") - 1
+    ov_start = F.greatest(F.col("turn_off"), F.col("doc_start"))
+    ov_end = F.least(turn_end, F.col("doc_end"))
+    return j.where(ov_start <= ov_end).select(
+        "seq_id",
+        "conv_id",
+        "turn_idx",
+        "role",
+        (F.col("seq_start") + ov_start - F.col("doc_start")).cast("long").alias(
+            "tok_start"
+        ),
+        (F.col("seq_start") + ov_end - F.col("doc_start")).cast("long").alias(
+            "tok_end"
+        ),
+        (F.col("role") == F.lit(train_role)).alias("loss_mask"),
     )

@@ -293,3 +293,118 @@ FROM o WHERE tok_offset < 15000"""
         assert r["rows_match"] and r["schema_match"] and r["hash_match"], r
         # the boundary doc must actually be clipped for the test to bite
         assert out.where("n_tokens_used < n_tokens").count() == 1
+
+
+class TestSftMaskManifest:
+    def test_semantics_masking_and_splits(self, spark):
+        """conv A: user 3 tokens + assistant 4 tokens (7 total); conv B:
+        user 2 + assistant 3 (5 total). capacity=8 splits one conv
+        across sequences; assistant slices carry loss_mask=true."""
+        from gogstash_spark.mlops.packing import sft_mask_manifest
+
+        rows = [
+            ("A", 0, "user", "u1 u2 u3"),
+            ("A", 1, "assistant", "a1 a2 a3 a4"),
+            ("B", 0, "user", "u1 u2"),
+            ("B", 1, "assistant", "a1 a2 a3"),
+            ("B", 2, "tool", ""),  # zero-token turn: no slice
+        ]
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, text string"
+        )
+        out = sft_mask_manifest(df, capacity=8).collect()
+        assert all((r["role"] == "assistant") == r["loss_mask"] for r in out)
+        assert not any(r["turn_idx"] == 2 for r in out)  # empty turn excluded
+        # total trainable tokens = assistant tokens = 4 + 3
+        trainable = sum(
+            r["tok_end"] - r["tok_start"] + 1 for r in out if r["loss_mask"]
+        )
+        assert trainable == 7
+        # 12 tokens at capacity 8 -> sequence 0 tiles exactly [0,7]
+        seq0 = sorted(
+            (r["tok_start"], r["tok_end"]) for r in out if r["seq_id"] == 0
+        )
+        covered = []
+        for a, b in seq0:
+            covered.extend(range(a, b + 1))
+        assert covered == list(range(8)), seq0
+        # something spans the sequence boundary (appears in seq 0 and 1)
+        by_turn = {}
+        for r in out:
+            by_turn.setdefault((r["conv_id"], r["turn_idx"]), set()).add(r["seq_id"])
+        assert any(len(s) > 1 for s in by_turn.values())
+
+    def test_matches_duckdb_oracle_on_transcripts(self, spark):
+        import duckdb
+
+        from gogstash_spark.mlops.packing import sft_mask_manifest
+        from gogstash_spark.sources.transcripts import ensure_transcripts
+        from tools.parity import compare
+
+        data_dir = ensure_transcripts("/root/testdata/sf0.001")
+        turns = spark.read.parquet(data_dir + "/transcripts").select(
+            "conv_id", "turn_idx", "role", "text"
+        )
+        cap = 512
+        out = sft_mask_manifest(turns, capacity=cap)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW t0 AS SELECT conv_id, turn_idx, role, text "
+            "FROM read_parquet('%s/transcripts/*.parquet')" % data_dir
+        )
+        sql = rf"""WITH tt AS (
+  SELECT conv_id, turn_idx, role,
+    CASE WHEN len(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_turn_tokens
+  FROM t0
+),
+toff AS (
+  SELECT conv_id, turn_idx, role, n_turn_tokens,
+    COALESCE(SUM(n_turn_tokens) OVER (
+      PARTITION BY conv_id ORDER BY turn_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS turn_off
+  FROM tt
+),
+conv AS (SELECT conv_id, sum(n_turn_tokens) AS n_tokens FROM tt GROUP BY conv_id),
+o AS (
+  SELECT conv_id, n_tokens,
+    COALESCE(SUM(n_tokens) OVER (
+      ORDER BY md5(conv_id || ':42'), conv_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+  FROM conv
+),
+man AS (
+  SELECT s AS seq_id, conv_id,
+    greatest(s * {cap} - tok_offset, 0) AS doc_start,
+    least(n_tokens - 1, (s + 1) * {cap} - 1 - tok_offset) AS doc_end,
+    greatest(tok_offset - s * {cap}, 0) AS seq_start
+  FROM (
+    SELECT *, unnest(range(CAST(tok_offset // {cap} AS BIGINT),
+      CAST((tok_offset + greatest(n_tokens, 1) - 1) // {cap} + 1 AS BIGINT))) AS s
+    FROM o WHERE n_tokens > 0)
+),
+j AS (
+  SELECT m.seq_id, m.conv_id, t.turn_idx, t.role,
+    m.seq_start + greatest(t.turn_off, m.doc_start) - m.doc_start AS tok_start,
+    m.seq_start + least(t.turn_off + t.n_turn_tokens - 1, m.doc_end)
+      - m.doc_start AS tok_end,
+    t.role = 'assistant' AS loss_mask
+  FROM man m JOIN toff t ON t.conv_id = m.conv_id
+  WHERE t.n_turn_tokens > 0
+    AND greatest(t.turn_off, m.doc_start)
+        <= least(t.turn_off + t.n_turn_tokens - 1, m.doc_end)
+)
+SELECT CAST(seq_id AS BIGINT) AS seq_id, conv_id, turn_idx, role,
+  CAST(tok_start AS BIGINT) AS tok_start, CAST(tok_end AS BIGINT) AS tok_end,
+  loss_mask
+FROM j"""
+        r = compare("sft_mask_manifest", out, sql, con)
+        assert r["rows_match"] and r["schema_match"] and r["hash_match"], r
+        # non-final sequences tile exactly
+        agg = (
+            out.groupBy("seq_id")
+            .agg(F.sum(F.col("tok_end") - F.col("tok_start") + 1).alias("n"))
+            .collect()
+        )
+        last = max(r["seq_id"] for r in agg)
+        assert all(r["n"] == cap for r in agg if r["seq_id"] != last), agg[:5]
