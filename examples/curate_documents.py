@@ -166,6 +166,18 @@ def main() -> None:
     print("distinct conversations:", cd.count(),
           "| dup clusters:", cd.where("n_convs > 1").count())
 
+    # SFT packing: conversations -> fixed-capacity sequences with
+    # assistant-only loss masks
+    from gogstash_spark.mlops.packing import sft_mask_manifest
+
+    mask = sft_mask_manifest(turns, capacity=512)
+    frac = mask.agg(
+        F.sum(F.when(F.col("loss_mask"), F.col("tok_end") - F.col("tok_start") + 1))
+        / F.sum(F.col("tok_end") - F.col("tok_start") + 1)
+    ).collect()[0][0]
+    print("SFT sequences: %d | trainable-token fraction: %.3f"
+          % (mask.select("seq_id").distinct().count(), frac))
+
 
 if __name__ == "__main__":
     main()
