@@ -12,12 +12,18 @@ pair back as a 1-row crossJoin -> rewrite symbols with a plain string
 replace. Merging is inherently sequential (merge i+1's counts depend on
 merge i) — the per-iteration work is what can and does stay distributed.
 
-Representation trick (engine-portable, pure codegen): a word's symbol
-sequence is its characters joined by US (0x1f). An adjacent-pair merge
-is then exactly `replace(s, l || SEP || r, l || r)` — both Spark's and
-DuckDB's replace scan left-to-right non-overlapping, which is precisely
-BPE's greedy merge order ('a|a|a' + merge(a,a) -> 'aa|a'). No arrays
-are rebuilt; the hot loop is string search/replace in codegen.
+Representation trick (engine-portable, pure codegen): every symbol is
+WRAPPED in its own US (0x1f) delimiters and the wrappers concatenated —
+word 'abc' renders '|a||b||c|' (| = 0x1f). An adjacent-pair merge is
+then exactly `replace(s, |l||r|, |lr|)`: the pattern carries BOTH
+symbols' full wrappers, so it can only ever match two whole symbols
+(a bare suffix/prefix of a longer merged symbol has a letter, not a
+delimiter, at the boundary — '|ab||c|' does NOT match '|b||c|'), and
+the replacement re-wraps the merged symbol so neighbors keep theirs
+('|x||a||a||a||a||y|' + merge(a,a) -> '|x||aa||aa||y|'). Both Spark's
+and DuckDB's replace scan left-to-right non-overlapping, which is
+precisely BPE's greedy merge order ('|a||a||a|' -> '|aa||a|'). No
+arrays are rebuilt; the hot loop is string search/replace in codegen.
 """
 
 from __future__ import annotations
@@ -35,9 +41,18 @@ _SEP_RX = "\x1f"  # literal, regex-safe
 _CHAR_SPLIT_RX = r"(?!^)(?=.)"  # split between chars, no trailing ''
 
 
+def _wrap(l: Column | str, r: Column | str | None = None) -> Column:
+    """a fully-wrapped symbol string: SEP + l [+ SEP + SEP + r] + SEP."""
+    parts = [F.lit(SEP), l] + ([F.lit(SEP + SEP), r] if r is not None else [])
+    return F.concat(*[F.lit(x) if isinstance(x, str) else x for x in parts], F.lit(SEP))
+
+
 def _char_syms(word: Column) -> Column:
-    """characters of `word` joined by SEP (the initial symbol state)."""
-    return F.concat_ws(SEP, F.split(word, _CHAR_SPLIT_RX))
+    """characters of `word`, each wrapped in SEP delimiters (the
+    initial symbol state): 'abc' -> SEP a SEP SEP b SEP SEP c SEP."""
+    return F.concat(
+        F.lit(SEP), F.concat_ws(SEP + SEP, F.split(word, _CHAR_SPLIT_RX)), F.lit(SEP)
+    )
 
 
 def _word_freq(df: DataFrame, text_col: str, lowercase: bool) -> DataFrame:
@@ -53,11 +68,19 @@ def _word_freq(df: DataFrame, text_col: str, lowercase: bool) -> DataFrame:
     )
 
 
+def _symbols(syms: Column) -> Column:
+    """the symbol array of a wrapped string: strip the outer SEPs,
+    split on the double-SEP boundary."""
+    return F.split(
+        F.substring(syms, 2, F.length(syms) - 2), _SEP_RX + _SEP_RX
+    )
+
+
 def _pairs(syms: Column) -> Column:
-    """adjacent symbol pairs of a SEP-joined string; empty for
+    """adjacent symbol pairs of a wrapped symbol string; empty for
     single-symbol words (slice of length size-1 = 0)."""
     return staged(
-        F.split(syms, _SEP_RX),
+        _symbols(syms),
         lambda arr: F.zip_with(
             F.slice(arr, 1, F.size(arr) - 1),
             F.slice(arr, 2, F.size(arr) - 1),
@@ -111,8 +134,8 @@ def bpe_train(
         vocab = vocab.crossJoin(F.broadcast(top)).select(
             F.replace(
                 F.col("s"),
-                F.concat_ws(SEP, "left_sym", "right_sym"),
-                F.concat("left_sym", "right_sym"),
+                _wrap(F.col("left_sym"), F.col("right_sym")),
+                _wrap(F.concat("left_sym", "right_sym")),
             ).alias("s"),
             "freq",
         )
@@ -149,10 +172,10 @@ def bpe_apply(
         for m in rows:
             s = F.replace(
                 s,
-                F.lit(m["left_sym"] + SEP + m["right_sym"]),
-                F.lit(m["left_sym"] + m["right_sym"]),
+                F.lit(SEP + m["left_sym"] + SEP + SEP + m["right_sym"] + SEP),
+                F.lit(SEP + m["left_sym"] + m["right_sym"] + SEP),
             )
-        return F.split(s, _SEP_RX)
+        return _symbols(s)
 
     t = F.col(text_col)
     toks = tokens(F.lower(t)) if lowercase else tokens(t)

@@ -730,8 +730,17 @@ def dedup_incremental(
     executor (it stops fitting long before the corpus does).
 
     seen=None (first snapshot) skips the anti-join entirely.
+
+    NULL-text rows are NOT duplicates of each other (same rule and
+    reason as collapse_exact_texts): md5(NULL) is NULL, which both
+    collapses N distinct missing-text docs into one group AND never
+    matches itself in the join-back. They key by their own id instead
+    (the "\x00" prefix cannot collide with md5 hex) — each survives,
+    and cross-snapshot they never match anything.
     """
-    h = F.md5(F.col(text_col))
+    h = F.when(
+        F.col(text_col).isNotNull(), F.md5(F.col(text_col))
+    ).otherwise(F.concat(F.lit("\x00"), F.col(id_col).cast("string")))
     hashed = batch.withColumn("text_md5", h)
     keep = (
         hashed.groupBy("text_md5")
@@ -755,10 +764,13 @@ def conv_fingerprint(
 ) -> DataFrame:
     """Order-aware conversation content hash for chat training data:
     (conv_id, n_turns, conv_md5) where conv_md5 = md5 over the
-    turn-ordered sequence of per-turn md5(role:text). Re-ingested or
-    mirrored conversations hash identically regardless of row order or
-    partitioning; fixed-width hex + separator keeps the concatenation
-    injective.
+    turn-ordered sequence of per-turn hashes. Re-ingested or mirrored
+    conversations hash identically regardless of row order or
+    partitioning. The per-turn hash is md5 over the pair of fixed-width
+    field hashes (md5(role) || md5(text), NULL fields as a 1-char '-'
+    marker that cannot collide with 32-hex) — injective, so
+    (role='a', text='b:c') never collides with (role='a:b', text='c')
+    and a NULL role is distinct from the same string as text.
 
     Scale shape: ONE groupBy(conv_id) — the collect_list is bounded by
     conversation length (a conversation that doesn't fit an aggregation
@@ -766,7 +778,12 @@ def conv_fingerprint(
     the unique turn_idx, no window."""
     per_turn = F.struct(
         F.col(turn_col).alias("i"),
-        F.md5(F.concat_ws(":", F.col(role_col), F.col(text_col))).alias("h"),
+        F.md5(
+            F.concat(
+                F.coalesce(F.md5(F.col(role_col)), F.lit("-")),
+                F.coalesce(F.md5(F.col(text_col)), F.lit("-")),
+            )
+        ).alias("h"),
     )
     return df.groupBy(F.col(conv_col).alias("conv_id")).agg(
         F.count(F.lit(1)).alias("n_turns"),

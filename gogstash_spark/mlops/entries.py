@@ -480,7 +480,9 @@ def _bpe_iter_sql(i: int) -> str:
     SELECT freq,
            unnest([struct_pack(l := arr[j], r := arr[j + 1])
                    FOR j IN range(1, len(arr))]) AS p
-    FROM (SELECT string_split(s, chr(31)) AS arr, freq FROM v{i - 1})
+    FROM (SELECT string_split(s[2:length(s) - 1], chr(31) || chr(31)) AS arr,
+                 freq
+          FROM v{i - 1})
   )
   GROUP BY 1, 2
 ),
@@ -490,8 +492,11 @@ t{i} AS (
 ),
 v{i} AS (
   SELECT word,
-         replace(s, (SELECT left_sym || chr(31) || right_sym FROM t{i}),
-                 (SELECT left_sym || right_sym FROM t{i})) AS s,
+         replace(s,
+                 (SELECT chr(31) || left_sym || chr(31) || chr(31)
+                         || right_sym || chr(31) FROM t{i}),
+                 (SELECT chr(31) || left_sym || right_sym || chr(31)
+                  FROM t{i})) AS s,
          freq
   FROM v{i - 1}
 )"""
@@ -513,10 +518,16 @@ def o_bpe_train(n_merges: int = 3) -> str:
   SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
   FROM documents
 ),
-w AS (SELECT word, count(*) AS freq FROM tok WHERE word != '' GROUP BY word),
+w AS (
+  SELECT word, count(*) AS freq FROM tok
+  WHERE word != '' AND word NOT LIKE '%' || chr(31) || '%'
+  GROUP BY word
+),
 v0 AS (
   SELECT word,
-         rtrim(regexp_replace(word, '(.)', '\\1' || chr(31), 'g'), chr(31)) AS s,
+         chr(31) || left(
+           regexp_replace(word, '(.)', '\\1' || chr(31) || chr(31), 'g'),
+           -1) AS s,
          freq
   FROM w
 ),
@@ -605,6 +616,7 @@ assign AS (
          row_number() OVER (PARTITION BY e.vec_id
                             ORDER BY {ccos} DESC, c.cid ASC) AS crk
   FROM embeddings e CROSS JOIN cent c
+  WHERE list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) > 0
 ),
 encR AS (
   SELECT s.sid, s.sub, c.code, c.cvec, c.cn2,

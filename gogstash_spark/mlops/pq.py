@@ -243,7 +243,7 @@ def pq_encode(
     in, m small ints out (the 32x payload cut is the whole point: an
     int8-serialized code fits a byte, kept as int here for engine
     portability)."""
-    dsub = dim // m
+    dsub = _check(m, dim, 1)  # same m/dim validation as train/topk
     return (
         emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
         .crossJoin(F.broadcast(_packed_codebook(codebook)))

@@ -299,6 +299,10 @@ def score_buckets(
         bucket = F.when(
             s <= F.element_at(F.col("__cuts"), i + 1), F.lit(labels[i])
         ).otherwise(bucket)
+    # a NULL score is UNSCORED, not worst: every `when` above is NULL
+    # (falsy) for it, so without this guard it would silently fall
+    # through to the last band and inherit that band's sampling fate
+    bucket = F.when(s.isNotNull(), bucket)
     return (
         df.join(F.broadcast(cuts))
         .withColumn("score_bucket", bucket)

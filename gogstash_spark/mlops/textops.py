@@ -446,7 +446,9 @@ def nb_score(
     )
     agg = (
         exploded.join(F.broadcast(weights), "token", "left")
-        .crossJoin(F.broadcast(stats.select("unseen_lo")))
+        # ONE broadcast of the 1-row stats carries both constants;
+        # min() over a constant re-surfaces prior_lo after the group
+        .crossJoin(F.broadcast(stats.select("unseen_lo", "prior_lo")))
         .groupBy(id_col)
         .agg(
             F.count("token").alias("n_tokens"),
@@ -456,9 +458,10 @@ def nb_score(
                     F.coalesce(F.col("log_ratio"), F.col("unseen_lo")),
                 ).otherwise(F.lit(0.0))
             ).alias("evidence"),
+            F.min("prior_lo").alias("prior_lo"),
         )
     )
-    scored = agg.crossJoin(F.broadcast(stats.select("prior_lo"))).select(
+    scored = agg.select(
         id_col,
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.round(F.col("prior_lo") + F.col("evidence"), 6).alias("nb_score"),

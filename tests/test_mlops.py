@@ -1707,6 +1707,8 @@ class TestPQ:
         assert a == b
         with pytest.raises(ValueError):
             pq.pq_train(emb, m=7, dim=64)
+        with pytest.raises(ValueError):  # encode validates like train
+            pq.pq_encode(emb, cb, m=7, dim=64)
 
     def test_recall_floor_and_m_monotonicity(self, spark):
         """PQ ranks within the same IVF cells as ivf_topk, so recall
@@ -1756,6 +1758,24 @@ class TestBPE:
         df3 = spark.createDataFrame([(1, "aaa")], "doc_id long, text string")
         one = m.where("merge_idx = 0")
         assert bpe.bpe_apply(df3, one).collect()[0]["bpe_tokens"] == ["aa", "a"]
+
+    def test_merge_never_crosses_symbol_boundaries(self, spark):
+        """Regression (round-5 review): with merges (a,b) then (b,c)
+        learned, the word 'abc' is ab|c after merge 0 — merge 1's
+        pattern must NOT match the 'b' inside the merged symbol 'ab'.
+        The old SEP-joined form produced the phantom token 'abc'."""
+        from gogstash_spark.mlops import bpe
+
+        rows = [(1, " ".join(["ab"] * 10 + ["bc"] * 9 + ["abc"]))]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        m = bpe.bpe_train(df, n_merges=2)
+        got = [
+            (r["left_sym"], r["right_sym"])
+            for r in m.orderBy("merge_idx").collect()
+        ]
+        assert got == [("a", "b"), ("b", "c")]
+        one_doc = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+        assert bpe.bpe_apply(one_doc, m).collect()[0]["bpe_tokens"] == ["ab", "c"]
 
     def test_early_stop_on_exhausted_vocab(self, spark):
         from gogstash_spark.mlops import bpe
@@ -1812,15 +1832,21 @@ class TestBPE:
   SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
   FROM documents
 ),
-w AS (SELECT word, count(*) AS freq FROM tok WHERE word != '' GROUP BY word),
+w AS (
+  SELECT word, count(*) AS freq FROM tok
+  WHERE word != '' AND word NOT LIKE '%' || chr(31) || '%'
+  GROUP BY word
+),
 v0 AS (
   SELECT word,
-         rtrim(regexp_replace(word, '(.)', '\1' || chr(31), 'g'), chr(31)) AS s,
+         chr(31) || left(
+           regexp_replace(word, '(.)', '\1' || chr(31) || chr(31), 'g'),
+           -1) AS s,
          freq
   FROM w
 ),
 {iters},
-map AS (SELECT word, string_split(s, chr(31)) AS syms FROM v3),
+map AS (SELECT word, string_split(s[2:length(s) - 1], chr(31) || chr(31)) AS syms FROM v3),
 d AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
@@ -1875,6 +1901,27 @@ class TestDedupIncremental:
         # appending the delta makes a third pass of the same docs empty
         ledger2 = ledger.unionByName(kept2.select("text_md5"))
         assert dedup_incremental(s2, ledger2).count() == 0
+
+    def test_null_text_rows_survive_individually(self, spark):
+        """Regression (round-5 review): md5(NULL) is NULL — without the
+        id-keyed fallback, N distinct missing-text docs collapsed into
+        one group whose join-back (NULL never equals NULL) recovered
+        nothing, silently dropping them all."""
+        from gogstash_spark.mlops.dedup import dedup_incremental
+
+        batch = spark.createDataFrame(
+            [(1, None), (2, None), (3, "hello")], "doc_id long, text string"
+        )
+        kept = dedup_incremental(batch, None)
+        assert sorted(r["doc_id"] for r in kept.collect()) == [1, 2, 3]
+        # cross-snapshot: NULL-text rows never match anything ledgered
+        out2 = dedup_incremental(batch, kept.select("text_md5"))
+        assert out2.count() == 0  # ids identical -> same \x00 keys match
+        batch2 = spark.createDataFrame(
+            [(9, None), (10, "hello")], "doc_id long, text string"
+        )
+        out3 = dedup_incremental(batch2, kept.select("text_md5"))
+        assert [r["doc_id"] for r in out3.collect()] == [9]
 
     def test_matches_duckdb_oracle_on_documents(self, spark):
         """Split the documents table into two 'snapshots' by doc_id
@@ -2020,6 +2067,23 @@ class TestScoreBuckets:
             score_buckets(df, [0.5], ["a", "b", "c"])
         with pytest.raises(ValueError):
             score_buckets(df, [0.7, 0.3], ["a", "b", "c"])
+
+    def test_null_score_is_unscored_not_worst(self, spark):
+        """Regression (round-5 review): a NULL score fell through every
+        when() to the last label and inherited the worst band's fate."""
+        from gogstash_spark.mlops.sampling import score_buckets
+
+        df = spark.createDataFrame(
+            [(1, 1.0), (2, 2.0), (3, 3.0), (4, None)], "doc_id long, ppl double"
+        )
+        got = {
+            r["doc_id"]: r["score_bucket"]
+            for r in score_buckets(
+                df, [1 / 3, 2 / 3], ["head", "middle", "tail"], approx=False
+            ).collect()
+        }
+        assert got[4] is None
+        assert got[3] == "tail"
 
     def test_matches_duckdb_oracle_on_lm_scores(self, spark):
         """The real composition: unigram-LM perplexity -> tercile
@@ -2239,6 +2303,19 @@ class TestConvDedup:
         out = {r["keep_conv_id"]: r for r in conv_dedup(df).collect()}
         assert set(out) == {"c1", "c3", "c4"}
         assert out["c1"]["n_convs"] == 2 and out["c1"]["n_turns"] == 2
+        # injectivity regressions (round-5 review): field-boundary
+        # ambiguity and NULL-skipping must not collide turns
+        tricky = spark.createDataFrame(
+            [
+                ("x1", 0, "a", "b:c"),
+                ("x2", 0, "a:b", "c"),
+                ("x3", 0, "user", None),
+                ("x4", 0, None, "user"),
+            ],
+            "conv_id string, turn_idx int, role string, text string",
+        )
+        fps = {r["conv_id"]: r["conv_md5"] for r in conv_fingerprint(tricky).collect()}
+        assert len(set(fps.values())) == 4, fps
 
     def test_matches_duckdb_oracle_on_transcripts(self, spark):
         """Real transcripts plus injected re-ingests (conv_id suffixed,
@@ -2271,7 +2348,7 @@ class TestConvDedup:
 ),
 fp AS (
   SELECT conv_id, count(*) AS n_turns,
-         md5(string_agg(md5(role || ':' || text), '|' ORDER BY turn_idx))
+         md5(string_agg(md5(coalesce(md5(role), '-') || coalesce(md5(text), '-')), '|' ORDER BY turn_idx))
            AS conv_md5
   FROM allt GROUP BY conv_id
 )
