@@ -135,3 +135,141 @@ class TestPathValueRoundtrip:
         for i, s in enumerate(cases):
             assert got[i]["hf"] == "%08x" % fnv32a(s.encode()), s
             assert got[i]["ha"] == "%08x" % zlib.adler32(s.encode()), s
+
+
+class TestBpeAgainstPureReference:
+    """bpe_train/bpe_apply vs an independent pure-Python BPE (tuple
+    arithmetic, no strings-with-separators) over seeded random corpora —
+    a second oracle with a DIFFERENT representation than both the Spark
+    string-replace form and the DuckDB restatement, so a representation
+    bug (like the round-5 symbol-boundary one) cannot hide in parity."""
+
+    @staticmethod
+    def _ref_train(word_freq, n_merges):
+        vocab = {}
+        for w, c in word_freq.items():
+            t = tuple(w)
+            vocab[t] = vocab.get(t, 0) + c
+        merges = []
+        for _ in range(n_merges):
+            counts = {}
+            for syms, c in vocab.items():
+                for a, b in zip(syms, syms[1:]):
+                    counts[(a, b)] = counts.get((a, b), 0) + c
+            if not counts:
+                break
+            best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            (l, r), freq = best
+            merges.append((l, r, freq))
+            nv = {}
+            for syms, c in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                key = tuple(out)
+                nv[key] = nv.get(key, 0) + c
+            vocab = nv
+        return merges
+
+    @staticmethod
+    def _ref_apply(word, merges):
+        syms = list(word)
+        for l, r, _ in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    def test_random_corpora_match_reference(self, spark):
+        from gogstash_spark.mlops import bpe
+
+        rng = random.Random(SEED)
+        for corpus_ix in range(3):
+            words = [
+                "".join(rng.choice("abc") for _ in range(rng.randint(1, 6)))
+                for _ in range(rng.randint(8, 20))
+            ]
+            docs = []
+            for i in range(10):
+                docs.append(
+                    (i, " ".join(rng.choice(words) for _ in range(rng.randint(1, 12))))
+                )
+            wf = {}
+            for _, text in docs:
+                for w in text.split():
+                    wf[w] = wf.get(w, 0) + 1
+            want = self._ref_train(wf, 5)
+            df = spark.createDataFrame(docs, "doc_id long, text string")
+            m = bpe.bpe_train(df, n_merges=5)
+            got = [
+                (r["left_sym"], r["right_sym"], r["pair_freq"])
+                for r in m.orderBy("merge_idx").collect()
+            ]
+            assert got == want, (corpus_ix, got, want)
+            applied = {
+                r["doc_id"]: r["bpe_tokens"] for r in bpe.bpe_apply(df, m).collect()
+            }
+            merges = got
+            for i, text in docs:
+                want_toks = [
+                    t for w in text.split() for t in self._ref_apply(w, merges)
+                ]
+                assert applied[i] == want_toks, (corpus_ix, i, applied[i], want_toks)
+
+
+class TestPqTrainAgainstNumpy:
+    def test_codebook_matches_numpy_lloyd(self, spark):
+        """pq_train vs an independent numpy per-subspace Lloyd with the
+        same seeding, tie, and empty-code rules — exact to 1e-9."""
+        import numpy as np
+
+        from gogstash_spark.mlops import pq
+
+        rng = random.Random(SEED)
+        n, dim, m, ksub, iters = 40, 8, 4, 4, 2
+        dsub = dim // m
+        vecs = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(n)]
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>",
+        )
+        # numpy reference — float32-cast first like the Spark side reads
+        X = np.array(vecs, dtype=np.float32).astype(np.float64)
+        cb = {}
+        for s in range(m):
+            sub = X[:, s * dsub:(s + 1) * dsub]
+            cents = sub[:ksub].copy()  # min-id seeds
+            for _ in range(iters):
+                d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+                # Spark computes svn2 - 2 dot + cn2 and rounds to 9
+                d2r = np.round(
+                    (sub**2).sum(1)[:, None]
+                    - 2 * sub @ cents.T
+                    + (cents**2).sum(1)[None, :],
+                    9,
+                )
+                assign = d2r.argmin(axis=1)  # argmin takes smallest index on ties
+                for c in range(ksub):
+                    mask = assign == c
+                    if mask.any():
+                        cents[c] = sub[mask].mean(axis=0)
+            for c in range(ksub):
+                cb[(s, c)] = cents[c]
+        got = {
+            (r["sub"], r["code"]): r["cvec"]
+            for r in pq.pq_train(emb, m=m, ksub=ksub, iters=iters, dim=dim).collect()
+        }
+        assert set(got) == set(cb)
+        for key in cb:
+            assert max(abs(a - b) for a, b in zip(got[key], cb[key])) < 1e-9, key
