@@ -893,3 +893,39 @@ def neardup_incremental(
         matched.withColumnRenamed("id", id_col), id_col, "left_anti"
     )
     return survivors.join(sig_b.withColumnRenamed("id", id_col), id_col, "left")
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus snapshot delta: one row per doc_id present in either
+    snapshot, with status 'added' / 'removed' / 'changed' / 'unchanged'
+    (changed = same id, different md5(text); NULL text uses the same
+    id-keyed sentinel as dedup_incremental so NULL vs NULL is
+    unchanged, NULL vs text is changed). The report an ingestion run
+    publishes so downstream consumers know whether to reprocess.
+
+    Scale shape: ONE full-outer join on doc_id between two hash-only
+    projections (id + 16-byte md5 each side — documents never ride the
+    shuffle); at 100 TB bucket both snapshots' parquet by id and the
+    join co-locates.
+    """
+    def h(df: DataFrame) -> DataFrame:
+        key = F.when(
+            F.col(text_col).isNotNull(), F.md5(F.col(text_col))
+        ).otherwise(F.lit("\x00null"))
+        return df.select(F.col(id_col), key.alias("h"))
+
+    o = h(old).withColumnRenamed("h", "h_old")
+    n = h(new).withColumnRenamed("h", "h_new")
+    j = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("h_old").isNull(), F.lit("added"))
+        .when(F.col("h_new").isNull(), F.lit("removed"))
+        .when(F.col("h_old") == F.col("h_new"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(id_col, status.alias("status"))

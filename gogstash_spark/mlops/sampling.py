@@ -308,3 +308,29 @@ def score_buckets(
         .withColumn("score_bucket", bucket)
         .drop("__cuts")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    rate_col: str,
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Per-row keep probability from a COLUMN (continuous importance
+    sampling — e.g. a quality score mapped to a keep rate, or
+    mixture_weights' epochs joined back as fractional rates), where
+    stratified_sample's plan-time CASE literals only cover discrete
+    strata. Keep iff the row's md5 draw (first 4 hex as an integer /
+    65536 — granularity 1/65536, same as _hex_threshold) falls below
+    the clamped rate. Deterministic in (key, seed): rerun/repartition/
+    engine-stable; NULL rates drop the row (an unscored row has no
+    sampling mandate — surface it upstream, don't silently keep).
+
+    Pure codegen filter at the scan — conv() turns the hex prefix into
+    the integer draw, no join, no shuffle, no RNG state.
+    """
+    u = F.conv(F.substring(sample_key(key_col, seed), 1, 4), 16, 10).cast(
+        "double"
+    ) / F.lit(65536.0)
+    r = F.least(F.greatest(F.col(rate_col).cast("double"), F.lit(0.0)), F.lit(1.0))
+    return df.where(u < r)

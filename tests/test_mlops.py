@@ -2555,3 +2555,101 @@ WHERE s2.doc_id NOT IN (SELECT id FROM matched)"""
         n_copies = docs.where("doc_id % 10 = 0").count()
         dropped = n_odd + n_copies - out.count()
         assert dropped > 0.5 * n_copies, (dropped, n_copies)
+
+
+class TestSnapshotDiff:
+    def test_semantics_and_duckdb_parity(self, spark):
+        import duckdb
+
+        from gogstash_spark.mlops.dedup import snapshot_diff
+        from tools.parity import compare
+
+        old = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c"), (4, None), (5, None)],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [(2, "b"), (3, "CHANGED"), (4, None), (5, "now text"), (6, "new")],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+        assert got == {
+            1: "removed", 2: "unchanged", 3: "changed",
+            4: "unchanged", 5: "changed", 6: "added",
+        }
+
+        sf_dir = "/root/testdata/sf0.001"
+        docs = spark.read.parquet(sf_dir + "/documents.parquet")
+        o = docs.where("doc_id % 2 = 0")
+        n = docs.where("doc_id % 3 != 0").withColumn(
+            "text",
+            F.when(F.col("doc_id") % 10 == 4, F.concat(F.col("text"), F.lit("!")))
+            .otherwise(F.col("text")),
+        )
+        out = snapshot_diff(o, n)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet('%s/documents.parquet')"
+            % sf_dir
+        )
+        sql = """WITH o AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 2 = 0
+),
+n AS (
+  SELECT doc_id,
+    md5(CASE WHEN doc_id % 10 = 4 THEN text || '!' ELSE text END) AS h
+  FROM documents WHERE doc_id % 3 != 0
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+  CASE WHEN o.h IS NULL THEN 'added'
+       WHEN n.h IS NULL THEN 'removed'
+       WHEN o.h = n.h THEN 'unchanged'
+       ELSE 'changed' END AS status
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id"""
+        r = compare("snapshot_diff", out, sql, con)
+        assert r["rows_match"] and r["schema_match"] and r["hash_match"], r
+        counts = {x["status"] for x in out.collect()}
+        assert counts == {"added", "removed", "unchanged", "changed"}
+
+
+class TestWeightedSample:
+    def test_semantics_determinism_and_duckdb_parity(self, spark):
+        import duckdb
+
+        from gogstash_spark.mlops.sampling import weighted_sample
+        from tools.parity import compare
+
+        df = spark.createDataFrame(
+            [(1, 1.0), (2, 0.0), (3, None), (4, 2.5), (5, -1.0)],
+            "doc_id long, rate double",
+        )
+        kept = sorted(r["doc_id"] for r in weighted_sample(df, "rate").collect())
+        assert 1 in kept and 4 in kept        # rate>=1 always kept (clamped)
+        assert 2 not in kept and 5 not in kept  # rate<=0 never kept
+        assert 3 not in kept                  # NULL rate: no mandate
+        again = sorted(r["doc_id"] for r in weighted_sample(df, "rate").collect())
+        assert kept == again
+
+        sf_dir = "/root/testdata/sf0.001"
+        docs = spark.read.parquet(sf_dir + "/documents.parquet")
+        scored = docs.withColumn(
+            "rate", (F.col("n_chars") % 100).cast("double") / 100.0
+        )
+        out = weighted_sample(scored, "rate").select("doc_id")
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet('%s/documents.parquet')"
+            % sf_dir
+        )
+        sql = """WITH s AS (
+  SELECT doc_id, (n_chars % 100) / 100.0 AS rate,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 4)) AS INTEGER)
+      / 65536.0 AS u
+  FROM documents
+)
+SELECT doc_id FROM s
+WHERE u < least(greatest(rate, 0.0), 1.0)"""
+        r = compare("weighted_sample", out, sql, con)
+        assert r["rows_match"] and r["schema_match"] and r["hash_match"], r
+        n = out.count()
+        assert 0 < n < docs.count()
