@@ -231,7 +231,19 @@ def main() -> None:
             report["note"] = existing["note"]
         merged = {**existing, **report}
     else:
-        merged = {**existing, "%s_run" % sf_name: report}
+        # same accumulate-rounds rule for non-sf1 scales: a noisy
+        # re-run must never erase a quiet window's best round
+        key = "%s_run" % sf_name
+        prev = existing.get(key, {})
+        if prev.get("rounds"):
+            all_rounds = prev["rounds"] + report["rounds"]
+            best = max(all_rounds, key=lambda rd: rd["efficiency_vs_ceiling"])
+            report["rounds"] = all_rounds
+            report["best_round"] = best
+            report["best_round_efficiency_vs_ceiling"] = best[
+                "efficiency_vs_ceiling"
+            ]
+        merged = {**existing, key: report}
     with open(path, "w") as f:
         json.dump(merged, f, indent=2)
 

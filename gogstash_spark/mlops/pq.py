@@ -335,8 +335,13 @@ def pq_topk(
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+    # with max_query_id set the query side is bounded (its ADC arrays
+    # are wide, so Spark's size estimate overshoots into a sort-merge
+    # join of the full candidate corpus) — broadcast it explicitly;
+    # unbounded queries keep the planner's choice
+    q_side = F.broadcast(q) if max_query_id is not None else q
     pairs = (
-        q.join(cand, "cid")
+        q_side.join(cand, "cid")
         .filter(F.col("q_id") != F.col("n_id"))
         .withColumn("__rn2", pick("rn2"))
         .withColumn(
