@@ -231,8 +231,9 @@ def main() -> None:
             report["note"] = existing["note"]
         merged = {**existing, **report}
     else:
-        # same accumulate-rounds rule for non-sf1 scales: a noisy
-        # re-run must never erase a quiet window's best round
+        # same accumulate rule for non-sf1 scales: a noisy re-run must
+        # never erase a quiet window's best round OR its min-wall
+        # throughput record
         key = "%s_run" % sf_name
         prev = existing.get(key, {})
         if prev.get("rounds"):
@@ -243,6 +244,21 @@ def main() -> None:
             report["best_round_efficiency_vs_ceiling"] = best[
                 "efficiency_vs_ceiling"
             ]
+            for side in ("local%d" % lo, "local%d" % hi):
+                prev_side = prev.get(side, {})
+                if prev_side.get("walls"):
+                    walls = sorted(prev_side["walls"] + report[side]["walls"])
+                    report[side]["walls"] = walls
+                    report[side]["wall_sec"] = walls[0]
+                    report[side]["turns_per_sec"] = round(
+                        report[side]["rows"] / walls[0], 1
+                    )
+            g_speed = (
+                report["local%d" % lo]["wall_sec"]
+                / report["local%d" % hi]["wall_sec"]
+            )
+            report["speedup_%d_to_%d" % (lo, hi)] = round(g_speed, 3)
+            report["scaling_efficiency"] = round(g_speed / ratio, 3)
         merged = {**existing, key: report}
     with open(path, "w") as f:
         json.dump(merged, f, indent=2)
