@@ -732,3 +732,75 @@ def normalize_text(
     return df.withColumn(
         "n_norm_changes", (~(cleaned.eqNullSafe(t))).cast("int")
     ).withColumn(out_col, cleaned)
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size token windows with optional
+    overlap — the chunking stage of a retrieval/embedding pipeline
+    (chunk granularity is what gets embedded and retrieved, not whole
+    documents). Emits one row per chunk: (id, chunk_idx, chunk_start,
+    n_chunk_tokens, chunk_text) where chunk_start is the 0-based token
+    offset (stride = chunk_tokens - overlap) and chunk_text re-joins
+    the window's tokens with single spaces (tokenization is
+    whitespace-normalizing by construction — byte-exact offsets belong
+    to a substring index, not a token chunker).
+
+    Every token lands in at least one chunk; the last chunk may be
+    short; a doc shorter than one chunk yields exactly one chunk; blank
+    docs yield none. Each (id, chunk_start) is deterministic, so chunk
+    ids compose with the dedup/ANN ops downstream (md5(id:chunk_start)
+    as a chunk key).
+
+    Scale shape: pure per-row projection — the token array is STAGED
+    once (hof.py), chunk starts come from a sequence() over the stride,
+    one posexplode; no join, no shuffle, no window.
+    """
+    if chunk_tokens < 1:
+        raise ValueError("chunk_tokens must be >= 1, got %r" % chunk_tokens)
+    if not (0 <= overlap < chunk_tokens):
+        raise ValueError(
+            "overlap must be in [0, chunk_tokens): %r / %r" % (overlap, chunk_tokens)
+        )
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+
+    def chunks(arr):
+        n = F.size(arr)
+        # last start: the largest multiple of stride still < n (every
+        # token covered, no empty tail chunk)
+        last = F.floor((n - 1) / stride) * stride
+        return F.when(
+            (F.length(F.trim(F.col(text_col))) > 0) & (n > 0),
+            F.transform(
+                F.sequence(F.lit(0), last.cast("int"), F.lit(stride)),
+                lambda st: F.struct(
+                    st.cast("long").alias("chunk_start"),
+                    F.concat_ws(" ", F.slice(arr, st + 1, chunk_tokens)).alias(
+                        "chunk_text"
+                    ),
+                    F.least(n - st, F.lit(chunk_tokens))
+                    .cast("long")
+                    .alias("n_chunk_tokens"),
+                ),
+            ),
+        ).otherwise(F.array().cast(
+            "array<struct<chunk_start:bigint,chunk_text:string,n_chunk_tokens:bigint>>"
+        ))
+
+    return (
+        df.select(F.col(id_col), _staged(toks, chunks).alias("__cs"))
+        .select(id_col, F.posexplode("__cs").alias("chunk_idx", "c"))
+        .select(
+            id_col,
+            "chunk_idx",
+            F.col("c.chunk_start").alias("chunk_start"),
+            F.col("c.n_chunk_tokens").alias("n_chunk_tokens"),
+            F.col("c.chunk_text").alias("chunk_text"),
+        )
+    )

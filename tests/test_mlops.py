@@ -2653,3 +2653,72 @@ WHERE u < least(greatest(rate, 0.0), 1.0)"""
         assert r["rows_match"] and r["schema_match"] and r["hash_match"], r
         n = out.count()
         assert 0 < n < docs.count()
+
+
+class TestChunkDocuments:
+    def test_semantics_coverage_and_overlap(self, spark):
+        from gogstash_spark.mlops.textops import chunk_documents
+
+        df = spark.createDataFrame(
+            [
+                (1, "t0 t1 t2 t3 t4 t5 t6"),  # 7 tokens
+                (2, "a b"),                    # shorter than one chunk
+                (3, ""),                       # blank: no chunks
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            (r["doc_id"], r["chunk_idx"]): r
+            for r in chunk_documents(df, chunk_tokens=4, overlap=1).collect()
+        }
+        # stride 3: starts 0, 3, 6
+        assert [got[(1, i)]["chunk_start"] for i in range(3)] == [0, 3, 6]
+        assert got[(1, 0)]["chunk_text"] == "t0 t1 t2 t3"
+        assert got[(1, 1)]["chunk_text"] == "t3 t4 t5 t6"  # overlap token t3
+        assert got[(1, 2)]["chunk_text"] == "t6"
+        assert got[(1, 2)]["n_chunk_tokens"] == 1
+        assert got[(2, 0)]["chunk_text"] == "a b"
+        assert (2, 1) not in got
+        assert not any(k[0] == 3 for k in got)
+        # every token covered exactly once at overlap=0
+        flat = chunk_documents(df, chunk_tokens=3).collect()
+        total = sum(r["n_chunk_tokens"] for r in flat if r["doc_id"] == 1)
+        assert total == 7
+        with pytest.raises(ValueError):
+            chunk_documents(df, 0)
+        with pytest.raises(ValueError):
+            chunk_documents(df, 4, overlap=4)
+
+    def test_matches_duckdb_oracle_on_documents(self, spark):
+        import duckdb
+
+        from gogstash_spark.mlops.textops import chunk_documents
+        from tools.parity import compare
+
+        sf_dir = "/root/testdata/sf0.001"
+        docs = spark.read.parquet(sf_dir + "/documents.parquet")
+        out = chunk_documents(docs, chunk_tokens=16, overlap=4)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet('%s/documents.parquet')"
+            % sf_dir
+        )
+        sql = r"""WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents WHERE len(trim(text)) > 0
+),
+st AS (
+  SELECT doc_id, toks, len(toks) AS n,
+    unnest(range(0, CAST(((len(toks) - 1) // 12) * 12 + 1 AS BIGINT), 12)) AS s
+  FROM t WHERE len(toks) > 0
+)
+SELECT doc_id,
+  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS INTEGER)
+    AS chunk_idx,
+  CAST(s AS BIGINT) AS chunk_start,
+  CAST(least(n - s, 16) AS BIGINT) AS n_chunk_tokens,
+  array_to_string(toks[s + 1 : s + 16], ' ') AS chunk_text
+FROM st"""
+        r = compare("chunk_documents", out, sql, con)
+        assert r["rows_match"] and r["schema_match"] and r["hash_match"], r
+        assert out.where("chunk_idx > 0").count() > 0  # multi-chunk docs exist
