@@ -929,3 +929,60 @@ def snapshot_diff(
         .otherwise(F.lit("changed"))
     )
     return j.select(id_col, status.alias("status"))
+
+
+def dedup_lsh_eval(
+    df: DataFrame,
+    threshold: float = 0.35,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 1,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Evaluation-driven dedup tuning: measure the LSH configuration's
+    RECALL against exact ground truth on a validation slice. Returns
+    ONE row (n_true, n_found, n_missed, recall): truth = all pairs with
+    exact shingle Jaccard >= threshold (ngram_jaccard_pairs — the
+    documented quadratic VALIDATION path, so run this on a sample, not
+    the corpus); found = the subset minhash_lsh_pairs surfaces with the
+    given banding. Precision is 1.0 by construction (candidates are
+    exact-Jaccard-verified), so recall is the whole tuning story:
+    too-few bands or an aggressive bucket_cap shows up here as missed
+    true pairs BEFORE a production run silently under-dedups.
+
+    Both sides collapse exact duplicates first so the comparison is
+    over the same representative ids.
+    """
+    reps = collapse_exact_texts(df, text_col, id_col)
+    truth = ngram_jaccard_pairs(
+        reps, text_col, id_col, n=n, threshold=threshold
+    ).select("id_a", "id_b")
+    found = minhash_lsh_pairs(
+        reps,
+        text_col,
+        id_col,
+        n=n,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        threshold=threshold,
+        bucket_cap=bucket_cap,
+        collapse_exact=False,
+    ).select("id_a", "id_b", F.lit(1).alias("__hit"))
+    j = truth.join(found, ["id_a", "id_b"], "left")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.sum(F.coalesce("__hit", F.lit(0))).cast("long").alias("n_found"),
+        (F.count(F.lit(1)) - F.sum(F.coalesce("__hit", F.lit(0))))
+        .cast("long")
+        .alias("n_missed"),
+        F.round(
+            F.when(
+                F.count(F.lit(1)) > 0,
+                F.sum(F.coalesce("__hit", F.lit(0)))
+                / F.count(F.lit(1)).cast("double"),
+            ).otherwise(F.lit(1.0)),
+            6,
+        ).alias("recall"),
+    )

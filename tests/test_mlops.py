@@ -2722,3 +2722,78 @@ FROM st"""
         r = compare("chunk_documents", out, sql, con)
         assert r["rows_match"] and r["schema_match"] and r["hash_match"], r
         assert out.where("chunk_idx > 0").count() > 0  # multi-chunk docs exist
+
+
+class TestDedupLshEval:
+    def test_matches_duckdb_oracle_and_detects_weak_banding(self, spark):
+        import duckdb
+
+        from gogstash_spark.mlops.dedup import dedup_lsh_eval
+        from tools.parity import compare
+
+        sf_dir = "/root/testdata/sf0.001"
+        docs = spark.read.parquet(sf_dir + "/documents.parquet")
+        out = dedup_lsh_eval(docs, threshold=0.35)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet('%s/documents.parquet')"
+            % sf_dir
+        )
+        mh = ", ".join("min(md5('%d|' || shingle)) AS m%d" % (j, j) for j in range(4))
+        sql = f"""WITH reps AS (
+  SELECT min(doc_id) AS doc_id, min(text) AS text FROM documents GROUP BY md5(text)
+),
+sets AS (
+  SELECT doc_id AS id, list_distinct(
+    [array_to_string(words[i:i+2], ' ') FOR i IN range(1, greatest(len(words)-1, 1))]
+  ) AS sh_set
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words FROM reps)
+),
+sh AS (SELECT id, unnest(sh_set) AS shingle FROM sets),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i JOIN sizes sa ON sa.id = i.id_a JOIN sizes sb ON sb.id = i.id_b
+  WHERE round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) >= 0.35
+),
+sig AS (SELECT id, {mh} FROM sh GROUP BY id),
+bands0 AS (
+  SELECT id, b.band, b.v FROM sig,
+  UNNEST([{{'band': 0, 'v': m0}}, {{'band': 1, 'v': m1}},
+          {{'band': 2, 'v': m2}}, {{'band': 3, 'v': m3}}]) AS u(b)
+),
+cand AS (
+  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+  FROM bands0 x JOIN bands0 y ON x.band = y.band AND x.v = y.v AND x.id < y.id
+),
+found AS (
+  SELECT c.id_a, c.id_b, 1 AS hit
+  FROM cand c JOIN sets a ON a.id = c.id_a JOIN sets b ON b.id = c.id_b
+  WHERE round(CAST(len(list_intersect(a.sh_set, b.sh_set)) AS DOUBLE) /
+    (len(a.sh_set) + len(b.sh_set) - len(list_intersect(a.sh_set, b.sh_set))), 6)
+    >= 0.35
+),
+j AS (SELECT t.id_a, t.id_b, f.hit FROM truth t
+      LEFT JOIN found f ON f.id_a = t.id_a AND f.id_b = t.id_b)
+SELECT CAST(count(*) AS BIGINT) AS n_true,
+  CAST(sum(coalesce(hit, 0)) AS BIGINT) AS n_found,
+  CAST(count(*) - sum(coalesce(hit, 0)) AS BIGINT) AS n_missed,
+  round(CASE WHEN count(*) > 0
+             THEN sum(coalesce(hit, 0)) / CAST(count(*) AS DOUBLE)
+             ELSE 1.0 END, 6) AS recall
+FROM j"""
+        r = compare("dedup_lsh_eval", out, sql, con)
+        assert r["rows_match"] and r["schema_match"] and r["hash_match"], r
+        row = out.collect()[0]
+        assert row["n_true"] > 0
+        # tuning signal: a single-band config must never beat the
+        # 4-band default's recall, and an aggressive bucket cap can
+        # only lose pairs
+        weak = dedup_lsh_eval(docs, threshold=0.35, bands=1).collect()[0]
+        assert weak["n_true"] == row["n_true"]
+        assert weak["recall"] <= row["recall"]
