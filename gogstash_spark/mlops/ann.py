@@ -704,3 +704,34 @@ def embedding_report(
         F.round(F.min("x"), 6).alias("min"),
         F.round(F.max("x"), 6).alias("max"),
     )
+
+
+def ann_recall_eval(exact_topk: DataFrame, approx_topk: DataFrame) -> DataFrame:
+    """Evaluation-driven ANN tuning: ONE row (n_queries, n_true,
+    n_found, recall) measuring an approximate top-k result (lsh_topk /
+    ivf_topk / pq_topk output — any frame with q_id, n_id) against the
+    exact one (brute_topk on the same bounded query slice). The same
+    contract as dedup_lsh_eval: run the quadratic exact side on a
+    VALIDATION sample, read recall as the knob signal (nprobe, bands,
+    n_centroids, m) before serving quality silently degrades.
+
+    Scale shape: one equi-join on (q_id, n_id) between two k*|queries|
+    frames and a 1-row aggregate — negligible next to producing either
+    input.
+    """
+    t = exact_topk.select("q_id", "n_id")
+    a = approx_topk.select("q_id", "n_id", F.lit(1).alias("__hit"))
+    j = t.join(a, ["q_id", "n_id"], "left")
+    return j.agg(
+        F.countDistinct("q_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_true"),
+        F.sum(F.coalesce("__hit", F.lit(0))).cast("long").alias("n_found"),
+        F.round(
+            F.when(
+                F.count(F.lit(1)) > 0,
+                F.sum(F.coalesce("__hit", F.lit(0)))
+                / F.count(F.lit(1)).cast("double"),
+            ).otherwise(F.lit(1.0)),
+            6,
+        ).alias("recall"),
+    )

@@ -2797,3 +2797,60 @@ FROM j"""
         weak = dedup_lsh_eval(docs, threshold=0.35, bands=1).collect()[0]
         assert weak["n_true"] == row["n_true"]
         assert weak["recall"] <= row["recall"]
+
+
+class TestAnnRecallEval:
+    def test_matches_duckdb_oracle_and_orders_methods(self, spark):
+        """recall(ivf: exact scoring within cells) >= recall(pq: same
+        cells + quantized scoring) on the same queries; both hash-match
+        a DuckDB restatement of truth-join-approx."""
+        import duckdb
+
+        from gogstash_spark.mlops.entries import (
+            _sql_cos,
+            o_ann_topk_ivf,
+            o_ann_topk_pq,
+        )
+        from tools.parity import compare
+
+        sf_dir = "/root/testdata/sf0.001"
+        emb = spark.read.parquet(sf_dir + "/embeddings.parquet")
+        exact = ann.brute_topk(emb, k=5, max_query_id=50)
+        ivf = ann.ivf_topk(emb, k=5, max_query_id=50)
+        out = ann.ann_recall_eval(exact, ivf)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM read_parquet('%s/embeddings.parquet')"
+            % sf_dir
+        )
+        cos = _sql_cos("q.embedding", "c.embedding")
+        sql = f"""WITH ranked AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY {cos} DESC, c.vec_id ASC) AS rk
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 50
+),
+truth AS (SELECT q_id, n_id FROM ranked WHERE rk <= 5),
+approx AS (SELECT q_id, n_id, 1 AS hit FROM ({o_ann_topk_ivf()})),
+j AS (SELECT t.q_id, t.n_id, a.hit FROM truth t
+      LEFT JOIN approx a ON a.q_id = t.q_id AND a.n_id = t.n_id)
+SELECT CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries,
+  CAST(count(*) AS BIGINT) AS n_true,
+  CAST(sum(coalesce(hit, 0)) AS BIGINT) AS n_found,
+  round(CASE WHEN count(*) > 0
+             THEN sum(coalesce(hit, 0)) / CAST(count(*) AS DOUBLE)
+             ELSE 1.0 END, 6) AS recall
+FROM j"""
+        r = compare("ann_recall_eval", out, sql, con)
+        assert r["rows_match"] and r["schema_match"] and r["hash_match"], r
+        row = out.collect()[0]
+        assert row["n_queries"] == 50 and row["n_true"] == 250
+        assert 0 < row["recall"] <= 1.0
+        # quantized scoring can only lose vs exact scoring in the same cells
+        from gogstash_spark.mlops import pq as pqmod
+
+        pq_r = ann.ann_recall_eval(
+            exact, pqmod.pq_topk(emb, k=5, max_query_id=50)
+        ).collect()[0]["recall"]
+        assert pq_r <= row["recall"] + 1e-9, (pq_r, row["recall"])
