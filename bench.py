@@ -125,6 +125,12 @@ def _bench_extras():
         emb = spark.read.parquet(sf_dir + "/embeddings.parquet")
         return pq_topk(emb, k=5, max_query_id=50)
 
+    def q_chunks(spark, sf_dir):
+        from gogstash_spark.mlops.textops import chunk_documents
+
+        docs = spark.read.parquet(sf_dir + "/documents.parquet")
+        return chunk_documents(docs, chunk_tokens=64, overlap=8)
+
     def q_bpe(spark, sf_dir):
         from gogstash_spark.mlops.bpe import bpe_train
 
@@ -134,6 +140,7 @@ def _bench_extras():
     return {
         "ann_topk_pq": q_pq,
         "bpe_train": q_bpe,
+        "chunk_documents": q_chunks,
         "curate_mix": q_curate,
         "repeated_spans": q_spans,
         "lm_perplexity": q_lm,
@@ -239,6 +246,7 @@ def main() -> None:
         "nb_quality",
         "ann_topk_pq",
         "bpe_train",
+        "chunk_documents",
     ]
     prev_name, prev, prev_jvm = _load_prev(repo)
     # min-of-3 as three INTERLEAVED passes over the whole suite, not 3

@@ -166,6 +166,19 @@ def main() -> None:
     print("distinct conversations:", cd.count(),
           "| dup clusters:", cd.where("n_convs > 1").count())
 
+    # retrieval chunking + tuning evals: LSH banding recall vs exact
+    # truth, ANN recall@5 vs brute force
+    from gogstash_spark.mlops.ann import ann_recall_eval, brute_topk, ivf_topk
+    from gogstash_spark.mlops.dedup import dedup_lsh_eval
+    from gogstash_spark.mlops.textops import chunk_documents
+
+    ch = chunk_documents(norm, chunk_tokens=64, overlap=8)
+    print("retrieval chunks:", ch.count(), "from", norm.count(), "docs")
+    dedup_lsh_eval(norm, threshold=0.35).show()
+    ann_recall_eval(
+        brute_topk(emb, k=5, max_query_id=50), ivf_topk(emb, k=5, max_query_id=50)
+    ).show()
+
     # SFT packing: conversations -> fixed-capacity sequences with
     # assistant-only loss masks
     from gogstash_spark.mlops.packing import sft_mask_manifest
