@@ -12,8 +12,11 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
 
 
 def _cos(a, b):
@@ -226,6 +229,15 @@ def lsh_topk(
     )
 
 
+def _plan_bytes(df: DataFrame) -> int | None:
+    """Optimizer size estimate of a frame (bytes) — file-size-derived
+    for scans; None when the JVM plan is unavailable."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+
+
 def ivf_assign(
     emb: DataFrame,
     n_centroids: int = 8,
@@ -290,8 +302,10 @@ def ivf_assign(
     # folded into the lambda and re-evaluated per centroid (O(C·d)
     # extra). Same mechanism as l2_normalize. Side effect: an all-zero
     # vector gets null probes (cosine undefined) instead of NaN scores.
+    from gogstash_spark.functions.partitions import spread
+
     return (
-        emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+        spread(emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")))
         .crossJoin(F.broadcast(cent))
         .withColumn("__vn", F.sqrt(F.aggregate(F.col("vec"), F.lit(0.0), sq)))
         .withColumn("probes", F.when(F.col("__vn") > 0, probes))
@@ -329,7 +343,14 @@ def ivf_train(
             F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cvec"),
         )
     )
-    base = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    from gogstash_spark.functions.partitions import spread
+
+    # per-iteration scoring + the posexplode feeding the means are
+    # interpreted HOF work over byte-light rows — lift a collapsed scan
+    # to full core count once, outside the loop
+    base = spread(
+        emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    )
     for _ in range(iters):
         carr = cent.withColumn(
             "cnorm", F.sqrt(F.aggregate(F.col("cvec"), F.lit(0.0), sq))
@@ -520,6 +541,81 @@ def cosine_near_dup_pairs(
     )
 
 
+def _round6_ge_bound(threshold: float) -> float:
+    """Exact double bound T with: round(q, 6) >= threshold  <=>  q >= T
+    for every double q (round = Spark's Round: BigDecimal HALF_UP on
+    the exact binary expansion; NaN fails both sides).
+
+    Derivation over exact decimals: round6 is monotone, so the pass set
+    is a half-line. Its decimal boundary is B = kmin/1e6 - 5e-7 where
+    kmin is the smallest integer k whose 6-dp double value compares
+    >= threshold; B itself passes iff kmin >= 1 (HALF_UP rounds the
+    positive half-case up, the negative one away from zero). T is then
+    the smallest double satisfying the decimal condition.
+    """
+    import math
+    from decimal import Decimal
+
+    t = Decimal(float(threshold))  # exact binary expansion
+    k = math.ceil(t * Decimal(10) ** 6)
+    # need: nearest-double(k*1e-6) >= threshold as DOUBLES
+    while float(Decimal(k) / 1000000) < threshold:
+        k += 1
+    while float(Decimal(k - 1) / 1000000) >= threshold:
+        k -= 1
+    bound = Decimal(k) / 1000000 - Decimal("0.0000005")
+    closed = k >= 1  # B rounds up into the pass set iff positive side
+    d = float(bound)
+    dd = Decimal(d)
+    if closed:
+        return d if dd >= bound else math.nextafter(d, math.inf)
+    return math.nextafter(d, math.inf) if dd <= bound else d
+
+
+def _semdedup_drops_arrow(capped: DataFrame, threshold: float) -> DataFrame:
+    """Dropped ids per cell via one grouped pandas kernel: for each
+    cell, rows sorted by id; row j is dropped iff some earlier row i
+    has round6(cos(i, j)) >= threshold. The k-loop accumulation keeps
+    Spark's exact left-fold order per pair (vectorized across pairs —
+    elementwise multiply then add, two correctly-rounded IEEE steps,
+    never a fused BLAS contraction), so the drop set is bit-identical
+    to the join formulation. Ships (vid, vec, nrm) per group — the
+    same columns the join shuffled; cluster_cap bounds group size."""
+    import numpy as np
+    import pandas as pd
+
+    bound = _round6_ge_bound(threshold)
+    id_type = capped.schema["vid"].dataType.simpleString()
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vid", kind="mergesort").reset_index(drop=True)
+        n = len(pdf)
+        if n < 2:
+            return pdf.iloc[0:0][["vid"]]
+        v = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+        nr = pdf["nrm"].to_numpy(dtype=np.float64)
+        dropped = np.zeros(n, dtype=bool)
+        blk = 1024
+        for j0 in range(0, n, blk):
+            j1 = min(j0 + blk, n)
+            acc = np.zeros((j1, j1 - j0))
+            vi, vj = v[:j1], v[j0:j1]
+            for kk in range(v.shape[1]):
+                acc += np.multiply.outer(vi[:, kk], vj[:, kk])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                q = acc / np.multiply.outer(nr[:j1], nr[j0:j1])
+            p = q >= bound
+            ii = np.arange(j1)[:, None]
+            jj = np.arange(j0, j1)[None, :]
+            p &= ii < jj
+            dropped[j0:j1] |= p.any(axis=0)
+        return pdf.loc[dropped, ["vid"]]
+
+    return capped.select("cell", "vid", "vec", "nrm").groupBy("cell").applyInPandas(
+        kernel, schema="vid %s" % id_type
+    )
+
+
 def semantic_dedup(
     emb: DataFrame,
     n_centroids: int = 8,
@@ -559,6 +655,8 @@ def semantic_dedup(
     audit them with clusters.groupBy("cell").count()). The drop set is
     distinct ids only (narrow), anti-joined back in one pass.
     """
+    from gogstash_spark.functions.partitions import spread
+
     cent = (
         centroids
         if centroids is not None
@@ -574,36 +672,79 @@ def semantic_dedup(
     # — once per ROW — because the pair filter below would otherwise
     # recompute two O(d) norm aggregates per PAIR, tripling the work of
     # the quadratic hot loop (the per-pair dot product is the only O(d)
-    # term that genuinely needs pair granularity).
+    # term that genuinely needs pair granularity). spread() lifts the
+    # cached frame to full core count BEFORE the quadratic stage: a
+    # single-row-group scan otherwise caps every downstream task count
+    # at 1-2 (round-6 measurement: the whole pair loop ran on 2 of 32
+    # cores).
     sq = lambda acc, v: acc + v.cast("double") * v.cast("double")  # noqa: E731
-    a = (
+    a = spread(
         ivf_assign(emb, nprobe=1, id_col=id_col, vec_col=vec_col, centroids=cent)
         .select("vid", "vec", F.element_at("probes", 1)["cid"].alias("cell"))
         .withColumn("nrm", F.sqrt(F.aggregate("vec", F.lit(0.0), sq)))
-        .persist()
-    )
-    capped = _cap_buckets(a.where(F.col("cell").isNotNull()), ["cell"], cluster_cap)
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("va"), F.col("vb"),
-            lambda x, y: x.cast("double") * y.cast("double"),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    drops = capped.select(
-        "cell", F.col("vid").alias("id_a"),
-        F.col("vec").alias("va"), F.col("nrm").alias("na"),
-    ).join(
-        capped.select(
+    ).persist()
+    placed = a.where(F.col("cell").isNotNull())
+    if cluster_cap is None:
+        capped = placed
+    else:
+        # unlike the generic _cap_buckets (whose keep-list can be
+        # corpus-sized for LSH band keys), the cell keep-list here is
+        # AT MOST n_centroids rows — broadcast it EXPLICITLY. Left to
+        # its estimates the planner has broadcast the corpus side of
+        # this join instead (both sides fit), which demotes the
+        # quadratic pair stage's stream to the 1-partition keep-list:
+        # observed at sf1 as the whole 25M-pair loop on ONE core.
+        ok = (
+            placed.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("__bcnt"))
+            .filter(F.col("__bcnt") <= cluster_cap)
+            .select("cell")
+        )
+        capped = placed.join(F.broadcast(ok), "cell")
+    if os.environ.get("GOGSTASH_SEMDEDUP_ARROW", "1") != "0":
+        # the quadratic stage as ONE vectorized Arrow kernel per cell
+        # (guide §4.2): the pair loop is O(sum cell² x d) arithmetic
+        # over byte-light rows, exactly the regime where JVM expression
+        # evaluation loses — HOF folds are interpreted per pair, and a
+        # codegen'd unrolled chain lands in a >8 KB generated method
+        # that HotSpot refuses to JIT (measured round 6: 10 us/pair
+        # interpreted, 38 us/pair "codegen", 0.05 us/pair numpy).
+        # Arithmetic is reproduced EXACTLY: the k-loop accumulates
+        # fl(acc + fl(a_k*b_k)) per pair in index order (vectorized
+        # ACROSS pairs, not within), norms ride in from the staged
+        # Spark column, and the round-6 >= threshold test is folded
+        # into one exact double bound (_round6_ge_bound). cluster_cap
+        # bounds the per-group memory the same way it bounds the join.
+        drops = _semdedup_drops_arrow(capped, threshold)
+    else:
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("va"), F.col("vb"),
+                lambda x, y: x.cast("double") * y.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        b_side = capped.select(
             "cell", F.col("vid").alias("id_b"),
             F.col("vec").alias("vb"), F.col("nrm").alias("nb"),
-        ),
-        "cell",
-    ).where(
-        (F.col("id_a") < F.col("id_b"))
-        & (F.round(dot / (F.col("na") * F.col("nb")), 6) >= F.lit(threshold))
-    ).select(F.col("id_b").alias("vid")).distinct()
+        )
+        drops = capped.select(
+            "cell", F.col("vid").alias("id_a"),
+            F.col("vec").alias("va"), F.col("nrm").alias("na"),
+        ).join(
+            b_side, "cell",
+        ).where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.round(dot / (F.col("na") * F.col("nb")), 6) >= F.lit(threshold))
+        ).select(F.col("id_b").alias("vid")).distinct()
+    # the drop set is distinct ids (narrow); broadcast it into the
+    # anti-join when the corpus scan estimate says it surely fits, so
+    # the kept-rows pass is shuffle-free at bench scale and degrades to
+    # the shuffled anti-join at cluster scale
+    bcast_mb = int(os.environ.get("GOGSTASH_BROADCAST_CELLS_MB", "256"))
+    small = (_plan_bytes(emb) or (bcast_mb << 20) + 1) <= (bcast_mb << 20)
+    drops = F.broadcast(drops) if small else drops
     return a.join(drops, "vid", "left_anti").select(
         F.col("vid").alias(id_col), "cell"
     )

@@ -112,8 +112,12 @@ def bpe_train(
     output and rewrite — and gate the early-stop)."""
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1, got %r" % n_merges)
-    vocab = _word_freq(df, text_col, lowercase).select(
-        _char_syms(F.col("word")).alias("s"), "freq"
+    from gogstash_spark.functions.partitions import spread
+
+    vocab = spread(
+        _word_freq(df, text_col, lowercase).select(
+            _char_syms(F.col("word")).alias("s"), "freq"
+        )
     )
     merges: list[DataFrame] = []
     for i in range(n_merges):

@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from gogstash_spark.functions.hof import staged
+from gogstash_spark.functions.partitions import spread
 from gogstash_spark.mlops.textops import tokens, ws_token_len
 
 
@@ -200,7 +201,11 @@ def minhash_lsh_pairs(
     """
     if collapse_exact:
         df = collapse_exact_texts(df, text_col, id_col)
-    sets = shingle_sets(df, text_col, id_col, n).persist()
+    # the shingle build + K md5-minhash passes are interpreted HOF work
+    # over byte-light rows: AQE's byte-based coalescing (or a single-
+    # row-group scan) would run them on 1-2 of the session's cores —
+    # lift to full parallelism before the CPU-dense projections
+    sets = spread(shingle_sets(df, text_col, id_col, n)).persist()
     sig = minhash_signatures_from_sets(sets, bands * rows_per_band)
 
     # band join: explode signatures to (band, value) and self-join buckets
@@ -621,8 +626,10 @@ def repeated_substring_spans(
     surviving duplicated positions. Nothing quadratic, no crossJoin,
     no driver-side state.
     """
-    t = df.select(id_col, tokens(F.col(text_col)).alias("_toks")).where(
-        F.size("_toks") >= k
+    t = spread(
+        df.select(id_col, tokens(F.col(text_col)).alias("_toks")).where(
+            F.size("_toks") >= k
+        )
     )
     # sh feeds two plan branches (the hot-hash aggregate and the join
     # back to positions); persist so the window hashing of the corpus —

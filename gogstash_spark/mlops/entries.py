@@ -29,11 +29,19 @@ STOP_LIST_SQL = "[%s]" % ", ".join("'%s'" % w for w in textops.EN_STOPWORDS)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    # documents.parquet is a single row group — an unsplittable one-task
+    # scan (guide: input skew; repartition right after the read). Every
+    # doc query is regex/hash/HOF CPU over ~100-byte rows, so the
+    # round-robin exchange of a few MB buys back 32x task parallelism.
+    from gogstash_spark.functions.partitions import spread
+
+    return spread(spark.read.parquet(os.path.join(sf_dir, "documents.parquet")))
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    from gogstash_spark.functions.partitions import spread
+
+    return spread(spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")))
 
 
 # --------------------------------------------------------------------------

@@ -42,6 +42,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hof import staged
+from ..functions.partitions import spread
 from .ann import ivf_assign
 
 
@@ -105,6 +106,10 @@ def pq_train(
     base = emb.select(F.col(id_col).alias("sid"), F.col(vec_col).alias("vec"))
     if train_limit is not None:
         base = base.orderBy("sid").limit(int(train_limit))
+    # the per-subvector assignment below is interpreted HOF work (CPU-
+    # dense, byte-light): lift a single-row-group/limit()-collapsed
+    # input to full core count first (functions/partitions.py)
+    base = spread(base)
     subs = base.select(
         "sid", F.posexplode(_subvecs(F.col("vec"), m, dsub)).alias("sub", "sv")
     )
@@ -285,6 +290,9 @@ def pq_topk(
     need no self-join to pick up their codes.
     """
     dsub = _check(m, dim, ksub)
+    # candidate encoding + assignment are interpreted per-row HOF work:
+    # make sure the corpus isn't stuck on 1-2 scan partitions
+    emb = spread(emb)
     cb = (
         codebook
         if codebook is not None
@@ -330,11 +338,19 @@ def pq_topk(
             "__qn",
         )
     )
-    pick = lambda tbl: F.aggregate(  # noqa: E731
-        F.zip_with(F.col("codes"), F.col(tbl), lambda c, row: F.element_at(row, c + 1)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    def pick(tbl: str) -> Column:
+        # codegen'd m-term lookup chain — identical left-fold order and
+        # values as aggregate(zip_with(codes, tbl, (c, row) ->
+        # element_at(row, c+1)), 0.0, acc+v), but HOFs are
+        # CodegenFallback (interpreted per pair); m is plan-time known,
+        # so the chain stays a small fully-compiled expression.
+        e: Column = F.lit(0.0)
+        for s in range(m):
+            e = e + F.element_at(
+                F.element_at(F.col(tbl), s + 1),
+                F.element_at(F.col("codes"), s + 1) + 1,
+            )
+        return e
     # with max_query_id set the query side is bounded (its ADC arrays
     # are wide, so Spark's size estimate overshoots into a sort-merge
     # join of the full candidate corpus) — broadcast it explicitly;

@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from gogstash_spark.functions.partitions import spread
+
 # tiny public-knowledge English stopword set (n-gram heuristic)
 EN_STOPWORDS = [
     "the", "a", "and", "of", "to", "in", "is", "it", "you", "that",
@@ -264,7 +266,7 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     lines = F.filter(F.split(t, "\n"), lambda s: F.length(F.trim(s)) > 0)
     toks = tokens(t)
-    return df.withColumns(
+    return spread(df).withColumns(
         {
             "dup_line_frac": F.round(_dup_frac(lines), 6),
             "dup_word_frac": F.round(_dup_frac(toks), 6),
@@ -285,7 +287,7 @@ def unigram_lm(df: DataFrame, text_col: str = "text") -> tuple[DataFrame, DataFr
     billions, so the broadcast is the right default at 100 TB (CCNet
     ships whole KenLM models to every worker the same way).
     """
-    toks = df.select(
+    toks = spread(df).select(
         F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
     ).where(F.col("token") != "")  # blank docs tokenize to [''] — not a word
     # counts feeds both the stats row and the lm projection; persist so
@@ -328,7 +330,7 @@ def lm_perplexity(
     stopword keys are heavily skewed — leave AQE skew-join on (it is,
     by default) if a vocabulary ever genuinely outgrows broadcast.
     """
-    exploded = df.select(
+    exploded = spread(df).select(
         id_col, F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
     ).where(F.col("token") != "")
     lm_side = F.broadcast(lm) if broadcast_lm else lm
@@ -370,7 +372,7 @@ def nb_train(
     Training over billions of seed tokens is one shuffle on token.
     """
     y = F.col(label_col).cast("int")
-    toks = df.select(
+    toks = spread(df).select(
         y.alias("y"), F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
     ).where(F.col("token") != "")
     counts = (
@@ -439,7 +441,7 @@ def nb_score(
     vocabularies are the fastText-model-on-every-worker size class) ->
     ONE groupBy(id). Same shape as lm_perplexity.
     """
-    exploded = df.select(
+    exploded = spread(df).select(
         F.col(id_col), F.explode_outer(tokens(F.lower(F.col(text_col)))).alias("token")
     ).withColumn(
         "token", F.when(F.col("token") == "", None).otherwise(F.col("token"))
@@ -491,7 +493,7 @@ def vocab_top_k(
     t = F.col(text_col)
     toks = tokens(F.lower(t)) if lowercase else tokens(t)
     counts = (
-        df.select(F.explode(toks).alias("token"))
+        spread(df).select(F.explode(toks).alias("token"))
         .where(F.col("token") != "")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
@@ -528,7 +530,7 @@ def oov_rate(
     """
     t = F.col(text_col)
     toks = tokens(F.lower(t)) if lowercase else tokens(t)
-    exploded = df.select(
+    exploded = spread(df).select(
         F.col(id_col), F.explode_outer(toks).alias("token")
     ).withColumn(
         "token", F.when(F.col("token") == "", None).otherwise(F.col("token"))
@@ -794,7 +796,7 @@ def chunk_documents(
         ))
 
     return (
-        df.select(F.col(id_col), _staged(toks, chunks).alias("__cs"))
+        spread(df).select(F.col(id_col), _staged(toks, chunks).alias("__cs"))
         .select(id_col, F.posexplode("__cs").alias("chunk_idx", "c"))
         .select(
             id_col,
