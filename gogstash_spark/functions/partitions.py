@@ -33,3 +33,16 @@ def spread(df: DataFrame, target: int | None = None) -> DataFrame:
     except Exception:
         return df
     return df.repartition(t) if n < t else df
+
+
+def plan_bytes(df: DataFrame) -> int | None:
+    """Optimizer size estimate of a frame (bytes) — file-size-derived
+    for scans; None when the JVM plan is unavailable. Used to pick
+    broadcast-vs-shuffle shapes from DATA SIZE with a conservative env
+    budget (GOGSTASH_BROADCAST_CELLS_MB), so local byte-light runs get
+    shuffle-free joins while cluster-scale inputs keep the shuffled
+    plan."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None

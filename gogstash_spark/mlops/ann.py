@@ -229,13 +229,7 @@ def lsh_topk(
     )
 
 
-def _plan_bytes(df: DataFrame) -> int | None:
-    """Optimizer size estimate of a frame (bytes) — file-size-derived
-    for scans; None when the JVM plan is unavailable."""
-    try:
-        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    except Exception:
-        return None
+from gogstash_spark.functions.partitions import plan_bytes as _plan_bytes
 
 
 def ivf_assign(

@@ -18,6 +18,8 @@ the dedup semantics).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -220,9 +222,24 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # exact jaccard verify per candidate pair
+    # exact jaccard verify per candidate pair. The shingle-set frame is
+    # BROADCAST into both attach joins when the input's size estimate
+    # fits the budget: candidate pairs outnumber documents ~100x here
+    # (4.2M pairs vs 50k docs at sf1), so the default sort-merge joins
+    # shuffled the multi-KB shingle arrays once per PAIR — the dominant
+    # cost of the whole op (measured 10.8s of 14.5). With the arrays on
+    # the build side only ids cross the wire and the interpreted
+    # array_intersect runs at the spread() parallelism. Past the budget
+    # (cluster-scale corpora) the shuffled join shape is kept.
+    from gogstash_spark.functions.partitions import plan_bytes
+
+    bcast_mb = int(os.environ.get("GOGSTASH_BROADCAST_CELLS_MB", "256"))
+    small = (plan_bytes(df) or (bcast_mb << 20) + 1) <= (bcast_mb << 20)
     a = sets.select(F.col("id").alias("id_a"), F.col("sh_set").alias("sh_a"))
     b = sets.select(F.col("id").alias("id_b"), F.col("sh_set").alias("sh_b"))
+    if small:
+        a, b = F.broadcast(a), F.broadcast(b)
+        cand = spread(cand)
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size("sh_a") + F.size("sh_b") - inter
     verified = (
