@@ -28,8 +28,6 @@ arrays are rebuilt; the hot loop is string search/replace in codegen.
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -107,20 +105,34 @@ def bpe_train(
     never padding.
 
     The vocab frame is localCheckpoint'ed every `checkpoint_every`
-    merges: each merge stacks a crossJoin+replace on the plan, and the
-    1-row winners are checkpointed anyway (they are consumed twice —
-    output and rewrite — and gate the early-stop)."""
+    merges: each merge stacks a replace on the plan. The winning pair
+    itself is collected per merge (one TakeOrdered job — it is one row
+    by construction) and re-enters the rewrite as string literals."""
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1, got %r" % n_merges)
     from gogstash_spark.functions.partitions import spread
 
-    vocab = spread(
+    # the corpus-wide word-frequency aggregate feeds EVERY merge
+    # iteration's lineage — persist it once so each merge reruns only
+    # its replace chain + pair stats over the |V|-row cache, not the
+    # corpus explode+groupBy. The cache is released before returning
+    # (the merges table is literal rows, independent of it).
+    vocab0 = spread(
         _word_freq(df, text_col, lowercase).select(
             _char_syms(F.col("word")).alias("s"), "freq"
         )
-    )
-    merges: list[DataFrame] = []
+    ).persist()
+    vocab = vocab0
+    merges: list[tuple] = []
     for i in range(n_merges):
+        # ONE driver round-trip per merge: TakeOrdered collects the
+        # winning pair directly; the 1-row result then rides back into
+        # the rewrite as string LITERALS. The previous shape spent two
+        # extra jobs per merge (an eager localCheckpoint of the winner
+        # plus its count) and a broadcast build for the crossJoin —
+        # pure per-iteration overhead at any scale, since the winner is
+        # one row by construction. Values are identical: replace() is
+        # literal either way.
         top = (
             vocab.select("freq", F.explode(_pairs(F.col("s"))).alias("p"))
             .groupBy(
@@ -129,27 +141,26 @@ def bpe_train(
             .agg(F.sum("freq").alias("pair_freq"))
             .orderBy(F.desc("pair_freq"), F.asc("left_sym"), F.asc("right_sym"))
             .limit(1)
-            .select(F.lit(i).alias("merge_idx"), "left_sym", "right_sym", "pair_freq")
-            .localCheckpoint(eager=True)
+            .collect()
         )
-        if top.count() == 0:  # vocabulary fully merged — stop honestly
+        if not top:  # vocabulary fully merged — stop honestly
             break
-        merges.append(top)
-        vocab = vocab.crossJoin(F.broadcast(top)).select(
+        left, right, pf = top[0]["left_sym"], top[0]["right_sym"], top[0]["pair_freq"]
+        merges.append((i, left, right, pf))
+        vocab = vocab.select(
             F.replace(
                 F.col("s"),
-                _wrap(F.col("left_sym"), F.col("right_sym")),
-                _wrap(F.concat("left_sym", "right_sym")),
+                F.lit(SEP + left + SEP + SEP + right + SEP),
+                F.lit(SEP + left + right + SEP),
             ).alias("s"),
             "freq",
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < n_merges:
             vocab = vocab.localCheckpoint(eager=True)
-    if not merges:  # every word is a single symbol — nothing to learn
-        return df.sparkSession.createDataFrame(
-            [], "merge_idx int, left_sym string, right_sym string, pair_freq bigint"
-        )
-    return reduce(DataFrame.unionByName, merges)
+    vocab0.unpersist()
+    return df.sparkSession.createDataFrame(
+        merges, "merge_idx int, left_sym string, right_sym string, pair_freq bigint"
+    )
 
 
 def bpe_apply(

@@ -201,16 +201,30 @@ def minhash_lsh_pairs(
     the exact-Jaccard verify touches ONLY candidate pairs via
     array_intersect on the two shingle sets.
     """
+    # lift a single-row-group scan to full parallelism BEFORE the md5
+    # collapse (its map side otherwise runs on one core), and again for
+    # the shingle build + K md5-minhash passes (interpreted HOF work
+    # over byte-light rows that AQE's byte-based coalescing would
+    # squeeze onto 1-2 cores)
+    df = spread(df)
     if collapse_exact:
         df = collapse_exact_texts(df, text_col, id_col)
-    # the shingle build + K md5-minhash passes are interpreted HOF work
-    # over byte-light rows: AQE's byte-based coalescing (or a single-
-    # row-group scan) would run them on 1-2 of the session's cores —
-    # lift to full parallelism before the CPU-dense projections
     sets = spread(shingle_sets(df, text_col, id_col, n)).persist()
     sig = minhash_signatures_from_sets(sets, bands * rows_per_band)
 
-    # band join: explode signatures to (band, value) and self-join buckets
+    # band join: explode signatures to (band, value) and self-join
+    # buckets. The candidate frame is NOT deduped here: measured at sf1
+    # the 4.2M candidate pairs are ~100% unique (pairs rarely share two
+    # bands at rows_per_band=1), so the distinct was a full extra
+    # shuffle buying nothing — the far smaller post-verify survivor set
+    # is deduped instead (identical result: jaccard is a pure function
+    # of the pair). The build side of the self-join is broadcast when
+    # the input's size estimate fits the budget (bucket keys are a few
+    # dozen bytes/row), keeping the candidate stage shuffle-free.
+    from gogstash_spark.functions.partitions import plan_bytes
+
+    bcast_mb = int(os.environ.get("GOGSTASH_BROADCAST_CELLS_MB", "256"))
+    small = (plan_bytes(df) or (bcast_mb << 20) + 1) <= (bcast_mb << 20)
     buckets = lsh_band_buckets(sig, bands, rows_per_band)
     if bucket_cap is not None:
         buckets = _cap_buckets(buckets, bucket_cap)
@@ -219,7 +233,6 @@ def minhash_lsh_pairs(
         .join(buckets.alias("y"), ["band", "v"])
         .filter(F.col("x.id") < F.col("y.id"))
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .distinct()
     )
 
     # exact jaccard verify per candidate pair. The shingle-set frame is
@@ -231,10 +244,6 @@ def minhash_lsh_pairs(
     # the build side only ids cross the wire and the interpreted
     # array_intersect runs at the spread() parallelism. Past the budget
     # (cluster-scale corpora) the shuffled join shape is kept.
-    from gogstash_spark.functions.partitions import plan_bytes
-
-    bcast_mb = int(os.environ.get("GOGSTASH_BROADCAST_CELLS_MB", "256"))
-    small = (plan_bytes(df) or (bcast_mb << 20) + 1) <= (bcast_mb << 20)
     a = sets.select(F.col("id").alias("id_a"), F.col("sh_set").alias("sh_a"))
     b = sets.select(F.col("id").alias("id_b"), F.col("sh_set").alias("sh_b"))
     if small:
@@ -248,6 +257,8 @@ def minhash_lsh_pairs(
         .withColumn("jaccard", F.round(inter.cast("double") / union.cast("double"), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+        # dedupe the (rare) multi-band pairs HERE, on the survivor set
+        .distinct()
     )
     return verified
 
