@@ -164,13 +164,18 @@ def _cap_buckets(buckets: DataFrame, bucket_cap: int) -> DataFrame:
     BEFORE the self-join — the join cost of a bucket is quadratic in its
     size, so one hot bucket dominates everything. Pair with
     lsh_hot_buckets to report what was dropped (never silently)."""
-    ok = (
+    hot = (
         buckets.groupBy("band", "v")
         .agg(F.count(F.lit(1)).alias("__bcnt"))
-        .filter(F.col("__bcnt") <= bucket_cap)
+        .filter(F.col("__bcnt") > bucket_cap)
         .select("band", "v")
     )
-    return buckets.join(ok, ["band", "v"])
+    # anti-join against the OVER-cap keys (complement of the old inner
+    # join on the under-cap list — identical rows: band/v are never
+    # null). hot is tiny by the capping premise, so AQE's runtime join
+    # switching broadcasts it and the buckets side keeps its shuffle
+    # only where the candidate self-join needs it anyway.
+    return buckets.join(hot, ["band", "v"], "left_anti")
 
 
 def minhash_lsh_pairs(
